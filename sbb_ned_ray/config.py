@@ -1,0 +1,51 @@
+"""Pipeline configuration.
+
+Mirrors the reference's per-language JSON configs
+(``/root/reference/qurator/sbb_ned/webapp/de-config.json:1-37``) plus
+request-level overrides (``webapp/app.py:355-365``), expressed as one
+dataclass consumed by every pipeline builder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- candidate generation (reference: SEARCH_K / MAX_DIST / MAX_CANDIDATES,
+    # webapp/de-config.json:24-33; defaults in index.py:652) ---
+    max_dist: float = 0.25          # max part-embedding distance for an ANN hit
+    max_candidates: int = 25        # top-k candidates kept per mention
+    max_frequency: int = 1000       # blocking-key frequency stoplist for short parts
+    min_part_len_for_freq: int = 4  # parts shorter than this get the stoplist (index.py:669-674)
+
+    # --- pair building (reference: MAX_PAIRS, models/sentence_lookup.py:25-31) ---
+    max_pairs: int = 50             # pair budget per (mention, candidate)
+
+    # --- scoring / decision (reference: DECISION_THRESHOLD, webapp/de-config.json:34) ---
+    threshold: float = 0.1          # min proba_1 to accept a link
+    max_seq_len: int = 128          # token window for the cross-encoder
+
+    # --- MinHash-LSH blocking (new; north_star requires char-ngram LSH buckets) ---
+    ngram_size: int = 3
+    num_perm: int = 32              # minhash permutations
+    lsh_bands: int = 8              # bands (rows per band = num_perm // lsh_bands)
+
+    # --- execution sizing ---
+    batch_size: int = 1024          # rows per batch for cpu stages
+    scorer_batch_size: int = 4096   # pairs per scorer batch (reference GPU BATCH_SIZE analog)
+    cpu_concurrency: int | None = None   # actor-pool size; None → let Ray autoscale tasks
+    scorer_concurrency: int = 4
+
+    # --- misc ---
+    seed: int = 42
+    languages: tuple[str, ...] = ("de", "en")
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        return self.num_perm // self.lsh_bands
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,133 @@
+"""The flagship NED pipeline: pages → links → clusters.
+
+Stage graph (SURVEY.md §7.1):
+
+    read_parquet(pages)                      [source, columns pruned]
+    → map_batches(extract_text)              [stateless tasks]
+    → map_batches(MentionDetector)           [actor pool, broadcast trie]
+    → map_batches(CandidateGenerator)        [actor pool, broadcast index]
+    → map_batches(PairBuilder)               [actor pool, broadcast KB]
+    → map_batches(Scorer)                    [actor pool; GPU-ready slot]
+    → map_batches(partial_candidate_agg)     [pre-shuffle combiner]
+    → groupby(mention_key).map_groups(decide)   [THE shuffle]
+    → union-find transitive clustering       [driver: ≤1 edge/mention]
+
+The KB-side state (AliasIndex) is built once on the driver and
+broadcast with ``ray.put`` — read by every actor in ``__init__``,
+never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.sources.pages import read_kb_table, read_pages
+from sbb_ned_ray.stages.candidates import generate_candidates
+from sbb_ned_ray.stages.cluster import cluster_links
+from sbb_ned_ray.stages.decider import decide, decide_from_partials, top_links
+from sbb_ned_ray.stages.extract import extracted_pages
+from sbb_ned_ray.stages.mentions import detect_mentions
+from sbb_ned_ray.stages.pairs import build_pairs
+from sbb_ned_ray.stages.scorer import DeterministicOverlapScorer, score_pairs
+from sbb_ned_ray.state.alias_index import build_alias_index
+
+
+def _pool_size(cfg: PipelineConfig, reserve: int = 2) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds: (1, ncpus − reserve).
+
+    The reserve keeps CPUs free for the read tasks and the decider
+    shuffle so the pool never starves them on a small node.
+    """
+    if cfg.cpu_concurrency is not None:
+        return (1, cfg.cpu_concurrency)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, ncpu - reserve))
+
+
+def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
+                    scorer_cls=DeterministicOverlapScorer,
+                    kb_table: pa.Table | None = None,
+                    pages_ds=None, split_scorer: bool = False):
+    """pages + KB → ranked per-mention links Dataset (lazy until consumed).
+
+    Default: ONE fused actor pool (NedWorker) for the mention-local
+    prefix, then the single ``groupby(mention_key)`` shuffle.
+    ``split_scorer=True`` runs the cross-encoder as its own pool (the
+    GPU deployment shape): extract+detect+candidates+pairs in the fused
+    pool, scorer separately with ``scorer_batch_size`` batches.
+    """
+    cfg = config or PipelineConfig()
+    kb = kb_table if kb_table is not None else read_kb_table(fixture_dir)
+    index = build_alias_index(kb, cfg)
+    index_ref = ray.put(index)
+    conc = _pool_size(cfg)
+
+    pages = pages_ds if pages_ds is not None else read_pages(
+        fixture_dir, columns=["url", "warc_ts", "html", "lang"])
+
+    if not split_scorer:
+        from sbb_ned_ray.stages.fused import NedWorker
+        partials = pages.map_batches(
+            NedWorker, fn_constructor_args=(index_ref, cfg),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+            concurrency=conc)
+        return decide_from_partials(partials, cfg)
+
+    pages = extracted_pages(pages)
+    mentions = detect_mentions(pages, index_ref,
+                               batch_size=cfg.batch_size, concurrency=conc)
+    candidates = generate_candidates(mentions, index_ref, cfg,
+                                     batch_size=cfg.batch_size,
+                                     concurrency=conc)
+    pairs = build_pairs(candidates, index_ref, cfg,
+                        batch_size=cfg.batch_size, concurrency=conc)
+    scored = score_pairs(pairs, cfg, scorer_cls=scorer_cls, concurrency=conc)
+    return decide(scored, cfg)
+
+
+def run_ned(fixture_dir: str, config: PipelineConfig | None = None
+            ) -> pd.DataFrame:
+    """Run the flagship pipeline; returns the per-mention top-1 links with
+    transitive cluster ids (driver-side frame — one row per linked
+    mention, small relative to input)."""
+    links = top_links(build_ned_links(fixture_dir, config))
+    df = links.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(columns=["mention_key", "url", "mention_id",
+                                   "surface", "candidate_title", "qid",
+                                   "proba_1", "n_pairs", "out_rank"])
+    return cluster_links(df)
+
+
+def pairwise_f1(links_df: pd.DataFrame, gt_pairs: pa.Table) -> dict:
+    """Pairwise entity-linking F1 on labeled mention pairs at the same
+    blocking key (BASELINE.json metric)."""
+    gp = gt_pairs.to_pandas()
+    cluster = dict(zip(links_df["mention_key"], links_df["cluster_id"]))
+
+    def key(u, m):
+        return f"{u}\x1f{m}"
+
+    tp = fp = fn = tn = 0
+    for _, r in gp.iterrows():
+        ca = cluster.get(key(r.url_a, r.mention_id_a))
+        cb = cluster.get(key(r.url_b, r.mention_id_b))
+        pred_same = ca is not None and cb is not None and ca == cb
+        if pred_same and r.same_entity == 1:
+            tp += 1
+        elif pred_same and r.same_entity == 0:
+            fp += 1
+        elif not pred_same and r.same_entity == 1:
+            fn += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "precision": precision, "recall": recall, "f1": f1}

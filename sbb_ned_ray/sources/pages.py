@@ -1,0 +1,45 @@
+"""Sources: Parquet readers for the web-page table and the KB.
+
+Replaces the reference's Flask JSON ingest (``webapp/app.py:293-386``)
+and startup SQLite reads (``webapp/app.py:115-129``): the input is a
+Parquet ``pages`` table with the input-hint shape ``(url, warc_ts, html,
+text, lang)`` read as a streaming Dataset, and the KB is a small Parquet
+table broadcast via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+
+def read_pages(pages_dir: str, columns: list[str] | None = None,
+               langs: tuple[str, ...] | None = None) -> ray.data.Dataset:
+    """Streaming read of the pages table, pruning columns at the read."""
+    path = pages_dir
+    if os.path.isdir(os.path.join(pages_dir, "pages")):
+        path = os.path.join(pages_dir, "pages")
+    ds = ray.data.read_parquet(path, columns=columns)
+    if langs:
+        value_set = pa.array(sorted(set(langs)))
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["lang"], value_set=value_set)),
+            batch_format="pyarrow")
+    return ds
+
+
+def read_kb_table(fixture_dir: str):
+    """Driver-side read of the (small) KB entities table as pyarrow."""
+    return pq.read_table(os.path.join(fixture_dir, "kb_entities.parquet"))
+
+
+def read_gt_mentions(fixture_dir: str):
+    return pq.read_table(os.path.join(fixture_dir, "mentions_gt.parquet"))
+
+
+def read_gt_pairs(fixture_dir: str):
+    return pq.read_table(os.path.join(fixture_dir, "mention_pairs_gt.parquet"))

@@ -1,0 +1,152 @@
+"""Stage: candidate generation (blocking) — actor-pool ``map_batches``.
+
+Reproduces the reference's per-mention candidate retrieval
+(``index.py:652-719`` ``best_matches`` + ranking sort ``index.py:200-205``)
+against the broadcast :class:`AliasIndex` instead of a per-process Annoy
+index:
+
+* per surface part: exact + MinHash-LSH fuzzy probe at anagram angular
+  distance < ``max_dist``, frequency stoplist for short parts
+  (``index.py:669-674``);
+* per-mention aggregation over all part hits (all hits for one mention
+  are co-located in the actor → NO shuffle):
+  ``match_uniqueness = Σ_parts(total_hits / hits_of_part) · |matched|``,
+  ``match_coverage = len(title) / Σ len(part)``, dist summarized by max;
+* ranking sort ``[match_uniqueness↓, dist↑, proba↓, match_coverage↑,
+  len_guessed↑]`` then ``head(max_candidates)``.
+
+Scale note: for a KB too large to broadcast, swap this stage for the
+co-shuffle path: ``flat_map`` mentions to (block_key, …) rows, union
+with KB alias rows, ``groupby(block_key)`` and emit candidates per
+group, salting keys whose frequency exceeds the stoplist bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.functions.normalization import filter_surface, normalize_chars
+from sbb_ned_ray.state.alias_index import AliasIndex
+
+CANDIDATE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("mention_id", pa.string()),
+    ("surface", pa.string()),
+    ("type", pa.string()),
+    ("sent_tokens", pa.list_(pa.string())),
+    ("cand_entity", pa.int64()),
+    ("candidate_title", pa.string()),
+    ("qid", pa.string()),
+    ("dist", pa.float64()),
+    ("match_uniqueness", pa.float64()),
+    ("match_coverage", pa.float64()),
+    ("proba", pa.float64()),
+    ("rank", pa.int32()),
+])
+
+
+def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
+                    config: PipelineConfig):
+    """best_matches aggregation + ranking over (entity, part, dist) hits.
+
+    Returns list of (entity_id, dist, match_uniqueness, match_coverage,
+    proba, rank) sorted per the reference sort keys.
+    """
+    if not hits:
+        return []
+    total_hits = float(len(hits))
+    part_hit_count: dict[str, int] = {}
+    for _, part, _ in hits:
+        part_hit_count[part] = part_hit_count.get(part, 0) + 1
+
+    per_entity: dict[int, dict[str, float]] = {}
+    for eid, part, dist in hits:
+        d = per_entity.setdefault(eid, {})
+        if part not in d or dist < d[part]:
+            d[part] = dist
+
+    rows = []
+    for eid, parts in per_entity.items():
+        uniq = sum(total_hits / part_hit_count[p] for p in parts) * len(parts)
+        coverage = float(len(index.titles[eid])) / max(
+            1, sum(len(p) for p in parts))
+        dist = max(parts.values())
+        rows.append((eid, dist, uniq, coverage,
+                     float(index.probas[eid]), len(index.titles[eid])))
+    # sort: match_uniqueness desc, dist asc, proba desc, match_coverage asc,
+    # len_guessed asc (index.py:200-205); entity id as final stable tiebreak
+    rows.sort(key=lambda r: (-r[2], r[1], -r[4], r[3], r[5], r[0]))
+    out = []
+    for rank, (eid, dist, uniq, cov, proba, _len) in enumerate(
+            rows[: config.max_candidates]):
+        out.append((eid, dist, uniq, cov, proba, rank))
+    return out
+
+
+def generate_candidates_for_surface(surface: str, index: AliasIndex,
+                                    config: PipelineConfig):
+    """Per-mention probe: parts → ANN-style hits → ranked candidates."""
+    parts = filter_surface(normalize_chars(surface))
+    hits: list[tuple[int, str, float]] = []
+    for part in parts:
+        ents, dists = index.probe_part(part, config.max_dist)
+        for e, d in zip(ents, dists):
+            hits.append((int(e), part, float(d)))
+    return rank_candidates(hits, index, config)
+
+
+class CandidateGenerator:
+    """Actor-pool stage: AliasIndex fetched once per actor in __init__."""
+
+    def __init__(self, index_ref, config: PipelineConfig | None = None):
+        import ray
+        self.index: AliasIndex = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef)
+            else index_ref)
+        self.config = config or PipelineConfig()
+        self._cache: dict[str, list] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        cfg = self.config
+        cols = {k: [] for k in CANDIDATE_SCHEMA.names}
+        for url, mid, surface, mtype, toks in zip(
+                batch["url"].to_pylist(), batch["mention_id"].to_pylist(),
+                batch["surface"].to_pylist(), batch["type"].to_pylist(),
+                batch["sent_tokens"].to_pylist()):
+            ranked = self._cache.get(surface)
+            if ranked is None:
+                ranked = generate_candidates_for_surface(surface, idx, cfg)
+                if len(self._cache) > 100_000:
+                    self._cache.clear()
+                self._cache[surface] = ranked
+            for (eid, dist, uniq, cov, proba, rank) in ranked:
+                cols["url"].append(url)
+                cols["mention_id"].append(mid)
+                cols["surface"].append(surface)
+                cols["type"].append(mtype)
+                cols["sent_tokens"].append(toks)
+                cols["cand_entity"].append(eid)
+                cols["candidate_title"].append(idx.titles[eid])
+                cols["qid"].append(idx.qids[eid])
+                cols["dist"].append(dist)
+                cols["match_uniqueness"].append(uniq)
+                cols["match_coverage"].append(cov)
+                cols["proba"].append(proba)
+                cols["rank"].append(rank)
+        return pa.table(
+            {name: pa.array(cols[name], CANDIDATE_SCHEMA.field(name).type)
+             for name in CANDIDATE_SCHEMA.names})
+
+
+def generate_candidates(mentions_ds, index_ref,
+                        config: PipelineConfig | None = None,
+                        batch_size: int = 1024, concurrency=None):
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return mentions_ds.map_batches(
+        CandidateGenerator, fn_constructor_args=(index_ref, config),
+        batch_format="pyarrow", batch_size=batch_size, **kwargs)

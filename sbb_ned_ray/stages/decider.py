@@ -1,0 +1,199 @@
+"""Stage: per-mention decision.
+
+Reference: a RandomForest "decider" aggregates per-candidate statistics
+of the pair scores into a final linking probability
+(``models/decider.py:82-167`` features, ``14-79`` decision), with
+``quantiles = linspace(0.1, 1, 10)`` and
+``rank_intervalls = linspace(0.001, 0.1, 100)``
+(``classifier_decider_queue.py:125-126``).  Decision rule
+(``decider.py:46-50``): keep candidates with ``proba_1 ≥ threshold`` OR
+an exact surface match, sort ``[proba_1 desc, case_rank_min asc]``.
+
+Ray-Data realization — two paths:
+
+* **Flagship path** (scale): partial per-(mention, candidate) combine
+  inside ``map_batches`` (max/cnt/sum/min-rank of scores — narrow rows,
+  token lists already dropped), then ONE ``groupby(mention_key)``
+  shuffle and a tiny ``map_groups`` decision.  ``proba_1 = max p1`` —
+  identical to the stub cross-encoder's calibration, so no model
+  artifact is needed.
+* **Feature-parity path**: :func:`decider_features` reproduces the full
+  case/overall/diff statistics + ``among_top`` rank-interval features
+  for a (trained, pluggable) sklearn-style decider — used by the eval
+  harness / training jobs and unit-tested against golden fixtures.
+
+The ``groupby(mention_key)`` replaces the reference's sentinel-based
+per-entity gather (``ned_lookup.py:425-438``); mentions whose candidates
+were all filtered out simply have no rows (the reference emits ``{}``,
+``decider.py:33-37`` — same downstream meaning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.functions.normalization import normalized_surface_key
+
+QUANTILES = np.linspace(0.1, 1, 10)
+RANK_INTERVALLS = np.linspace(0.001, 0.1, 100)
+
+LINK_SCHEMA = pa.schema([
+    ("mention_key", pa.string()),
+    ("url", pa.string()),
+    ("mention_id", pa.string()),
+    ("surface", pa.string()),
+    ("candidate_title", pa.string()),
+    ("qid", pa.string()),
+    ("proba_1", pa.float64()),
+    ("n_pairs", pa.int64()),
+    ("out_rank", pa.int32()),
+])
+
+
+def add_mention_key(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    key = pc.binary_join_element_wise(batch["url"], batch["mention_id"], "\x1f")
+    return batch.append_column("mention_key", key)
+
+
+def partial_candidate_agg(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse scored pairs to per-(mention,candidate)
+    partials BEFORE the shuffle (pre-aggregation, SURVEY.md §4 skew row)."""
+    df = batch.select(["mention_key", "url", "mention_id", "surface",
+                       "candidate_title", "qid", "rank", "proba",
+                       "p1", "score"]).to_pandas()
+    g = df.groupby(["mention_key", "candidate_title"], sort=False)
+    out = g.agg(
+        url=("url", "first"), mention_id=("mention_id", "first"),
+        surface=("surface", "first"), qid=("qid", "first"),
+        rank=("rank", "first"), proba=("proba", "first"),
+        p1_max=("p1", "max"), score_sum=("score", "sum"),
+        n_pairs=("p1", "size")).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _decide_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One mention's candidate partials → ranked accepted links."""
+    # merge partials that crossed batch boundaries
+    g = group.groupby("candidate_title", sort=False).agg(
+        url=("url", "first"), mention_id=("mention_id", "first"),
+        surface=("surface", "first"), qid=("qid", "first"),
+        rank=("rank", "min"), proba=("proba", "first"),
+        p1_max=("p1_max", "max"), score_sum=("score_sum", "sum"),
+        n_pairs=("n_pairs", "sum")).reset_index()
+    g["proba_1"] = g["p1_max"]
+    surf_keys = g["surface"].map(normalized_surface_key)
+    title_keys = g["candidate_title"].map(
+        lambda t: normalized_surface_key(t.replace("_", " ")))
+    keep = (g["proba_1"] >= threshold) | (surf_keys == title_keys)
+    g = g[keep]
+    if g.empty:
+        return pd.DataFrame(columns=[f.name for f in LINK_SCHEMA])
+    g = g.sort_values(["proba_1", "rank", "candidate_title"],
+                      ascending=[False, True, True]).reset_index(drop=True)
+    g["out_rank"] = np.arange(len(g), dtype=np.int32)
+    g["mention_key"] = group["mention_key"].iloc[0]
+    return g[[f.name for f in LINK_SCHEMA]]
+
+
+def decide_from_partials(partials_ds, config: PipelineConfig | None = None):
+    """per-(mention,candidate) partials → ranked links
+    (THE shuffle: groupby(mention_key))."""
+    cfg = config or PipelineConfig()
+    threshold = cfg.threshold
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return _decide_group(g, threshold)
+
+    return partials_ds.groupby("mention_key").map_groups(
+        group_fn, batch_format="pandas")
+
+
+def decide(scored_pairs_ds, config: PipelineConfig | None = None):
+    """scored pairs → per-mention ranked links (one shuffle on mention_key)."""
+    partials = (scored_pairs_ds
+                .map_batches(add_mention_key, batch_format="pyarrow")
+                .map_batches(partial_candidate_agg, batch_format="pyarrow"))
+    return decide_from_partials(partials, config)
+
+
+def top_links(links_ds):
+    """rank-0 rows only: the per-mention decision."""
+    import pyarrow.compute as pc
+    return links_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["out_rank"], 0)),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Feature-parity path (training / eval; reference decider.py:82-167)
+# ---------------------------------------------------------------------------
+
+_STAT_FUNCS = ("min", "max", "mean", "std", "median")
+
+
+def _stats_block(df: pd.DataFrame, prefix: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for col in df.columns:
+        s = df[col]
+        out[f"{prefix}_{col}_min"] = float(s.min()) if len(s) else np.nan
+        out[f"{prefix}_{col}_max"] = float(s.max()) if len(s) else np.nan
+        out[f"{prefix}_{col}_mean"] = float(s.mean()) if len(s) else np.nan
+        out[f"{prefix}_{col}_std"] = float(s.std()) if len(s) else np.nan
+        out[f"{prefix}_{col}_median"] = float(s.median()) if len(s) else np.nan
+        if len(s):
+            qs = s.quantile(q=QUANTILES)
+            for q, v in zip(QUANTILES, qs):
+                out[f"{prefix}_{col}_q{q:.1f}"] = float(v)
+        else:
+            for q in QUANTILES:
+                out[f"{prefix}_{col}_q{q:.1f}"] = np.nan
+    return out
+
+
+def decider_features(decision: pd.DataFrame, candidates: pd.DataFrame,
+                     quantiles=QUANTILES, rank_intervalls=RANK_INTERVALLS
+                     ) -> pd.DataFrame:
+    """Per-candidate feature rows for one mention.
+
+    ``decision``: pair-level frame with at least [guessed_title, scores];
+    ``candidates``: candidate-level frame with [guessed_title, + numeric
+    metadata].  Reproduces the semantics of reference
+    ``models/decider.py:82-167``: case/overall/diff stats over numeric
+    columns + ``among_top`` cumulative-rank features.
+    """
+    if decision is None or len(decision) == 0:
+        return pd.DataFrame()
+    cand = candidates.copy()
+    if "surface" in cand.columns:
+        cand = cand.drop(columns=["surface"])
+    n = len(cand)
+    cand = cand.reset_index(drop=True)
+    cand["rank"] = [r / (n - 1 if n > 1 else 1) for r in range(n)]
+    dec = decision.sort_values("scores", ascending=False).reset_index(drop=True)
+    use_cols = [c for c in cand.columns
+                if c == "guessed_title" or c not in dec.columns]
+    dec = dec.merge(cand[use_cols], on="guessed_title")
+
+    rows = []
+    numeric = dec.select_dtypes(exclude=["object"])
+    for title, part in dec.groupby("guessed_title", sort=True):
+        other = numeric.loc[dec.guessed_title != title]
+        case = _stats_block(part.select_dtypes(exclude=["object"]), "case")
+        overall = _stats_block(other, "overall")
+        diff = {("diff" + k[len("case"):]): case[k] - overall["overall" + k[len("case"):]]
+                for k in case}
+        occur = (dec.guessed_title == title)
+        cum = occur.cumsum() / max(1, occur.sum())
+        pos = np.array([p / (len(cum) - 1 if len(cum) > 1 else 1)
+                        for p in range(len(cum))])
+        among = {}
+        for p in rank_intervalls:
+            mask = pos < p
+            among[f"among_top_{p}"] = float(cum[mask].max()) if mask.any() else np.nan
+        row = {**case, **overall, **diff, **among, "guessed_title": title}
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -1,0 +1,258 @@
+"""Deduplication operators over a documents table (doc_id, text, …).
+
+Large-scale training-data pipeline components (first-class per the
+build brief; the reference's own dedup is only local
+``drop_duplicates``, SURVEY.md §2.7 — these generalize it to corpus
+scale):
+
+* :func:`exact_dedup` — content-hash → hash-partitioned first-writer-wins.
+  One shuffle on the hash; pre-grouped per batch so the shuffle carries
+  one row per (batch, hash).
+* :func:`minhash_lsh_dedup` — shingle → MinHash → band keys →
+  ``groupby(band)`` candidate pairs → Jaccard verify → connected
+  components → keep cluster representative.
+* :func:`simhash_dedup` — 64-bit SimHash, bucket by rotated prefixes,
+  Hamming-verify within buckets.
+* :func:`ngram_jaccard_pairs` — exact n-gram Jaccard verification for a
+  candidate pair list (used as the verify stage of the LSH path).
+* :func:`embedding_dedup` — cosine near-dup over an embeddings table
+  (brute-force within LSH-ish buckets from sign-random-projections).
+
+All ids/hashes are content-derived (stable across processes/partitions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from sbb_ned_ray.functions.hashing import (
+    MinHasher,
+    char_ngrams,
+    hamming64,
+    simhash64,
+    stable_hash_hex,
+)
+from sbb_ned_ray.functions.textstats import tokenize_ws
+from sbb_ned_ray.stages.cluster import driver_union_find
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    hashes = pa.array([stable_hash_hex(t) for t in texts], pa.string())
+    return batch.append_column("content_hash", hashes)
+
+
+def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    """Keep the min-id row per identical text. Returns (content_hash,
+    keep_id, n_dups) — a groupby shuffle over narrow (hash, id) rows with
+    a per-batch combiner first."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = add_content_hash(batch, text_col)
+        df = t.select(["content_hash", id_col]).to_pandas()
+        g = df.groupby("content_hash", sort=False)[id_col].agg(["min", "size"])
+        g = g.reset_index()
+        g.columns = ["content_hash", "keep_id", "n_dups"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("content_hash").aggregate(
+        ray.data.aggregate.Min("keep_id", alias_name="keep_id"),
+        ray.data.aggregate.Sum("n_dups", alias_name="n_dups"),
+    )
+    return agg
+
+
+def minhash_signatures(docs: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       ngram: int = 5, seed: int = 42) -> ray.data.Dataset:
+    """doc → (doc_id, sig:list<uint64>) one row per doc."""
+    class Signer:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, seed=seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            sigs = [self.mh.signature(char_ngrams(t.lower(), ngram)).tolist()
+                    for t in batch[text_col].to_pylist()]
+            return pa.table({
+                id_col: pa.array(ids),
+                "sig": pa.array(sigs, pa.list_(pa.uint64())),
+            })
+    return docs.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, ngram: int = 5,
+                      jaccard_threshold: float = 0.8, seed: int = 42,
+                      max_pairs_per_bucket: int = 1000) -> pd.DataFrame:
+    """Near-dup clusters: returns DataFrame (doc_id, cluster_id) for docs
+    in near-dup clusters (cluster_id = min doc_id of cluster).
+
+    Pipeline: sign per batch → flat_map to (band_key, doc_id, sig) →
+    groupby(band_key) → candidate pairs (capped per bucket — skew guard)
+    → MinHash-estimate verify ≥ threshold → union-find on the driver
+    (candidate-pair set is small relative to corpus by construction).
+    """
+    class BandRows:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, seed=seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_band, out_id, out_sig = [], [], []
+            for did, text in zip(batch[id_col].to_pylist(),
+                                 batch[text_col].to_pylist()):
+                sig = self.mh.signature(char_ngrams(text.lower(), ngram))
+                for bk in self.mh.band_keys(sig, bands):
+                    out_band.append(bk)
+                    out_id.append(did)
+                    out_sig.append(sig.tolist())
+            return pa.table({
+                "band_key": pa.array(out_band, pa.uint64()),
+                id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+            })
+
+    band_rows = docs.map_batches(BandRows, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        sigs = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
+        rows = []
+        budget = max_pairs_per_bucket
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if budget <= 0:
+                    break
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= jaccard_threshold:
+                    rows.append((ids[i], ids[j], est))
+                    budget -= 1
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]) \
+            if rows else pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")})
+
+    pairs = band_rows.groupby("band_key").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
+    comp = driver_union_find(
+        [(str(a), str(b)) for a, b in zip(pairs.id_a, pairs.id_b)])
+    if not comp:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    groups: dict[str, list[int]] = {}
+    for n, r in comp.items():
+        groups.setdefault(r, []).append(int(n))
+    rows = []
+    for members in groups.values():
+        rep = min(members)
+        rows.extend((m, rep) for m in members)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_dedup(docs: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  prefix_bits: int = 16) -> pd.DataFrame:
+    """SimHash near-dup pairs: bucket by 4 rotated 16-bit prefixes (any
+    pair within Hamming ≤ 3 of a 64-bit hash shares at least one of 4
+    disjoint 16-bit blocks exactly — pigeonhole), verify Hamming in-bucket."""
+    def sim_rows(batch: pa.Table) -> pa.Table:
+        out_b, out_id, out_h = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            h = simhash64(tokenize_ws(text.lower()))
+            for blk in range(4):
+                key = (blk << 16) | ((h >> (blk * 16)) & 0xFFFF)
+                out_b.append(key)
+                out_id.append(did)
+                out_h.append(h)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         id_col: pa.array(out_id),
+                         "simhash": pa.array(out_h, pa.uint64())})
+
+    rows = docs.map_batches(sim_rows, batch_format="pyarrow")
+
+    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        hs = g["simhash"].tolist()
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(hs[i]), int(hs[j]))
+                if d <= max_hamming:
+                    out.append((ids[i], ids[j], d))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]) \
+            if out else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                      "id_b": pd.Series(dtype="int64"),
+                                      "hamming": pd.Series(dtype="int64")})
+
+    pairs = rows.groupby("bucket").map_groups(
+        bucket_verify, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
+    a = set(char_ngrams(text_a.lower(), n))
+    b = set(char_ngrams(text_b.lower(), n))
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def embedding_dedup(emb: ray.data.Dataset, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    cos_threshold: float = 0.95,
+                    n_projections: int = 12, seed: int = 42) -> pd.DataFrame:
+    """Embedding-cosine near-dup: sign-random-projection buckets (SimHash
+    for vectors), exact cosine verify within buckets.  Returns pairs
+    (id_a, id_b, cosine ≥ threshold)."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        dim = vecs.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_projections)).astype(np.float32)
+        signs = (vecs @ planes) > 0
+        keys = np.zeros(len(ids), dtype=np.int64)
+        for b in range(n_projections):
+            keys |= signs[:, b].astype(np.int64) << b
+        return pa.table({"bucket": pa.array(keys, pa.int64()),
+                         id_col: pa.array(ids),
+                         vec_col: batch[vec_col]})
+
+    rows = emb.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        vecs = np.array([np.asarray(v, dtype=np.float32) for v in g[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        cos = unit @ unit.T
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos[i, j] >= cos_threshold:
+                    out.append((ids[i], ids[j], round(float(cos[i, j]), 6)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]) \
+            if out else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                      "id_b": pd.Series(dtype="int64"),
+                                      "cosine": pd.Series(dtype="float64")})
+
+    pairs = rows.groupby("bucket").map_groups(
+        verify, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)

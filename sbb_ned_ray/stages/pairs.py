@@ -1,0 +1,200 @@
+"""Stage: sentence-pair building + cross-encoder feature windowing.
+
+Replaces the reference's per-candidate SQLite sentence lookup + pair
+generation (``models/sentence_lookup.py:29-136``) and the BERT feature
+window construction (``ground_truth/data_processor.py:506-601``):
+
+* evidence sentences per candidate come from the broadcast KB
+  (``context_tokens`` + label) — deterministic stand-in for the
+  ``<lang>-ned.sqlite`` sentence KB;
+* pair budget per (mention, candidate):
+  ``use_found = ceil(sqrt(max_pairs))`` query sentences ×
+  ``limit = max_pairs // use_found`` evidence sentences
+  (``sentence_lookup.py:25-31`` semantics, MAX_PAIRS default 50);
+* :func:`build_pair_window` grows a token window symmetrically around
+  BOTH entity spans until ``max_seq_len`` is filled, emitting segment
+  ids that mark entity tokens (``data_processor.py:506-601``,
+  ``mark_entities`` mode).
+
+Stateless apart from the broadcast index → actor pool (index in
+``__init__``), Arrow in/out, no shuffle (pairs stay mention-local).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.state.alias_index import AliasIndex, normalize_token
+
+PAIR_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("mention_id", pa.string()),
+    ("surface", pa.string()),
+    ("cand_entity", pa.int64()),
+    ("candidate_title", pa.string()),
+    ("qid", pa.string()),
+    ("rank", pa.int32()),
+    ("proba", pa.float64()),
+    ("pair_no", pa.int32()),
+    ("tok_a", pa.list_(pa.string())),
+    ("pos_a", pa.int32()),
+    ("end_a", pa.int32()),
+    ("tok_b", pa.list_(pa.string())),
+    ("pos_b", pa.int32()),
+    ("end_b", pa.int32()),
+])
+
+
+def evidence_sentences(index: AliasIndex, eid: int,
+                       n_windows: int = 5, window: int = 6):
+    """Deterministic evidence sentences for one KB entity.
+
+    Each sentence = label tokens + a sliding slice of the entity's
+    context vocabulary; the union of slices covers the whole vocabulary
+    (so at least one pair shares context with a true mention).  Entity
+    span = the label tokens at the front.
+    """
+    label_toks = [normalize_token(t) for t in index.labels[eid].split(" ")]
+    label_toks = [t for t in label_toks if t]
+    ctx = index.context_tokens[eid]
+    out = []
+    if not ctx:
+        return [(label_toks, 0, len(label_toks))]
+    step = max(1, (len(ctx) - window) // max(1, n_windows - 1)) \
+        if len(ctx) > window else 1
+    starts = list(range(0, max(1, len(ctx) - window + 1), step))[:n_windows]
+    if not starts:
+        starts = [0]
+    for s in starts:
+        toks = label_toks + ctx[s:s + window]
+        out.append((toks, 0, len(label_toks)))
+    return out
+
+
+def locate_entity(tokens: list[str], target: list[str]) -> tuple[int, int]:
+    """Longest contiguous run of ``target`` inside ``tokens`` → (pos, end).
+
+    Semantics of reference ``models/sentence_lookup.py:56-84``
+    (``locate_entities``); returns (0, 0) when absent.
+    """
+    n, m = len(tokens), len(target)
+    best = (0, 0)
+    for i in range(n):
+        j = 0
+        while j < m and i + j < n and tokens[i + j] == target[j]:
+            j += 1
+        if j > best[1] - best[0]:
+            best = (i, i + j)
+    return best
+
+
+def build_pair_window(tok_a, pos_a, end_a, tok_b, pos_b, end_b,
+                      max_seq_len: int = 128):
+    """Symmetric window growth around both entity spans
+    (data_processor.py:506-601 semantics).
+
+    Returns (win_a, new_pos_a, new_end_a, win_b, new_pos_b, new_end_b,
+    segment_marks) where segment_marks is a 0/1/2 list over the packed
+    sequence [win_a + win_b] with 2 marking entity tokens.
+    """
+    budget = max_seq_len - 3  # virtual [CLS]/[SEP]/[SEP]
+    la, lb = end_a - pos_a, end_b - pos_b
+    lo_a, hi_a, lo_b, hi_b = pos_a, end_a, pos_b, end_b
+    used = la + lb
+    # grow alternately: a-left, a-right, b-left, b-right
+    progress = True
+    while used < budget and progress:
+        progress = False
+        if lo_a > 0 and used < budget:
+            lo_a -= 1; used += 1; progress = True
+        if hi_a < len(tok_a) and used < budget:
+            hi_a += 1; used += 1; progress = True
+        if lo_b > 0 and used < budget:
+            lo_b -= 1; used += 1; progress = True
+        if hi_b < len(tok_b) and used < budget:
+            hi_b += 1; used += 1; progress = True
+    win_a = tok_a[lo_a:hi_a]
+    win_b = tok_b[lo_b:hi_b]
+    na, ea = pos_a - lo_a, end_a - lo_a
+    nb, eb = pos_b - lo_b, end_b - lo_b
+    marks = []
+    for i in range(len(win_a)):
+        marks.append(2 if na <= i < ea else 0)
+    for i in range(len(win_b)):
+        marks.append(2 if nb <= i < eb else 1)
+    return win_a, na, ea, win_b, nb, eb, marks
+
+
+class PairBuilder:
+    """candidates → sentence pairs (actor-pool stage, broadcast index)."""
+
+    def __init__(self, index_ref, config: PipelineConfig | None = None):
+        import ray
+        self.index: AliasIndex = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef)
+            else index_ref)
+        self.config = config or PipelineConfig()
+        self._evidence_cache: dict[int, list] = {}
+
+    def evidence(self, eid: int):
+        ev = self._evidence_cache.get(eid)
+        if ev is None:
+            ev = evidence_sentences(self.index, eid)
+            self._evidence_cache[eid] = ev
+        return ev
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        use_found = math.ceil(math.sqrt(cfg.max_pairs))
+        limit = max(1, cfg.max_pairs // use_found)
+        cols = {k: [] for k in PAIR_SCHEMA.names}
+        surf_toks_cache: dict[str, list[str]] = {}
+        for i in range(batch.num_rows):
+            row = {name: batch[name][i].as_py()
+                   for name in ("url", "mention_id", "surface", "cand_entity",
+                                "candidate_title", "qid", "rank", "proba",
+                                "sent_tokens")}
+            surface = row["surface"]
+            st = surf_toks_cache.get(surface)
+            if st is None:
+                st = [normalize_token(t) for t in surface.split(" ")]
+                st = [t for t in st if t]
+                surf_toks_cache[surface] = st
+            tok_a = row["sent_tokens"]
+            pos_a, end_a = locate_entity(tok_a, st)
+            # query sentences: we carry one sentence per mention occurrence;
+            # budget caps evidence sentences per candidate at `limit`
+            ev = self.evidence(int(row["cand_entity"]))[:limit * use_found]
+            for pair_no, (tok_b, pos_b, end_b) in enumerate(ev[:limit]):
+                cols["url"].append(row["url"])
+                cols["mention_id"].append(row["mention_id"])
+                cols["surface"].append(surface)
+                cols["cand_entity"].append(row["cand_entity"])
+                cols["candidate_title"].append(row["candidate_title"])
+                cols["qid"].append(row["qid"])
+                cols["rank"].append(row["rank"])
+                cols["proba"].append(row["proba"])
+                cols["pair_no"].append(pair_no)
+                cols["tok_a"].append(tok_a)
+                cols["pos_a"].append(pos_a)
+                cols["end_a"].append(end_a)
+                cols["tok_b"].append(tok_b)
+                cols["pos_b"].append(pos_b)
+                cols["end_b"].append(end_b)
+        return pa.table(
+            {name: pa.array(cols[name], PAIR_SCHEMA.field(name).type)
+             for name in PAIR_SCHEMA.names})
+
+
+def build_pairs(candidates_ds, index_ref,
+                config: PipelineConfig | None = None,
+                batch_size: int = 2048, concurrency=None):
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return candidates_ds.map_batches(
+        PairBuilder, fn_constructor_args=(index_ref, config),
+        batch_format="pyarrow", batch_size=batch_size, **kwargs)

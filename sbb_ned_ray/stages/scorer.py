@@ -1,0 +1,81 @@
+"""Stage: sentence-pair cross-encoder scoring (actor-pool stage).
+
+The reference scores (query-sentence, candidate-sentence) pairs with a
+BERT sentence-pair cross-encoder on GPU
+(``models/classifier_decider_queue.py:37-104``, model forward
+``models/bert.py:307-326``), emitting softmax probs ``p0/p1`` and
+``score = log(p1/p0)``.
+
+Here the scorer is a pluggable actor class behind one interface; the
+default :class:`DeterministicOverlapScorer` is a deterministic
+CPU-only stand-in (SURVEY.md §7.2 step 5) measuring entity-context
+token overlap + surface agreement, calibrated through a logistic so
+downstream semantics (log-odds scores, decider statistics, thresholds)
+are identical to a real model's.  A real BERT adapter implements the
+same ``score_batch`` and is passed ``num_gpus`` via
+``map_batches(Cls, concurrency=N, num_gpus=1, batch_size=B)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.functions.normalization import normalized_surface_key
+
+
+class DeterministicOverlapScorer:
+    """score_batch over pair rows; loads nothing, but keeps the actor
+    shape (state init once, batched __call__)."""
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+
+    @staticmethod
+    def _pair_raw_score(tok_a, pos_a, end_a, tok_b, pos_b, end_b) -> float:
+        span_a = tok_a[pos_a:end_a]
+        span_b = tok_b[pos_b:end_b]
+        # context overlap: query tokens ∩ candidate evidence context
+        # (evidence tokens after the entity span)
+        ctx_b = set(tok_b[end_b:]) | set(tok_b[:pos_b])
+        ov = len(set(tok_a) & ctx_b)
+        key_a = normalized_surface_key(" ".join(span_a))
+        key_b = normalized_surface_key(" ".join(span_b))
+        surf_sim = 1.0 if key_a and key_a == key_b else 0.0
+        return 4.0 * min(ov, 3) - 2.0 + 0.25 * surf_sim
+
+    def score_batch(self, tok_a, pos_a, end_a, tok_b, pos_b, end_b):
+        raw = np.array([
+            self._pair_raw_score(a, p, e, b, p2, e2)
+            for a, p, e, b, p2, e2 in
+            zip(tok_a, pos_a, end_a, tok_b, pos_b, end_b)
+        ], dtype=np.float64)
+        p1 = 1.0 / (1.0 + np.exp(-raw))
+        return 1.0 - p1, p1, raw  # p0, p1, score = log(p1/p0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p0, p1, score = self.score_batch(
+            batch["tok_a"].to_pylist(), batch["pos_a"].to_pylist(),
+            batch["end_a"].to_pylist(), batch["tok_b"].to_pylist(),
+            batch["pos_b"].to_pylist(), batch["end_b"].to_pylist())
+        batch = batch.append_column("p0", pa.array(p0, pa.float64()))
+        batch = batch.append_column("p1", pa.array(p1, pa.float64()))
+        batch = batch.append_column("score", pa.array(score, pa.float64()))
+        # token payloads are no longer needed downstream — drop them BEFORE
+        # the decider shuffle so the groupby moves narrow rows only
+        return batch.drop_columns(["tok_a", "tok_b", "pos_a", "end_a",
+                                   "pos_b", "end_b"])
+
+
+def score_pairs(pairs_ds, config: PipelineConfig | None = None,
+                scorer_cls=DeterministicOverlapScorer, concurrency=None,
+                batch_size: int | None = None, **ray_remote_kwargs):
+    cfg = config or PipelineConfig()
+    kwargs = dict(ray_remote_kwargs)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return pairs_ds.map_batches(
+        scorer_cls, fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=batch_size or cfg.scorer_batch_size, **kwargs)

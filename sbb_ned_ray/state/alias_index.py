@@ -1,0 +1,176 @@
+"""AliasIndex — the broadcast blocking-side state.
+
+Ray-Data-first replacement for the reference's per-process Annoy index +
+mapping + frequency stoplist (``index.py:623-649`` load, ``index.py:373-394``
+per-process ``initializer``): one picklable object built ONCE on the
+driver from the KB entities table, shipped to every actor via
+``ray.put`` and read zero-copy from the object store in each actor's
+``__init__`` — never re-shipped per batch.
+
+Contents:
+* ``alias_exact``     normalized-surface key → entity ids (equi-blocking)
+* ``part_*``          unique alias parts, their anagram vectors, the
+                      part → entities postings and part frequencies
+                      (the frequency stoplist of ``index.py:640-645,669-674``)
+* ``band_to_parts``   char-n-gram MinHash-LSH band key → part ids — the
+                      fuzzy probe standing in for the Annoy ANN lookup
+* ``token_seqs``      normalized alias token tuples for the gazetteer
+                      mention detector.
+
+Scale note (100 TB input): this index scales with the **KB**, not the
+input; for a Wikidata-size KB (~10⁸ aliases) it shards by
+``hash(first_token)`` into per-actor shards, or candidate generation
+switches to the co-shuffle path (``groupby(block_key)`` of mentions ∪
+alias rows) — the pipeline builder chooses by KB size.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.functions.hashing import MinHasher, char_ngrams
+from sbb_ned_ray.functions.normalization import (
+    anagram_matrix,
+    filter_surface,
+    normalize_chars,
+)
+
+
+def normalize_token(tok: str) -> str:
+    """Per-token canonical form used by both the gazetteer trie and the
+    mention detector: char-normalize → lowercase → strip non-word chars,
+    keeping the OCR hyphen mark ``¬`` as its own token."""
+    t = normalize_chars(tok).lower()
+    if t == "¬":
+        return t
+    return "".join(c for c in t if c.isalnum())
+
+
+class AliasIndex:
+    def __init__(self, kb: pa.Table, config: PipelineConfig | None = None):
+        config = config or PipelineConfig()
+        self.config = config
+        self.titles = kb["page_title"].to_pylist()
+        self.qids = kb["qid"].to_pylist()
+        self.types = kb["type"].to_pylist()
+        self.labels = kb["label"].to_pylist()
+        self.probas = np.asarray(kb["proba"].to_pylist(), dtype=np.float64)
+        self.context_tokens = kb["context_tokens"].to_pylist()
+        aliases = kb["aliases"].to_pylist()
+
+        self.alias_exact: dict[str, list[int]] = {}
+        part_to_id: dict[str, int] = {}
+        part_entities: dict[int, set[int]] = {}
+        token_seqs: dict[tuple, list[int]] = {}
+
+        for eid, alias_list in enumerate(aliases):
+            for alias in alias_list:
+                parts = filter_surface(normalize_chars(alias))
+                if not parts:
+                    continue
+                key = " ".join(parts)
+                self.alias_exact.setdefault(key, [])
+                if eid not in self.alias_exact[key]:
+                    self.alias_exact[key].append(eid)
+                for p in parts:
+                    pid = part_to_id.setdefault(p, len(part_to_id))
+                    part_entities.setdefault(pid, set()).add(eid)
+                seq = tuple(normalize_token(t) for t in alias.split(" "))
+                seq = tuple(t for t in seq if t)
+                if seq:
+                    token_seqs.setdefault(seq, [])
+                    if eid not in token_seqs[seq]:
+                        token_seqs[seq].append(eid)
+
+        self.part_to_id = part_to_id
+        self.part_list = [None] * len(part_to_id)
+        for p, pid in part_to_id.items():
+            self.part_list[pid] = p
+        self.part_entities = {pid: np.fromiter(sorted(es), dtype=np.int64)
+                              for pid, es in part_entities.items()}
+        # frequency = number of entities reachable through a part
+        # (stoplist analog of mapping.ann_index.value_counts(), index.py:641)
+        self.part_freq = np.array(
+            [len(self.part_entities[pid]) for pid in range(len(self.part_list))],
+            dtype=np.int64)
+
+        self.part_vectors = anagram_matrix(self.part_list)
+
+        # MinHash-LSH over char n-grams of each part → fuzzy probe buckets
+        self.hasher = MinHasher(num_perm=config.num_perm, seed=config.seed)
+        band_to_parts: dict[int, list[int]] = {}
+        for pid, p in enumerate(self.part_list):
+            sig = self.hasher.signature(char_ngrams(p, config.ngram_size))
+            for bk in self.hasher.band_keys(sig, config.lsh_bands):
+                band_to_parts.setdefault(bk, []).append(pid)
+        self.band_to_parts = {k: np.asarray(v, dtype=np.int64)
+                              for k, v in band_to_parts.items()}
+
+        # gazetteer structures for the mention detector
+        self.token_seqs = token_seqs
+        self.first_tokens = {seq[0] for seq in token_seqs}
+        self.max_seq_tokens = max((len(s) for s in token_seqs), default=1)
+
+        # majority type per token-seq (detector emits it; candidate gen does
+        # NOT hard-filter on it — ambiguity families may cross types)
+        self.seq_type: dict[tuple, str] = {}
+        for seq, eids in token_seqs.items():
+            c = Counter(self.types[e] for e in eids)
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            self.seq_type[seq] = top
+
+    # -- probes -------------------------------------------------------------
+
+    def probe_part(self, part: str, max_dist: float, search_k: int = 50):
+        """ANN-style probe for one surface part.
+
+        Returns (entity_ids, dists): exact part match at dist 0, plus
+        LSH-bucketed fuzzy parts at anagram angular distance < max_dist.
+        Short parts get the frequency stoplist (index.py:669-674).
+        """
+        cfg = self.config
+        cand_pids: set[int] = set()
+        pid = self.part_to_id.get(part)
+        if pid is not None:
+            cand_pids.add(pid)
+        sig = self.hasher.signature(char_ngrams(part, cfg.ngram_size))
+        for bk in self.hasher.band_keys(sig, cfg.lsh_bands):
+            hits = self.band_to_parts.get(bk)
+            if hits is not None:
+                cand_pids.update(int(h) for h in hits)
+        if not cand_pids:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        pids = np.fromiter(sorted(cand_pids), dtype=np.int64)
+        # frequency stoplist for short parts
+        if len(part) < cfg.min_part_len_for_freq:
+            pids = pids[self.part_freq[pids] <= cfg.max_frequency]
+            if pids.size == 0:
+                return np.zeros(0, dtype=np.int64), np.zeros(0)
+        from sbb_ned_ray.functions.normalization import anagram_vector
+        v = anagram_vector(part)
+        cos = self.part_vectors[pids] @ v
+        dists = np.sqrt(np.maximum(0.0, 2.0 * (1.0 - np.clip(cos, -1.0, 1.0))))
+        keep = dists < max_dist
+        pids, dists = pids[keep], dists[keep]
+        if pids.size > search_k:
+            order = np.argsort(dists, kind="stable")[:search_k]
+            pids, dists = pids[order], dists[order]
+        # expand parts → entities, keeping min dist per entity
+        ent_dist: dict[int, float] = {}
+        for p_, d_ in zip(pids, dists):
+            for e in self.part_entities[int(p_)]:
+                e = int(e)
+                if e not in ent_dist or d_ < ent_dist[e]:
+                    ent_dist[e] = float(d_)
+        if not ent_dist:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        ents = np.fromiter(sorted(ent_dist), dtype=np.int64)
+        return ents, np.array([ent_dist[int(e)] for e in ents])
+
+
+def build_alias_index(kb: pa.Table, config: PipelineConfig | None = None) -> AliasIndex:
+    return AliasIndex(kb, config)

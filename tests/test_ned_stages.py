@@ -1,0 +1,140 @@
+"""Stage-level NED tests, run locally (stage callables invoked directly
+on Arrow tables — no Ray session needed): detector recall, candidate
+recall (FIXTURES.md §7(b)), linking accuracy of the scorer+decider."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.stages.candidates import CandidateGenerator
+from sbb_ned_ray.stages.decider import _decide_group, add_mention_key, \
+    partial_candidate_agg
+from sbb_ned_ray.stages.mentions import MentionDetector, parse_ner_sentence
+from sbb_ned_ray.stages.pairs import PairBuilder, build_pair_window, \
+    locate_entity
+from sbb_ned_ray.stages.scorer import DeterministicOverlapScorer
+from sbb_ned_ray.state.alias_index import build_alias_index
+
+
+@pytest.fixture(scope="module")
+def ned_ctx(tiny_fixture_dir):
+    kb = pq.read_table(f"{tiny_fixture_dir}/kb_entities.parquet")
+    cfg = PipelineConfig()
+    index = build_alias_index(kb, cfg)
+    pages = pq.read_table(f"{tiny_fixture_dir}/pages")
+    gt = pq.read_table(f"{tiny_fixture_dir}/mentions_gt.parquet").to_pandas()
+    return {"kb": kb, "cfg": cfg, "index": index, "pages": pages, "gt": gt}
+
+
+def _detect(ned_ctx):
+    det = MentionDetector(ned_ctx["index"])
+    return det(ned_ctx["pages"]).to_pandas()
+
+
+def test_detector_finds_all_gold_mentions(ned_ctx):
+    found = _detect(ned_ctx)
+    gt = ned_ctx["gt"]
+    got = set(zip(found.url, found.sent_no, found.tok_start))
+    missing = [r for _, r in gt.iterrows()
+               if (r.url, r.sent_no, r.tok_start) not in got]
+    assert not missing, f"{len(missing)} gold mentions undetected: {missing[:3]}"
+
+
+def test_candidate_recall_is_one(ned_ctx):
+    """The gold entity must be among the generated candidates
+    (candidate recall = 1.0, FIXTURES.md §7(b))."""
+    found = _detect(ned_ctx)
+    gt = ned_ctx["gt"]
+    gen = CandidateGenerator(ned_ctx["index"], ned_ctx["cfg"])
+    import pyarrow as pa
+    cands = gen(pa.Table.from_pandas(found, preserve_index=False)).to_pandas()
+    cand_map = cands.groupby(["url", "mention_id"]).qid.apply(set)
+    merged = found.merge(gt, on=["url", "sent_no", "tok_start"],
+                         suffixes=("", "_gt"))
+    missing = 0
+    for _, r in merged.iterrows():
+        qids = cand_map.get((r.url, r.mention_id), set())
+        if r.qid not in qids:
+            missing += 1
+    assert missing == 0, f"{missing}/{len(merged)} gold entities not in candidates"
+
+
+def test_end_to_end_linking_accuracy(ned_ctx):
+    """Local run of detect → candidates → pairs → score → decide;
+    top-1 link must equal the gold qid for ≥99% of mentions."""
+    import pyarrow as pa
+    cfg = ned_ctx["cfg"]
+    found = _detect(ned_ctx)
+    gen = CandidateGenerator(ned_ctx["index"], cfg)
+    cands = gen(pa.Table.from_pandas(found, preserve_index=False))
+    pb = PairBuilder(ned_ctx["index"], cfg)
+    pairs = pb(cands)
+    scorer = DeterministicOverlapScorer(cfg)
+    scored = scorer(pairs)
+    partials = partial_candidate_agg(add_mention_key(scored)).to_pandas()
+    links = []
+    for _, g in partials.groupby("mention_key", sort=False):
+        out = _decide_group(g, cfg.threshold)
+        if len(out):
+            links.append(out.iloc[0])
+    links = pd.DataFrame(links)
+    gt = ned_ctx["gt"]
+    merged = found.merge(gt, on=["url", "sent_no", "tok_start"],
+                         suffixes=("", "_gt"))
+    gold = {(r.url, r.mention_id): r.qid for _, r in merged.iterrows()}
+    total = correct = 0
+    linked = {(r.url, r.mention_id): r.qid for _, r in links.iterrows()}
+    for k, gq in gold.items():
+        total += 1
+        if linked.get(k) == gq:
+            correct += 1
+    acc = correct / max(1, total)
+    assert acc >= 0.99, f"linking accuracy {acc:.3f} ({correct}/{total})"
+
+
+def test_parse_ner_sentence_bio_grouping():
+    toks = [
+        {"word": "Paris", "prediction": "B-PER"},
+        {"word": "Hilton", "prediction": "I-PER"},
+        {"word": "wohnt", "prediction": "O"},
+        {"word": "im", "prediction": "O"},
+        {"word": "Hilton", "prediction": "B-ORG"},
+        {"word": "Paris", "prediction": "I-ORG"},
+        {"word": "in", "prediction": "O"},
+        {"word": "Paris", "prediction": "B-LOC", "gt": "Q90"},
+        {"word": "Paſſau", "prediction": "X-BAD"},   # invalid tag → O
+    ]
+    ms = parse_ner_sentence(toks)
+    assert [(m["surface"], m["type"]) for m in ms] == [
+        ("Paris Hilton", "PER"), ("Hilton Paris", "ORG"), ("Paris", "LOC")]
+    assert ms[0]["entity_id"] == "Paris Hilton-PER"
+    assert ms[2]["gt"] == ["Q90"]
+    assert ms[2]["tok_start"] == 7 and ms[2]["tok_end"] == 8
+
+
+def test_parse_ner_type_change_splits():
+    toks = [{"word": "A", "prediction": "B-PER"},
+            {"word": "B", "prediction": "I-LOC"}]
+    ms = parse_ner_sentence(toks)
+    assert [(m["surface"], m["type"]) for m in ms] == [("A", "PER"), ("B", "LOC")]
+
+
+def test_locate_entity():
+    assert locate_entity(["a", "b", "c", "b", "c", "d"], ["b", "c", "d"]) == (3, 6)
+    assert locate_entity(["a"], ["z"]) == (0, 0)
+
+
+def test_build_pair_window_budget_and_marks():
+    tok_a = [f"a{i}" for i in range(100)]
+    tok_b = [f"b{i}" for i in range(100)]
+    wa, pa_, ea, wb, pb_, eb, marks = build_pair_window(
+        tok_a, 50, 52, tok_b, 10, 12, max_seq_len=32)
+    assert len(wa) + len(wb) <= 32 - 3
+    assert wa[pa_:ea] == ["a50", "a51"]
+    assert wb[pb_:eb] == ["b10", "b11"]
+    assert marks.count(2) == 4
+    # short inputs: everything fits
+    wa, pa_, ea, wb, pb_, eb, marks = build_pair_window(
+        ["x", "y"], 0, 1, ["u"], 0, 1, max_seq_len=128)
+    assert wa == ["x", "y"] and wb == ["u"]
