@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship NED pipeline (pages → mentions →
+candidates → pair scoring → decision → transitive clusters) on the
+deterministic synthetic pages table scaled to sf0.001;
+``queries()``/``oracle_sql()`` expose the operator inventory
+(SURVEY.md §2 + training-data operators) for the DuckDB correctness
+gate.  Ray is initialised by the driver — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scaled synthetic pages table."""
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.fixtures.generator import pages_dir_for_sf
+    from sbb_ned_ray.pipelines.ned import run_ned
+
+    pages_dir = pages_dir_for_sf("/root/testdata/sf0.001")
+    return run_ned(pages_dir, PipelineConfig())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from sbb_ned_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sbb_ned_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -1,0 +1,117 @@
+"""Benchmark harness.
+
+Headline: the flagship NED pipeline (pages → links → clusters) over the
+deterministic synthetic pages table scaled to ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1 → 20k pages), plus secondary pipelines
+(minhash dedup, doc analysis, knn, q1 aggregate) over the sf tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages": N,
+   "pages_per_sec": ...}
+
+``--scaling``: runs the headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
+N vs 4N nodes) and reports throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.fixtures.generator import pages_dir_for_sf
+    from sbb_ned_ray.pipelines import queries as Q
+    from sbb_ned_ray.pipelines.ned import pairwise_f1, run_ned
+
+    pages_dir = pages_dir_for_sf(SF_DIR)
+    # warm the OS page cache (untimed) so we measure compute, not cold disk
+    rd.read_parquet(os.path.join(pages_dir, "pages")).count()
+    n_pages = rd.read_parquet(os.path.join(pages_dir, "pages")).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    links = run_ned(pages_dir, PipelineConfig())
+    timings["ned_flagship"] = round(time.time() - t0, 3)
+
+    gt = pq.read_table(os.path.join(pages_dir, "mention_pairs_gt.parquet"))
+    f1 = pairwise_f1(links, gt)["f1"]
+
+    secondary = {
+        "minhash_dedup": lambda: Q.minhash_dedup_docs(SF_DIR),
+        "doc_analysis": lambda: Q.doc_quality(SF_DIR).materialize(),
+        "knn_cosine": lambda: Q.knn_cosine(SF_DIR),
+        "q1_pricing": lambda: Q.q1_pricing(SF_DIR).materialize(),
+    }
+    for name, fn in secondary.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": ("NED flagship pages->links wall sec (synthetic "
+                   "Common-Crawl-style pages scaled to sf)"),
+        "value": timings["ned_flagship"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": int(n_pages),
+        "pages_per_sec": round(n_pages / timings["ned_flagship"], 1),
+        "n_links": int(len(links)),
+        "pairwise_f1": round(f1, 4),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 vs 32, same input)",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,539 @@
+"""Named queries for the driver contract (``__ray_entry__``): each
+function takes ``sf_dir`` and returns a Dataset / DataFrame / Table;
+``ORACLE_SQL`` holds the DuckDB-equivalent SQL for the SQL-expressible
+ones (column names match exactly; floats are scaled to integers with
+``floor(x·10^k + 0.5)`` on BOTH sides so the driver's value-hash is
+exact).
+
+Covers the operator families of SURVEY.md §2 (maps, filters, joins,
+aggregations, sorts/top-k, windows, set-ops/dedup) plus the
+training-data operators (dedup, similarity search, text analysis) and
+the NED pipeline itself (non-SQL → rows-only checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.fixtures.generator import pages_dir_for_sf
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _e(x, scale: float):
+    """floor(x*scale + 0.5) as int64 — FP-exact cross-engine encoding."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(x, scale), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (groupby-agg / join / top-k / window /
+# sessionize / distinct) — TPC-H-ish, oracle-checked.
+# ---------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str):
+    """Grouped aggregation with pre-scaled integer sums (q1-style)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"],
+            pa.scalar(np.datetime64("1998-09-02", "us"))))
+        price_e2 = _e(t["l_extendedprice"], 100.0)
+        disc_e2 = _e(t["l_discount"], 100.0)
+        qty_e0 = _e(t["l_quantity"], 1.0)
+        disc_price_e4 = pc.multiply(
+            price_e2, pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_e0": qty_e0,
+            "price_e2": price_e2,
+            "disc_price_e4": disc_price_e4,
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty_e0", alias_name="sum_qty_e0"),
+                      Sum("price_e2", alias_name="sum_base_price_e2"),
+                      Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+                      Count(alias_name="count_order")))
+    return out
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e0,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Broadcast-join + grouped agg + global top-k (q3-style).
+
+    customer(BUILDING) is the small side → broadcast key set; lineitem
+    revenue pre-scaled; top-10 by (revenue desc, orderkey asc)."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]).to_pandas()
+    cutoff = np.datetime64("1995-03-15", "us")
+    sel_orders = orders[(orders.o_custkey.isin(keys))
+                        & (orders.o_orderdate < cutoff)]
+    okeys_ref = ray.put(set(sel_orders.o_orderkey))
+
+    class Revenue:
+        def __init__(self, ref):
+            keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.key_arr = pa.array(sorted(keys), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["l_orderkey"], value_set=self.key_arr)
+            t = t.filter(mask)
+            price_e2 = _e(t["l_extendedprice"], 100.0)
+            disc_e2 = _e(t["l_discount"], 100.0)
+            rev = pc.multiply(price_e2,
+                              pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
+            return pa.table({"l_orderkey": t["l_orderkey"],
+                             "revenue_e4": rev})
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    agg = (li.map_batches(Revenue, fn_constructor_args=(okeys_ref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+           .to_pandas())
+    agg = agg.sort_values(["revenue_e4", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    return agg.reset_index(drop=True)
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def orders_per_nation(sf_dir: str):
+    """Two-hop broadcast join orders ⋈ customer ⋈ nation → counts."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    cust_nation = dict(zip(
+        cust.c_custkey,
+        cust.c_nationkey.map(dict(zip(nation.n_nationkey, nation.n_name)))))
+    ref = ray.put(cust_nation)
+
+    class Tag:
+        def __init__(self, r):
+            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.m.get(k) for k in t["o_custkey"].to_pylist()]
+            return pa.table({"n_name": pa.array(names, pa.string())})
+
+    out = (rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+           .map_batches(Tag, fn_constructor_args=(ref,),
+                        batch_format="pyarrow", concurrency=(1, 4))
+           .groupby("n_name").aggregate(Count(alias_name="n_orders")))
+    return out
+
+
+ORACLE_ORDERS_PER_NATION = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def distinct_segments(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+ORACLE_DISTINCT_SEGMENTS = \
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def events_windowed(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (streaming-shaped op):
+    per-batch partial aggregation, then a small groupby."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        val_e6 = _e(t["value"], 1e6)
+        df = pa.table({"event_type": t["event_type"],
+                       "window_start": win,
+                       "val_e6": val_e6}).to_pandas()
+        g = df.groupby(["event_type", "window_start"], sort=False) \
+            .agg(n_events=("val_e6", "size"), sum_value_e6=("val_e6", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value_e6", alias_name="sum_value_e6")))
+    return out
+
+
+ORACLE_EVENTS_WINDOWED = """
+SELECT event_type,
+       (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def top_events_per_user(sf_dir: str):
+    """Per-key top-k (rank within group): top-3 events per user by
+    (value desc, event_id asc)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "rnk"]]
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+ORACLE_TOP_EVENTS_PER_USER = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
+def sessionize_users(sf_dir: str):
+    """Session windows: 30-min inactivity gap per user → session count."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts.astype("datetime64[s]").astype(np.int64))
+        n = 1 + int((gaps > 1800).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                      - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events))
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(sf_dir: str):
+    from sbb_ned_ray.stages.analysis import token_count_batch
+    return rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(token_count_batch, batch_format="pyarrow")
+
+
+ORACLE_DOC_TOKEN_COUNTS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def doc_quality(sf_dir: str):
+    from sbb_ned_ray.stages.analysis import quality_batch
+
+    def as_ints(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        return pa.table({
+            "doc_id": q["doc_id"],
+            "n_chars": q["n_chars"],
+            "n_tokens": q["n_tokens"],
+            "punct_ratio_e6": _e(q["punct_ratio"], 1e6),
+            "mean_token_len_e6": _e(q["mean_token_len"], 1e6),
+            "quality_e6": _e(q["quality"], 1e6),
+        })
+
+    return rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(as_ints, batch_format="pyarrow")
+
+
+ORACLE_DOC_QUALITY = """
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN CAST(n_nonws AS DOUBLE)/n_tokens ELSE 0 END AS mean_token_len
+  FROM feat
+)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(FLOOR(punct_ratio*1000000 + 0.5) AS BIGINT) AS punct_ratio_e6,
+       CAST(FLOOR(mean_token_len*1000000 + 0.5) AS BIGINT) AS mean_token_len_e6,
+       CAST(FLOOR(
+         ROUND(LEAST(CAST(n_tokens AS DOUBLE), 100.0)/100.0
+               * GREATEST(0.0, 1.0 - 4.0*punct_ratio)
+               * (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END), 6) * 1000000 + 0.5)
+         AS BIGINT) AS quality_e6
+FROM r
+"""
+
+
+def lang_id(sf_dir: str):
+    from sbb_ned_ray.stages.analysis import LangIdStage
+    return rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(LangIdStage, batch_format="pyarrow",
+                     concurrency=(1, 4))
+
+
+def _sql_stoplist(lang: str) -> str:
+    from sbb_ned_ray.functions.textstats import STOPWORDS
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+
+
+ORACLE_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '\\w+')) AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN de_hits >= en_hits THEN 'de' ELSE 'en' END AS pred_lang,
+       de_hits, en_hits
+FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(ts, x -> x IN ({_sql_stoplist('de')}))) AS BIGINT) AS de_hits,
+         CAST(len(list_filter(ts, x -> x IN ({_sql_stoplist('en')}))) AS BIGINT) AS en_hits
+  FROM toks)
+"""
+
+
+def exact_dedup_docs(sf_dir: str):
+    from sbb_ned_ray.stages.dedup import exact_dedup
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out[["keep_id", "n_dups"]].sort_values("keep_id") \
+        .reset_index(drop=True)
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+def knn_cosine(sf_dir: str, k: int = 10, n_queries: int = 5):
+    from sbb_ned_ray.stages.similarity import brute_force_topk
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    qdf = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]) \
+        .filter(lambda r: r["vec_id"] < n_queries).to_pandas() \
+        .sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64)
+                        for v in qdf.embedding])
+    out = brute_force_topk(emb, queries, qdf.vec_id.tolist(), k=k)
+    return out[["query_id", "vec_id", "knn_rank"]]
+
+
+ORACLE_KNN = """
+SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.embedding, d.embedding) DESC,
+                                   d.vec_id) AS knn_rank
+FROM embeddings q, embeddings d
+WHERE q.vec_id < 5
+QUALIFY knn_rank <= 10
+ORDER BY query_id, knn_rank
+"""
+
+
+def knn_cosine_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """IVF variant (approximate; rows-only check — documented)."""
+    from sbb_ned_ray.stages.similarity import ivf_topk
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    qdf = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]) \
+        .filter(lambda r: r["vec_id"] < n_queries).to_pandas() \
+        .sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64)
+                        for v in qdf.embedding])
+    return ivf_topk(emb, queries, qdf.vec_id.tolist(), k=k)
+
+
+def minhash_dedup_docs(sf_dir: str):
+    from sbb_ned_ray.stages.dedup import minhash_lsh_dedup
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, jaccard_threshold=0.7)
+
+
+def simhash_dedup_docs(sf_dir: str):
+    from sbb_ned_ray.stages.dedup import simhash_dedup
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3)
+
+
+def doc_fingerprints(sf_dir: str):
+    from sbb_ned_ray.stages.analysis import fingerprint_batch
+    return rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .drop_columns(["fingerprints"])
+
+
+# ---------------------------------------------------------------------------
+# NED pipeline queries (synthetic pages scaled to the sf level;
+# non-SQL-expressible → rows-only driver checks)
+# ---------------------------------------------------------------------------
+
+def ned_extract_pages(sf_dir: str):
+    from sbb_ned_ray.sources.pages import read_pages
+    from sbb_ned_ray.stages.extract import extracted_pages
+    pages_dir = pages_dir_for_sf(sf_dir)
+    return extracted_pages(read_pages(
+        pages_dir, columns=["url", "html"])).select_columns(["url", "text"])
+
+
+def ned_mentions(sf_dir: str):
+    from sbb_ned_ray.pipelines.ned import _pool_size
+    from sbb_ned_ray.sources.pages import read_kb_table, read_pages
+    from sbb_ned_ray.stages.extract import extracted_pages
+    from sbb_ned_ray.stages.mentions import detect_mentions
+    from sbb_ned_ray.state.alias_index import build_alias_index
+    cfg = PipelineConfig()
+    pages_dir = pages_dir_for_sf(sf_dir)
+    index_ref = ray.put(build_alias_index(read_kb_table(pages_dir), cfg))
+    pages = extracted_pages(read_pages(pages_dir, columns=["url", "html"]))
+    return detect_mentions(pages, index_ref, concurrency=_pool_size(cfg)) \
+        .drop_columns(["sent_tokens"])
+
+
+def ned_links(sf_dir: str):
+    from sbb_ned_ray.pipelines.ned import run_ned
+    pages_dir = pages_dir_for_sf(sf_dir)
+    df = run_ned(pages_dir, PipelineConfig())
+    return df[["url", "mention_id", "surface", "candidate_title", "qid",
+               "cluster_id"]].sort_values(["url", "mention_id"]) \
+        .reset_index(drop=True)
+
+
+def ned_eval_f1(sf_dir: str):
+    """Pairwise-F1 scorecard row (rows-only; the e2e quality gate)."""
+    import pyarrow.parquet as pq
+    from sbb_ned_ray.pipelines.ned import pairwise_f1, run_ned
+    pages_dir = pages_dir_for_sf(sf_dir)
+    links = run_ned(pages_dir, PipelineConfig())
+    gt = pq.read_table(f"{pages_dir}/mention_pairs_gt.parquet")
+    m = pairwise_f1(links, gt)
+    return pd.DataFrame([{
+        "n_links": len(links), **{k: m[k] for k in
+                                  ("tp", "fp", "fn", "tn")},
+        "precision_e6": int(m["precision"] * 1e6 + 0.5),
+        "recall_e6": int(m["recall"] * 1e6 + 0.5),
+        "f1_e6": int(m["f1"] * 1e6 + 0.5),
+    }])
+
+
+QUERIES = {
+    "q1_pricing": q1_pricing,
+    "q3_top_orders": q3_top_orders,
+    "orders_per_nation": orders_per_nation,
+    "distinct_segments": distinct_segments,
+    "events_windowed": events_windowed,
+    "top_events_per_user": top_events_per_user,
+    "sessionize_users": sessionize_users,
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "lang_id": lang_id,
+    "exact_dedup_docs": exact_dedup_docs,
+    "knn_cosine": knn_cosine,
+    "knn_cosine_ivf": knn_cosine_ivf,
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_dedup_docs": simhash_dedup_docs,
+    "doc_fingerprints": doc_fingerprints,
+    "ned_extract_pages": ned_extract_pages,
+    "ned_mentions": ned_mentions,
+    "ned_links": ned_links,
+    "ned_eval_f1": ned_eval_f1,
+}
+
+ORACLE_SQL = {
+    "q1_pricing": ORACLE_Q1,
+    "q3_top_orders": ORACLE_Q3,
+    "orders_per_nation": ORACLE_ORDERS_PER_NATION,
+    "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
+    "events_windowed": ORACLE_EVENTS_WINDOWED,
+    "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,
+    "sessionize_users": ORACLE_SESSIONIZE,
+    "doc_token_counts": ORACLE_DOC_TOKEN_COUNTS,
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "exact_dedup_docs": ORACLE_EXACT_DEDUP,
+    "knn_cosine": ORACLE_KNN,
+}
