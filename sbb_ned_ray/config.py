@@ -33,10 +33,13 @@ class PipelineConfig:
     lsh_bands: int = 8              # bands (rows per band = num_perm // lsh_bands)
 
     # --- execution sizing ---
-    batch_size: int = 1024          # rows per batch for cpu stages
+    batch_size: int = 256           # pages per batch for cpu stages (fat html
+                                    # rows; small batches keep the actor pool fed)
     scorer_batch_size: int = 4096   # pairs per scorer batch (reference GPU BATCH_SIZE analog)
     cpu_concurrency: int | None = None   # actor-pool size; None → let Ray autoscale tasks
     scorer_concurrency: int = 4
+    decide_partitions: int = 64     # hash buckets for the mention_key decide shuffle
+    read_num_blocks: int | None = None   # override read parallelism; None → auto
 
     # --- misc ---
     seed: int = 42

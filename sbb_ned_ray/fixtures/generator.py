@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from sbb_ned_ray.functions.extract import EXTRACTOR_VERSION, extract_text
 from sbb_ned_ray.functions.normalization import normalized_surface_key
 
-FIXTURE_VERSION = "4"
+FIXTURE_VERSION = "5"
 
 # --- deterministic vocabularies -------------------------------------------
 
@@ -382,11 +382,15 @@ def materialize_fixture(spec: FixtureSpec, base_dir: str = "/tmp/sbb_ned_ray_fix
     os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
     n = pages.num_rows
     per = max(1, (n + spec.n_files - 1) // spec.n_files)
+    # small row groups so ray.data.read_parquet(override_num_blocks=…)
+    # can split files into more read tasks than there are files
+    rg = max(32, per // 8)
     for i in range(spec.n_files):
         sl = pages.slice(i * per, per)
         if sl.num_rows == 0:
             break
-        pq.write_table(sl, os.path.join(tmp, "pages", f"part-{i:04d}.parquet"))
+        pq.write_table(sl, os.path.join(tmp, "pages", f"part-{i:04d}.parquet"),
+                       row_group_size=rg)
     for name in ("kb_entities", "mentions_gt", "mention_pairs_gt"):
         pq.write_table(tables[name], os.path.join(tmp, f"{name}.parquet"))
     with open(os.path.join(tmp, "_FIXTURE_COMPLETE"), "w") as f:

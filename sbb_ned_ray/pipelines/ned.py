@@ -66,8 +66,14 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
     index_ref = ray.put(index)
     conc = _pool_size(cfg)
 
-    pages = pages_ds if pages_ds is not None else read_pages(
-        fixture_dir, columns=["url", "warc_ts", "html", "lang"])
+    if pages_ds is not None:
+        pages = pages_ds
+    else:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nblocks = cfg.read_num_blocks or max(16, 4 * ncpu)
+        pages = read_pages(fixture_dir,
+                           columns=["url", "warc_ts", "html", "lang"],
+                           override_num_blocks=nblocks)
 
     if not split_scorer:
         from sbb_ned_ray.stages.fused import NedWorker

@@ -18,12 +18,21 @@ import ray.data
 
 
 def read_pages(pages_dir: str, columns: list[str] | None = None,
-               langs: tuple[str, ...] | None = None) -> ray.data.Dataset:
-    """Streaming read of the pages table, pruning columns at the read."""
+               langs: tuple[str, ...] | None = None,
+               override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Streaming read of the pages table, pruning columns at the read.
+
+    ``override_num_blocks``: on small fixture inputs Ray coalesces the
+    handful of tiny files into 1–2 blocks, which caps every downstream
+    actor pool at that task count.  Callers pass a CPU-derived override
+    (fixtures are written with small row groups so the read can split);
+    at real scale (thousands of files) leave it ``None``.
+    """
     path = pages_dir
     if os.path.isdir(os.path.join(pages_dir, "pages")):
         path = os.path.join(pages_dir, "pages")
-    ds = ray.data.read_parquet(path, columns=columns)
+    ds = ray.data.read_parquet(path, columns=columns,
+                               override_num_blocks=override_num_blocks)
     if langs:
         value_set = pa.array(sorted(set(langs)))
         ds = ds.map_batches(

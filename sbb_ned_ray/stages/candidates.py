@@ -47,6 +47,10 @@ CANDIDATE_SCHEMA = pa.schema([
 ])
 
 
+_SCHEMA_NO_TOKENS = pa.schema(
+    [f for f in CANDIDATE_SCHEMA if f.name != "sent_tokens"])
+
+
 def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
                     config: PipelineConfig):
     """best_matches aggregation + ranking over (entity, part, dist) hits.
@@ -98,24 +102,35 @@ def generate_candidates_for_surface(surface: str, index: AliasIndex,
 
 
 class CandidateGenerator:
-    """Actor-pool stage: AliasIndex fetched once per actor in __init__."""
+    """Actor-pool stage: AliasIndex fetched once per actor in __init__.
 
-    def __init__(self, index_ref, config: PipelineConfig | None = None):
+    ``include_tokens=False`` (used by the fused worker) omits the fat
+    ``sent_tokens`` list column from the output — it is duplicated per
+    candidate (~max_candidates×) and the fused scorer reads mention
+    tokens from the mentions table instead.
+    """
+
+    def __init__(self, index_ref, config: PipelineConfig | None = None,
+                 include_tokens: bool = True):
         import ray
         self.index: AliasIndex = (
             ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef)
             else index_ref)
         self.config = config or PipelineConfig()
+        self.include_tokens = include_tokens
         self._cache: dict[str, list] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx = self.index
         cfg = self.config
-        cols = {k: [] for k in CANDIDATE_SCHEMA.names}
-        for url, mid, surface, mtype, toks in zip(
+        schema = CANDIDATE_SCHEMA if self.include_tokens else \
+            _SCHEMA_NO_TOKENS
+        cols = {k: [] for k in schema.names}
+        toks_list = (batch["sent_tokens"].to_pylist()
+                     if self.include_tokens else None)
+        for row_no, (url, mid, surface, mtype) in enumerate(zip(
                 batch["url"].to_pylist(), batch["mention_id"].to_pylist(),
-                batch["surface"].to_pylist(), batch["type"].to_pylist(),
-                batch["sent_tokens"].to_pylist()):
+                batch["surface"].to_pylist(), batch["type"].to_pylist())):
             ranked = self._cache.get(surface)
             if ranked is None:
                 ranked = generate_candidates_for_surface(surface, idx, cfg)
@@ -127,7 +142,8 @@ class CandidateGenerator:
                 cols["mention_id"].append(mid)
                 cols["surface"].append(surface)
                 cols["type"].append(mtype)
-                cols["sent_tokens"].append(toks)
+                if toks_list is not None:
+                    cols["sent_tokens"].append(toks_list[row_no])
                 cols["cand_entity"].append(eid)
                 cols["candidate_title"].append(idx.titles[eid])
                 cols["qid"].append(idx.qids[eid])
@@ -137,8 +153,8 @@ class CandidateGenerator:
                 cols["proba"].append(proba)
                 cols["rank"].append(rank)
         return pa.table(
-            {name: pa.array(cols[name], CANDIDATE_SCHEMA.field(name).type)
-             for name in CANDIDATE_SCHEMA.names})
+            {name: pa.array(cols[name], schema.field(name).type)
+             for name in schema.names})
 
 
 def generate_candidates(mentions_ds, index_ref,

@@ -75,41 +75,81 @@ def partial_candidate_agg(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _decide_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """One mention's candidate partials → ranked accepted links."""
+def _map_unique(series: pd.Series, fn) -> np.ndarray:
+    """Apply ``fn`` once per unique value (vectorized map for string UDFs)."""
+    mapping = {v: fn(v) for v in series.unique()}
+    return series.map(mapping).to_numpy()
+
+
+def _decide_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Vectorized decision over MANY mentions' candidate partials at once.
+
+    All rows of one mention must be in ``df`` (guaranteed by the
+    hash-partition shuffle in :func:`decide_from_partials`).
+    """
+    empty = pd.DataFrame(columns=[f.name for f in LINK_SCHEMA])
+    if df.empty:
+        return empty
     # merge partials that crossed batch boundaries
-    g = group.groupby("candidate_title", sort=False).agg(
+    g = df.groupby(["mention_key", "candidate_title"], sort=False).agg(
         url=("url", "first"), mention_id=("mention_id", "first"),
         surface=("surface", "first"), qid=("qid", "first"),
         rank=("rank", "min"), proba=("proba", "first"),
         p1_max=("p1_max", "max"), score_sum=("score_sum", "sum"),
         n_pairs=("n_pairs", "sum")).reset_index()
     g["proba_1"] = g["p1_max"]
-    surf_keys = g["surface"].map(normalized_surface_key)
-    title_keys = g["candidate_title"].map(
+    surf_keys = _map_unique(g["surface"], normalized_surface_key)
+    title_keys = _map_unique(
+        g["candidate_title"],
         lambda t: normalized_surface_key(t.replace("_", " ")))
-    keep = (g["proba_1"] >= threshold) | (surf_keys == title_keys)
-    g = g[keep]
+    keep = (g["proba_1"].to_numpy() >= threshold) | (surf_keys == title_keys)
+    g = g.loc[keep]
     if g.empty:
-        return pd.DataFrame(columns=[f.name for f in LINK_SCHEMA])
-    g = g.sort_values(["proba_1", "rank", "candidate_title"],
-                      ascending=[False, True, True]).reset_index(drop=True)
-    g["out_rank"] = np.arange(len(g), dtype=np.int32)
-    g["mention_key"] = group["mention_key"].iloc[0]
+        return empty
+    g = g.sort_values(["mention_key", "proba_1", "rank", "candidate_title"],
+                      ascending=[True, False, True, True],
+                      kind="mergesort").reset_index(drop=True)
+    g["out_rank"] = g.groupby("mention_key", sort=False).cumcount() \
+        .to_numpy(dtype=np.int32)
     return g[[f.name for f in LINK_SCHEMA]]
 
 
+def _decide_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One mention's candidate partials → ranked accepted links
+    (single-group wrapper around the vectorized kernel; kept for unit
+    tests / API compatibility)."""
+    return _decide_partition(group, threshold)
+
+
 def decide_from_partials(partials_ds, config: PipelineConfig | None = None):
-    """per-(mention,candidate) partials → ranked links
-    (THE shuffle: groupby(mention_key))."""
+    """per-(mention,candidate) partials → ranked links.
+
+    THE shuffle — but NOT ``groupby(mention_key).map_groups`` per
+    mention (one Python/pandas call per group is ~15 ms of overhead ×
+    millions of mentions).  Instead: hash-partition on ``mention_key``
+    into ``cfg.decide_partitions`` buckets, then one **vectorized**
+    pandas kernel per bucket.  Co-location of a mention's rows is
+    preserved (same key → same hash bucket); per-call overhead is paid
+    ``decide_partitions`` times, not once per mention.
+    """
     cfg = config or PipelineConfig()
     threshold = cfg.threshold
+    nparts = cfg.decide_partitions
 
-    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        return _decide_group(g, threshold)
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(
+            df["mention_key"], index=False).to_numpy() % nparts
+        ).astype(np.int32)
+        return df
 
-    return partials_ds.groupby("mention_key").map_groups(
-        group_fn, batch_format="pandas")
+    def decide_block(df: pd.DataFrame) -> pd.DataFrame:
+        return _decide_partition(df.drop(columns=["_part"]), threshold)
+
+    return (partials_ds
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(decide_block, batch_format="pandas"))
 
 
 def decide(scored_pairs_ds, config: PipelineConfig | None = None):

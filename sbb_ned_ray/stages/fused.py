@@ -1,5 +1,5 @@
-"""Fused NED worker: extract → detect → candidates → pairs → score →
-pre-aggregate, in ONE actor pool.
+"""Fused NED worker: extract → detect → candidates → pair-score →
+partial-aggregate, in ONE actor pool.
 
 Why fuse: every stage from text extraction to pair scoring is
 *mention-local* (no cross-row dependency) and reads the same broadcast
@@ -16,23 +16,174 @@ This mirrors the reference's own design pressure: its 7 chained
 process-pool queues exist only because CPython processes can't share
 the models (SURVEY.md §3.1); in Ray the actor owns all of them at once.
 
-The individual stage classes stay importable/testable on their own
-(tests/test_ned_stages.py); a GPU deployment splits the scorer back out
-by passing ``split_scorer=True`` to the pipeline builder so the
-cross-encoder pool can get ``num_gpus``.
+:class:`FusedPairScorer` additionally fuses pair *building* with pair
+*scoring*: instead of materializing one row per (mention, candidate,
+evidence-window) with full token lists (~5× the candidate count, fat
+``list<string>`` columns) only to aggregate them straight back down,
+it walks the candidate rows once and emits the per-(mention, candidate)
+partials directly.  Token-set overlaps are integer bitmask AND +
+popcount over an actor-persistent evidence vocabulary (bits are only
+ever appended, so cached evidence masks stay valid across batches).
+Equality with the staged pairs→scorer→aggregate path is asserted in
+tests/test_ned_stages.py.
+
+The individual stage classes stay importable/testable on their own;
+a GPU deployment splits the scorer back out by passing
+``split_scorer=True`` to the pipeline builder so the cross-encoder
+pool can get ``num_gpus``.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pyarrow as pa
 
 from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.functions.normalization import normalized_surface_key
 from sbb_ned_ray.stages.candidates import CandidateGenerator
-from sbb_ned_ray.stages.decider import add_mention_key, partial_candidate_agg
 from sbb_ned_ray.stages.extract import extract_text_batch
 from sbb_ned_ray.stages.mentions import MentionDetector
-from sbb_ned_ray.stages.pairs import PairBuilder
-from sbb_ned_ray.stages.scorer import DeterministicOverlapScorer
+from sbb_ned_ray.stages.pairs import evidence_sentences, locate_entity
+from sbb_ned_ray.state.alias_index import normalize_token
+
+PARTIAL_SCHEMA = pa.schema([
+    ("mention_key", pa.string()),
+    ("candidate_title", pa.string()),
+    ("url", pa.string()),
+    ("mention_id", pa.string()),
+    ("surface", pa.string()),
+    ("qid", pa.string()),
+    ("rank", pa.int32()),
+    ("proba", pa.float64()),
+    ("p1_max", pa.float64()),
+    ("score_sum", pa.float64()),
+    ("n_pairs", pa.int64()),
+])
+
+
+class FusedPairScorer:
+    """candidates batch → per-(mention, candidate) scored partials.
+
+    Reproduces exactly: pair budget (``sentence_lookup.py:25-31``
+    semantics via :func:`evidence_sentences` + ``limit``), the
+    :class:`DeterministicOverlapScorer` formula per pair, and the
+    ``partial_candidate_agg`` aggregate (p1_max / score_sum / n_pairs).
+    """
+
+    def __init__(self, index, config: PipelineConfig | None = None):
+        self.index = index
+        self.config = config or PipelineConfig()
+        use_found = math.ceil(math.sqrt(self.config.max_pairs))
+        self.limit = max(1, self.config.max_pairs // use_found)
+        self.vocab: dict[str, int] = {}
+        # eid -> [(ctx_bitmask, span_key), ...] per evidence window
+        self._ev_cache: dict[int, list[tuple[int, str]]] = {}
+        self._surf_toks: dict[str, list[str]] = {}
+
+    def _evidence_masks(self, eid: int) -> list[tuple[int, str]]:
+        ev = self._ev_cache.get(eid)
+        if ev is None:
+            ev = []
+            for tok_b, pos_b, end_b in \
+                    evidence_sentences(self.index, eid)[:self.limit]:
+                ctx = set(tok_b[end_b:])
+                ctx.update(tok_b[:pos_b])
+                m = 0
+                for t in ctx:
+                    m |= 1 << self.vocab.setdefault(t, len(self.vocab))
+                ev.append((m, normalized_surface_key(
+                    " ".join(tok_b[pos_b:end_b]))))
+            self._ev_cache[eid] = ev
+        return ev
+
+    def _mention_entry(self, ta: list[str], surface: str) -> tuple[int, str]:
+        """(bitmask over evidence vocab, normalized span key) for one
+        mention sentence.  Call only AFTER all evidence vocab of the
+        batch is interned."""
+        st = self._surf_toks.get(surface)
+        if st is None:
+            st = [t for t in (normalize_token(x)
+                              for x in surface.split(" ")) if t]
+            self._surf_toks[surface] = st
+        pos_a, end_a = locate_entity(ta, st)
+        m = 0
+        vocab_get = self.vocab.get
+        for t in set(ta):
+            bit = vocab_get(t)
+            if bit is not None:
+                m |= 1 << bit
+        return (m, normalized_surface_key(" ".join(ta[pos_a:end_a])))
+
+    def __call__(self, cands: pa.Table,
+                 mentions: pa.Table | None = None) -> pa.Table:
+        n = cands.num_rows
+        if n == 0:
+            return empty_partials()
+        names = ("url", "mention_id", "surface", "cand_entity",
+                 "candidate_title", "qid", "rank", "proba")
+        col = {name: cands[name].to_pylist() for name in names}
+        eids = col["cand_entity"]
+        # pass 1: intern all evidence vocab BEFORE any mention mask is
+        # built (vocab bits only append, so evidence masks cached from
+        # earlier batches stay correct)
+        ev_rows = [self._evidence_masks(int(e)) for e in eids]
+        # pass 2: one mask per MENTION (not per candidate row) — read
+        # tokens from the mentions table when given, else from the
+        # candidates' sent_tokens column
+        a_mask: dict = {}
+        if mentions is not None:
+            for u, mid, surf, ta in zip(
+                    mentions["url"].to_pylist(),
+                    mentions["mention_id"].to_pylist(),
+                    mentions["surface"].to_pylist(),
+                    mentions["sent_tokens"].to_pylist()):
+                a_mask[(u, mid)] = self._mention_entry(ta, surf)
+        else:
+            toks = cands["sent_tokens"].to_pylist()
+        raw_max = np.empty(n, dtype=np.float64)
+        raw_sum = np.empty(n, dtype=np.float64)
+        n_pairs = np.empty(n, dtype=np.int64)
+        keys = []
+        for i in range(n):
+            ka = (col["url"][i], col["mention_id"][i])
+            ent = a_mask.get(ka)
+            if ent is None:
+                ent = self._mention_entry(toks[i], col["surface"][i])
+                a_mask[ka] = ent
+            am, key_a = ent
+            best = -np.inf
+            tot = 0.0
+            ev = ev_rows[i]
+            for m_b, key_b in ev:
+                r = 4.0 * min((am & m_b).bit_count(), 3) - 2.0 \
+                    + (0.25 if key_a and key_a == key_b else 0.0)
+                if r > best:
+                    best = r
+                tot += r
+            raw_max[i] = best
+            raw_sum[i] = tot
+            n_pairs[i] = len(ev)
+            keys.append(f"{ka[0]}\x1f{ka[1]}")
+        p1_max = 1.0 / (1.0 + np.exp(-raw_max))
+        return pa.table({
+            "mention_key": pa.array(keys, pa.string()),
+            "candidate_title": pa.array(col["candidate_title"], pa.string()),
+            "url": pa.array(col["url"], pa.string()),
+            "mention_id": pa.array(col["mention_id"], pa.string()),
+            "surface": pa.array(col["surface"], pa.string()),
+            "qid": pa.array(col["qid"], pa.string()),
+            "rank": pa.array(col["rank"], pa.int32()),
+            "proba": pa.array(col["proba"], pa.float64()),
+            "p1_max": pa.array(p1_max, pa.float64()),
+            "score_sum": pa.array(raw_sum, pa.float64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+        }, schema=PARTIAL_SCHEMA)
+
+
+def empty_partials() -> pa.Table:
+    return PARTIAL_SCHEMA.empty_table()
 
 
 class NedWorker:
@@ -46,37 +197,14 @@ class NedWorker:
         cfg = config or PipelineConfig()
         self.extract = extract
         self.detector = MentionDetector(index)
-        self.candidates = CandidateGenerator(index, cfg)
-        self.pairs = PairBuilder(index, cfg)
-        self.scorer = scorer or DeterministicOverlapScorer(cfg)
+        self.candidates = CandidateGenerator(index, cfg, include_tokens=False)
+        self.pair_scorer = scorer or FusedPairScorer(index, cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.extract:
             batch = extract_text_batch(batch)
         mentions = self.detector(batch)
         if mentions.num_rows == 0:
-            return partial_candidate_agg(add_mention_key(
-                _empty_scored()))
+            return empty_partials()
         cands = self.candidates(mentions)
-        if cands.num_rows == 0:
-            return partial_candidate_agg(add_mention_key(_empty_scored()))
-        pairs = self.pairs(cands)
-        scored = self.scorer(pairs)
-        return partial_candidate_agg(add_mention_key(scored))
-
-
-def _empty_scored() -> pa.Table:
-    return pa.table({
-        "url": pa.array([], pa.string()),
-        "mention_id": pa.array([], pa.string()),
-        "surface": pa.array([], pa.string()),
-        "cand_entity": pa.array([], pa.int64()),
-        "candidate_title": pa.array([], pa.string()),
-        "qid": pa.array([], pa.string()),
-        "rank": pa.array([], pa.int32()),
-        "proba": pa.array([], pa.float64()),
-        "pair_no": pa.array([], pa.int32()),
-        "p0": pa.array([], pa.float64()),
-        "p1": pa.array([], pa.float64()),
-        "score": pa.array([], pa.float64()),
-    })
+        return self.pair_scorer(cands, mentions)

