@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from sbb_ned_ray.functions.extract import EXTRACTOR_VERSION, extract_text
 from sbb_ned_ray.functions.normalization import normalized_surface_key
 
-FIXTURE_VERSION = "5"
+FIXTURE_VERSION = "6"
 
 # --- deterministic vocabularies -------------------------------------------
 
@@ -98,6 +98,7 @@ def _build_entities(spec: FixtureSpec, rng: np.random.Generator):
 
     qid_counter = 1000
     ent_idx = 0
+    used_titles: set[str] = set()
 
     def make_label(etype: str, k: int) -> str:
         if etype == "PER":
@@ -119,8 +120,11 @@ def _build_entities(spec: FixtureSpec, rng: np.random.Generator):
         ctx_lo = ent_idx * 12
         context = _CTX_POOL[ctx_lo: ctx_lo + 12]
         title = label.replace(" ", "_")
-        if family_id is not None:
+        # page_title is a UNIQUE key (as in Wikipedia): family members and
+        # accidental label collisions get a qid-disambiguated title
+        if family_id is not None or title in used_titles:
             title = f"{title}_({qid})"
+        used_titles.add(title)
         aliases = _make_aliases(label)
         ents.append({
             "page_title": title,

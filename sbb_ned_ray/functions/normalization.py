@@ -144,7 +144,7 @@ def normalized_surface_key(surface: str) -> str:
 # model-free; used as the part-embedding for ANN-style candidate distances.
 # ---------------------------------------------------------------------------
 
-_VALID_CHARS = "abcdefghijklmnopqrstuvwxyz"
+_VALID_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
 _CHAR_IDX = {c: i for i, c in enumerate(_VALID_CHARS)}
 ANAGRAM_DIM = len(_VALID_CHARS)
 

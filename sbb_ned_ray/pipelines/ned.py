@@ -19,6 +19,8 @@ never re-shipped per batch.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 
@@ -51,7 +53,8 @@ def _pool_size(cfg: PipelineConfig, reserve: int = 2) -> tuple[int, int]:
 def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
                     scorer_cls=DeterministicOverlapScorer,
                     kb_table: pa.Table | None = None,
-                    pages_ds=None, split_scorer: bool = False):
+                    pages_ds=None, split_scorer: bool = False,
+                    index_ref=None):
     """pages + KB → ranked per-mention links Dataset (lazy until consumed).
 
     Default: ONE fused actor pool (NedWorker) for the mention-local
@@ -59,11 +62,13 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
     ``split_scorer=True`` runs the cross-encoder as its own pool (the
     GPU deployment shape): extract+detect+candidates+pairs in the fused
     pool, scorer separately with ``scorer_batch_size`` batches.
+    ``index_ref``: pre-broadcast AliasIndex (``ray.put``) to reuse
+    across multiple calls (e.g. the resumable per-partition runner).
     """
     cfg = config or PipelineConfig()
-    kb = kb_table if kb_table is not None else read_kb_table(fixture_dir)
-    index = build_alias_index(kb, cfg)
-    index_ref = ray.put(index)
+    if index_ref is None:
+        kb = kb_table if kb_table is not None else read_kb_table(fixture_dir)
+        index_ref = ray.put(build_alias_index(kb, cfg))
     conc = _pool_size(cfg)
 
     if pages_ds is not None:
@@ -107,6 +112,79 @@ def run_ned(fixture_dir: str, config: PipelineConfig | None = None
                                    "surface", "candidate_title", "qid",
                                    "proba_1", "n_pairs", "out_rank"])
     return cluster_links(df)
+
+
+def ned_partitions(fixture_dir: str) -> list[tuple[str, str, str]]:
+    """Deterministic partition list for the resumable runner: one
+    partition per pages parquet file, fingerprinted by (name, size,
+    extractor version).  At scale the unit would be an input shard dir /
+    key range; the mechanism is identical."""
+    import hashlib
+
+    from sbb_ned_ray.functions.extract import EXTRACTOR_VERSION
+
+    pages_dir = fixture_dir
+    sub = os.path.join(fixture_dir, "pages")
+    if os.path.isdir(sub):
+        pages_dir = sub
+    parts = []
+    for f in sorted(os.listdir(pages_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(pages_dir, f)
+        size = os.stat(path).st_size
+        fp = hashlib.sha256(
+            f"{f}|{size}|x{EXTRACTOR_VERSION}".encode()).hexdigest()[:16]
+        parts.append((os.path.splitext(f)[0], fp, path))
+    return parts
+
+
+def run_ned_resumable(fixture_dir: str, out_dir: str,
+                      config: PipelineConfig | None = None):
+    """Resumable flagship run (north_rule: per-partition lineage +
+    metrics): each input file is processed independently and written
+    atomically with a ``_manifest.json`` (fingerprint, row counters,
+    wall time); on restart, partitions whose manifest matches are
+    SKIPPED.  Links are partition-local; the transitive clustering pass
+    runs over the union of partition outputs (≤ one row per linked
+    mention) at the end.
+
+    Returns ``(clustered_links_df, summary)`` where summary lists
+    skipped/completed partitions and their manifests.
+    """
+    import ray.data as rd
+
+    from sbb_ned_ray.state.manifests import run_partitioned
+
+    cfg = config or PipelineConfig()
+    index_ref = ray.put(build_alias_index(read_kb_table(fixture_dir), cfg))
+    parts = ned_partitions(fixture_dir)
+    path_of = {pid: path for pid, _, path in parts}
+
+    def run_fn(part_id: str):
+        ds = rd.read_parquet(path_of[part_id],
+                             columns=["url", "warc_ts", "html", "lang"],
+                             override_num_blocks=8)
+        links = top_links(build_ned_links(
+            fixture_dir, cfg, pages_ds=ds, index_ref=index_ref))
+        df = links.to_pandas()
+        return df, {"links": int(len(df)),
+                    "mentions": int(df["mention_key"].nunique())
+                    if len(df) else 0}
+
+    summary = run_partitioned([(pid, fp) for pid, fp, _ in parts],
+                              out_dir, run_fn)
+    frames = []
+    for pid, _, _ in parts:
+        pdir = os.path.join(out_dir, pid)
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                frames.append(pd.read_parquet(os.path.join(pdir, f)))
+    all_links = pd.concat([f for f in frames if len(f)],
+                          ignore_index=True) if frames else pd.DataFrame()
+    if all_links.empty:
+        return all_links, summary
+    return cluster_links(all_links), summary
 
 
 def pairwise_f1(links_df: pd.DataFrame, gt_pairs: pa.Table) -> dict:

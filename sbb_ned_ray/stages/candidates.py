@@ -52,15 +52,22 @@ _SCHEMA_NO_TOKENS = pa.schema(
 
 
 def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
-                    config: PipelineConfig):
+                    config: PipelineConfig,
+                    exact_ids: frozenset[int] = frozenset(),
+                    query_parts: tuple[str, ...] = ()):
     """best_matches aggregation + ranking over (entity, part, dist) hits.
 
     Returns list of (entity_id, dist, match_uniqueness, match_coverage,
-    proba, rank) sorted per the reference sort keys.
+    proba, rank) sorted per the reference sort keys, with one addition:
+    ``exact_ids`` (entities whose alias equals the FULL normalized
+    surface key) sort before all fuzzy-only hits — the candidate-level
+    analog of the reference's exact-surface-match override
+    (``decider.py:47-48``).  Without it, a flood of distance-tied fuzzy
+    parts can push every exact match past the ``max_candidates`` cut.
     """
-    if not hits:
+    if not hits and not exact_ids:
         return []
-    total_hits = float(len(hits))
+    total_hits = float(max(1, len(hits)))
     part_hit_count: dict[str, int] = {}
     for _, part, _ in hits:
         part_hit_count[part] = part_hit_count.get(part, 0) + 1
@@ -70,18 +77,28 @@ def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
         d = per_entity.setdefault(eid, {})
         if part not in d or dist < d[part]:
             d[part] = dist
+    # exact full-surface matches are ALWAYS candidates, even when the
+    # part probe pruned them (stoplist / search_k)
+    for eid in exact_ids:
+        d = per_entity.setdefault(eid, {})
+        for p in query_parts:
+            if p not in d:
+                d[p] = 0.0
 
     rows = []
     for eid, parts in per_entity.items():
-        uniq = sum(total_hits / part_hit_count[p] for p in parts) * len(parts)
+        uniq = sum(total_hits / part_hit_count.get(p, 1) for p in parts) \
+            * len(parts)
         coverage = float(len(index.titles[eid])) / max(
             1, sum(len(p) for p in parts))
         dist = max(parts.values())
         rows.append((eid, dist, uniq, coverage,
                      float(index.probas[eid]), len(index.titles[eid])))
-    # sort: match_uniqueness desc, dist asc, proba desc, match_coverage asc,
-    # len_guessed asc (index.py:200-205); entity id as final stable tiebreak
-    rows.sort(key=lambda r: (-r[2], r[1], -r[4], r[3], r[5], r[0]))
+    # sort: exact-surface first, then match_uniqueness desc, dist asc,
+    # proba desc, match_coverage asc, len_guessed asc (index.py:200-205);
+    # entity id as final stable tiebreak
+    rows.sort(key=lambda r: (0 if r[0] in exact_ids else 1,
+                             -r[2], r[1], -r[4], r[3], r[5], r[0]))
     out = []
     for rank, (eid, dist, uniq, cov, proba, _len) in enumerate(
             rows[: config.max_candidates]):
@@ -91,14 +108,18 @@ def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
 
 def generate_candidates_for_surface(surface: str, index: AliasIndex,
                                     config: PipelineConfig):
-    """Per-mention probe: parts → ANN-style hits → ranked candidates."""
+    """Per-mention probe: normalized-surface exact block + per-part
+    ANN-style fuzzy hits → ranked candidates (north_star: surface-form
+    keys PLUS MinHash-LSH buckets)."""
     parts = filter_surface(normalize_chars(surface))
+    exact = frozenset(index.alias_exact.get(" ".join(parts), ()))
     hits: list[tuple[int, str, float]] = []
     for part in parts:
         ents, dists = index.probe_part(part, config.max_dist)
         for e, d in zip(ents, dists):
             hits.append((int(e), part, float(d)))
-    return rank_candidates(hits, index, config)
+    return rank_candidates(hits, index, config, exact_ids=exact,
+                           query_parts=tuple(parts))
 
 
 class CandidateGenerator:

@@ -65,10 +65,10 @@ def partial_candidate_agg(batch: pa.Table) -> pa.Table:
     df = batch.select(["mention_key", "url", "mention_id", "surface",
                        "candidate_title", "qid", "rank", "proba",
                        "p1", "score"]).to_pandas()
-    g = df.groupby(["mention_key", "candidate_title"], sort=False)
+    g = df.groupby(["mention_key", "candidate_title", "qid"], sort=False)
     out = g.agg(
         url=("url", "first"), mention_id=("mention_id", "first"),
-        surface=("surface", "first"), qid=("qid", "first"),
+        surface=("surface", "first"),
         rank=("rank", "first"), proba=("proba", "first"),
         p1_max=("p1", "max"), score_sum=("score", "sum"),
         n_pairs=("p1", "size")).reset_index()
@@ -90,10 +90,14 @@ def _decide_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     empty = pd.DataFrame(columns=[f.name for f in LINK_SCHEMA])
     if df.empty:
         return empty
-    # merge partials that crossed batch boundaries
-    g = df.groupby(["mention_key", "candidate_title"], sort=False).agg(
+    # merge partials that crossed batch boundaries — keyed by ENTITY
+    # identity (title, qid), not title alone: titles are unique in a
+    # Wikipedia-style KB but the engine must not silently fuse two
+    # entities if a KB violates that
+    g = df.groupby(["mention_key", "candidate_title", "qid"],
+                   sort=False).agg(
         url=("url", "first"), mention_id=("mention_id", "first"),
-        surface=("surface", "first"), qid=("qid", "first"),
+        surface=("surface", "first"),
         rank=("rank", "min"), proba=("proba", "first"),
         p1_max=("p1_max", "max"), score_sum=("score_sum", "sum"),
         n_pairs=("n_pairs", "sum")).reset_index()
@@ -106,8 +110,9 @@ def _decide_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     g = g.loc[keep]
     if g.empty:
         return empty
-    g = g.sort_values(["mention_key", "proba_1", "rank", "candidate_title"],
-                      ascending=[True, False, True, True],
+    g = g.sort_values(["mention_key", "proba_1", "rank",
+                       "candidate_title", "qid"],
+                      ascending=[True, False, True, True, True],
                       kind="mergesort").reset_index(drop=True)
     g["out_rank"] = g.groupby("mention_key", sort=False).cumcount() \
         .to_numpy(dtype=np.int32)
