@@ -10,9 +10,12 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N, "pages": N,
    "pages_per_sec": ...}
 
-``--scaling``: runs the headline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
-N vs 4N nodes) and reports throughputs + scaling efficiency.
+``--scaling``: the two-cluster-size stand-in (driver instruction): the
+SAME job on the SAME input at num_cpus=8 and num_cpus=32 in fresh
+processes.  Uses a larger fixture (100k pages, cached) and a small
+warmup run per process so the measurement reflects throughput scaling
+rather than interpreter/worker spin-up, and reports both throughputs +
+efficiency = (T_lo/T_hi)/(hi/lo).
 """
 
 from __future__ import annotations
@@ -29,14 +32,32 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+SCALING_SPEC = dict(n_pages=100_000, n_entities=1500, n_gt_pairs=8000,
+                    n_files=64)
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _warmup():
+    """Spin up worker processes / imports with a tiny flagship run."""
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.fixtures.generator import FixtureSpec, \
+        materialize_fixture
+    from sbb_ned_ray.pipelines.ned import run_ned
+    tiny = materialize_fixture(
+        FixtureSpec(n_pages=64, n_entities=120, n_gt_pairs=50))
+    run_ned(tiny, PipelineConfig())
+
 
 def run_bench() -> dict:
     import ray
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    _init_ray(NUM_CPUS)
 
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -48,8 +69,8 @@ def run_bench() -> dict:
 
     pages_dir = pages_dir_for_sf(SF_DIR)
     # warm the OS page cache (untimed) so we measure compute, not cold disk
-    rd.read_parquet(os.path.join(pages_dir, "pages")).count()
     n_pages = rd.read_parquet(os.path.join(pages_dir, "pages")).count()
+    _warmup()
 
     timings: dict[str, float] = {}
 
@@ -88,30 +109,59 @@ def run_bench() -> dict:
     return result
 
 
+def _scaling_fixture() -> str:
+    from sbb_ned_ray.fixtures.generator import FixtureSpec, \
+        materialize_fixture
+    return materialize_fixture(FixtureSpec(**SCALING_SPEC))
+
+
+def run_scaling_child(ncpu: int) -> None:
+    import ray
+    _init_ray(ncpu)
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.pipelines.ned import run_ned
+    d = _scaling_fixture()
+    _warmup()
+    t0 = time.time()
+    links = run_ned(d, PipelineConfig())
+    wall = time.time() - t0
+    print(json.dumps({"num_cpus": ncpu, "sec": round(wall, 2),
+                      "pages": SCALING_SPEC["n_pages"],
+                      "n_links": int(len(links)),
+                      "pages_per_sec": round(
+                          SCALING_SPEC["n_pages"] / wall, 1)}))
+    ray.shutdown()
+
+
 def run_scaling() -> dict:
+    _scaling_fixture()  # generate once, outside any timing
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=REPO).stdout
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--scaling-child", str(ncpu)],
+            capture_output=True, text=True, check=True, cwd=REPO).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     return {
-        "metric": "scaling efficiency (num_cpus 8 vs 32, same input)",
+        "metric": ("scaling efficiency (num_cpus 8 vs 32, same "
+                   f"{SCALING_SPEC['n_pages']}-page input, warm workers)"),
         "num_cpus_lo": lo, "num_cpus_hi": hi,
-        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"],
         "pages_per_sec_lo": r_lo["pages_per_sec"],
         "pages_per_sec_hi": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR,
+        "pages": SCALING_SPEC["n_pages"],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -40,6 +40,16 @@ class PipelineConfig:
     scorer_concurrency: int = 4
     decide_partitions: int = 64     # hash buckets for the mention_key decide shuffle
     read_num_blocks: int | None = None   # override read parallelism; None → auto
+    # local pre-shuffle pruning: keep only the top-k candidates per mention
+    # (after the decide keep-predicate) in the fused worker.  EXACT for
+    # ranks < k because a mention's candidates are always batch-local;
+    # None emits the full ranked list (reference MAX_CANDIDATES shape).
+    emit_top_k: int | None = 5
+    # run the per-mention decision inside the fused task (no shuffle);
+    # exact for the same batch-locality reason — False restores the
+    # groupby(mention_key) exchange (required when mentions may span
+    # batches, e.g. externally-supplied mention Datasets)
+    local_decide: bool = True
 
     # --- misc ---
     seed: int = 42

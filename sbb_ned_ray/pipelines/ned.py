@@ -39,15 +39,20 @@ from sbb_ned_ray.state.alias_index import build_alias_index
 
 
 def _pool_size(cfg: PipelineConfig, reserve: int = 2) -> tuple[int, int]:
-    """Autoscaling actor-pool bounds: (1, ncpus − reserve).
+    """FIXED actor-pool size: (ncpus − reserve) on both bounds.
 
     The reserve keeps CPUs free for the read tasks and the decider
-    shuffle so the pool never starves them on a small node.
+    shuffle so the pool never starves them on a small node.  A fixed
+    pool (min == max) beats autoscaling here: the worker stage is the
+    whole pipeline's throughput, and Ray's lazy scale-up otherwise
+    processes much of the stream with a partially-ramped pool (observed
+    3-5× wall-time variance between identical runs).
     """
     if cfg.cpu_concurrency is not None:
-        return (1, cfg.cpu_concurrency)
+        return (cfg.cpu_concurrency, cfg.cpu_concurrency)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, ncpu - reserve))
+    cap = max(2, ncpu - reserve)
+    return (cap, cap)
 
 
 def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
@@ -81,11 +86,19 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
                            override_num_blocks=nblocks)
 
     if not split_scorer:
-        from sbb_ned_ray.stages.fused import NedWorker
+        from sbb_ned_ray.stages.fused import ned_task_fn
+        # TASK pool (not actors): per-worker-process state caching in
+        # ned_task_fn gives the same once-per-worker index/evidence
+        # setup while avoiding the actor-pool startup cliff
+        if cfg.local_decide:
+            # decision fused into the task — zero-shuffle flagship path
+            # (exact: mentions are batch-local; see ned_task_fn)
+            return pages.map_batches(
+                ned_task_fn(index_ref, cfg, decide_local=True),
+                batch_format="pyarrow", batch_size=cfg.batch_size)
         partials = pages.map_batches(
-            NedWorker, fn_constructor_args=(index_ref, cfg),
-            batch_format="pyarrow", batch_size=cfg.batch_size,
-            concurrency=conc)
+            ned_task_fn(index_ref, cfg),
+            batch_format="pyarrow", batch_size=cfg.batch_size)
         return decide_from_partials(partials, cfg)
 
     pages = extracted_pages(pages)

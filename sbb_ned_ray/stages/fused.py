@@ -167,7 +167,7 @@ class FusedPairScorer:
             n_pairs[i] = len(ev)
             keys.append(f"{ka[0]}\x1f{ka[1]}")
         p1_max = 1.0 / (1.0 + np.exp(-raw_max))
-        return pa.table({
+        out = pa.table({
             "mention_key": pa.array(keys, pa.string()),
             "candidate_title": pa.array(col["candidate_title"], pa.string()),
             "url": pa.array(col["url"], pa.string()),
@@ -180,6 +180,38 @@ class FusedPairScorer:
             "score_sum": pa.array(raw_sum, pa.float64()),
             "n_pairs": pa.array(n_pairs, pa.int64()),
         }, schema=PARTIAL_SCHEMA)
+        if self.config.emit_top_k is not None:
+            out = self._prune_top_k(out, self.config.emit_top_k)
+        return out
+
+    def _prune_top_k(self, partials: pa.Table, k: int) -> pa.Table:
+        """Local pre-shuffle pruning (exact for ranks < k).
+
+        A mention's candidates are ALWAYS in one batch (pages are the
+        batch unit and mentions are page-local), so applying the decide
+        keep-predicate (p1 ≥ threshold OR exact surface==title match)
+        and keeping the top-k by the decide sort keys here produces the
+        same ranks < k as the global groupby would — while shrinking the
+        shuffle from max_candidates× to k× the mention count.
+        """
+        import pandas as pd
+
+        from sbb_ned_ray.stages.decider import _map_unique
+
+        df = partials.to_pandas()
+        surf_keys = _map_unique(df["surface"], normalized_surface_key)
+        title_keys = _map_unique(
+            df["candidate_title"],
+            lambda t: normalized_surface_key(t.replace("_", " ")))
+        keep = (df["p1_max"].to_numpy() >= self.config.threshold) \
+            | (surf_keys == title_keys)
+        df = df.loc[keep]
+        df = df.sort_values(
+            ["mention_key", "p1_max", "rank", "candidate_title", "qid"],
+            ascending=[True, False, True, True, True], kind="mergesort")
+        df = df.groupby("mention_key", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(PARTIAL_SCHEMA)
 
 
 def empty_partials() -> pa.Table:
@@ -208,3 +240,46 @@ class NedWorker:
             return empty_partials()
         cands = self.candidates(mentions)
         return self.pair_scorer(cands, mentions)
+
+
+# Worker-process-global NedWorker cache for the TASK-pool execution path.
+# Ray task workers are long-lived processes; caching the constructed
+# worker (broadcast index deserialized, evidence/vocab caches warm) per
+# process gives actor-like state reuse WITHOUT an actor pool's startup
+# cliff (spawning N actors costs seconds and Ray's autoscaling ramp adds
+# multi-× wall-time variance on short jobs; plain tasks reuse already-
+# warm workers instantly and scale to every free CPU).
+_WORKER_CACHE: dict = {}
+
+
+def ned_task_fn(index_ref, config: PipelineConfig,
+                decide_local: bool = False):
+    """Build a picklable per-batch fn for ``map_batches`` (task pool).
+
+    ``decide_local=True`` additionally runs the per-mention decision
+    INSIDE the task and emits final ranked links, eliminating the
+    ``groupby(mention_key)`` shuffle entirely.  This is exact — not an
+    approximation — because a mention's candidate partials always come
+    from the single batch holding its page (mentions are page-local and
+    ``map_batches`` never splits a row): the cross-batch merge in
+    ``_decide_partition`` has nothing to merge.  Ray Data reserves
+    executor resources for all-to-all operators, so dropping the
+    shuffle also returns those CPUs to the map stage.  Equality with
+    the shuffle path is asserted in tests/test_e2e_ray.py.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
+               config)
+        w = _WORKER_CACHE.get(key)
+        if w is None:
+            _WORKER_CACHE.clear()   # one live pipeline config per worker
+            w = NedWorker(index_ref, config)
+            _WORKER_CACHE[key] = w
+        partials = w(batch)
+        if not decide_local:
+            return partials
+        from sbb_ned_ray.stages.decider import LINK_SCHEMA, _decide_partition
+        links = _decide_partition(partials.to_pandas(), config.threshold)
+        return pa.Table.from_pandas(links, preserve_index=False) \
+            .cast(LINK_SCHEMA) if len(links) else LINK_SCHEMA.empty_table()
+    return fn

@@ -27,3 +27,17 @@ def test_flagship_deterministic(tiny_fixture_dir):
         ["mention_key"]).reset_index(drop=True)
     assert a[["mention_key", "qid", "cluster_id"]].equals(
         b[["mention_key", "qid", "cluster_id"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_decide_equals_shuffle_decide(tiny_fixture_dir):
+    """The zero-shuffle fused decision (local_decide=True, default) must
+    equal the groupby(mention_key) shuffle path row-for-row."""
+    import dataclasses
+    local = run_ned(tiny_fixture_dir, PipelineConfig())
+    shuffled = run_ned(tiny_fixture_dir, dataclasses.replace(
+        PipelineConfig(), local_decide=False))
+    cols = ["url", "mention_id", "qid", "candidate_title", "cluster_id"]
+    a = local[cols].sort_values(cols[:3]).reset_index(drop=True)
+    b = shuffled[cols].sort_values(cols[:3]).reset_index(drop=True)
+    assert a.equals(b)

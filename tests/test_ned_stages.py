@@ -149,7 +149,8 @@ def test_fused_scorer_equals_staged_path(ned_ctx):
 
     from sbb_ned_ray.stages.fused import FusedPairScorer
 
-    cfg = ned_ctx["cfg"]
+    import dataclasses
+    cfg = dataclasses.replace(ned_ctx["cfg"], emit_top_k=None)
     found = _detect(ned_ctx)
     mentions = pa.Table.from_pandas(found, preserve_index=False)
     cands = CandidateGenerator(ned_ctx["index"], cfg)(mentions)
@@ -190,3 +191,34 @@ def test_scorer_cached_equals_score_batch(ned_ctx):
         pairs["end_a"].to_pylist(), pairs["tok_b"].to_pylist(),
         pairs["pos_b"].to_pylist(), pairs["end_b"].to_pylist())
     assert np.allclose(cached, plain, atol=1e-12)
+
+
+def test_emit_top_k_preserves_top_ranks(ned_ctx):
+    """Local pre-shuffle pruning (emit_top_k) must not change the
+    decided ranks < k — only truncate deeper ones."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.decider import _decide_partition
+    from sbb_ned_ray.stages.fused import FusedPairScorer
+
+    cfg_full = dataclasses.replace(ned_ctx["cfg"], emit_top_k=None)
+    cfg_k = dataclasses.replace(ned_ctx["cfg"], emit_top_k=3)
+    found = _detect(ned_ctx)
+    mentions = pa.Table.from_pandas(found, preserve_index=False)
+    cands = CandidateGenerator(ned_ctx["index"], cfg_full)(mentions) \
+        .drop_columns(["sent_tokens"])
+
+    full = _decide_partition(
+        FusedPairScorer(ned_ctx["index"], cfg_full)(cands, mentions)
+        .to_pandas(), cfg_full.threshold)
+    pruned = _decide_partition(
+        FusedPairScorer(ned_ctx["index"], cfg_k)(cands, mentions)
+        .to_pandas(), cfg_k.threshold)
+
+    full3 = full[full.out_rank < 3].sort_values(
+        ["mention_key", "out_rank"]).reset_index(drop=True)
+    pruned3 = pruned[pruned.out_rank < 3].sort_values(
+        ["mention_key", "out_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full3, pruned3)
