@@ -447,6 +447,216 @@ def doc_fingerprints(sf_dir: str):
         .drop_columns(["fingerprints"])
 
 
+def embedding_neardup(sf_dir: str, cos_threshold: float = 0.45):
+    """Embedding-cosine near-dup pairs, EXACT: blocked matmul of each
+    batch against the broadcast full unit matrix (the brute-force
+    baseline; the LSH-bucketed scale path is stages/dedup.embedding_dedup).
+    Threshold calibrated to the synthetic embeddings (max off-diag
+    cosine ≈ 0.51)."""
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    full = emb.to_pandas().sort_values("vec_id")
+    ids = full.vec_id.to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in full.embedding])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((ids, M))
+
+    class Block:
+        def __init__(self, r):
+            self.ids, self.M = ray.get(r) if isinstance(r, ray.ObjectRef) \
+                else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            B = np.array([np.asarray(v, dtype=np.float64)
+                          for v in t["embedding"].to_pylist()])
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            cos = B @ self.M.T
+            ii, jj = np.nonzero(cos >= cos_threshold)
+            keep = bids[ii] < self.ids[jj]     # upper triangle only
+            ii, jj = ii[keep], jj[keep]
+            return pa.table({
+                "id_a": pa.array(bids[ii], pa.int64()),
+                "id_b": pa.array(self.ids[jj], pa.int64()),
+                "cos_e6": pa.array(
+                    np.floor(cos[ii, jj] * 1e6 + 0.5).astype(np.int64),
+                    pa.int64()),
+            })
+
+    out = emb.map_batches(Block, fn_constructor_args=(ref,),
+                          batch_format="pyarrow",
+                          concurrency=(1, 4)).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(FLOOR(list_cosine_similarity(
+           a.embedding::DOUBLE[], b.embedding::DOUBLE[])*1000000 + 0.5)
+           AS BIGINT) AS cos_e6
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def ngram_jaccard_docs(sf_dir: str, n: int = 4, query_doc: int = 0):
+    """char-n-gram Jaccard of every document against a query document
+    (the dedup verify kernel as a first-class scoring op): query n-gram
+    set broadcast once, per-batch set ops."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+
+    def grams(s: str) -> frozenset:
+        # plain sliding n-grams, matching the SQL oracle exactly (the
+        # MinHash stages use the padded variant in functions.hashing)
+        s = s.lower()
+        return frozenset(s[i:i + n] for i in range(max(0, len(s) - n + 1)))
+
+    qtext = docs.filter(lambda r: r["doc_id"] == query_doc) \
+        .to_pandas().text.iloc[0]
+    qref = ray.put(grams(qtext))
+
+    class Jac:
+        def __init__(self, r):
+            self.q = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            for txt in t["text"].to_pylist():
+                s = grams(txt)
+                u = len(s | self.q)
+                out.append(int(np.floor(1e6 * len(s & self.q) / u + 0.5))
+                           if u else None)
+            return pa.table({"doc_id": t["doc_id"],
+                             "jaccard_e6": pa.array(out, pa.int64())})
+
+    return docs.map_batches(Jac, fn_constructor_args=(qref,),
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), i, 4)
+                        FOR i IN range(1, greatest(1, length(text)-2))])
+             AS ngrams
+  FROM documents
+), qd AS (SELECT ngrams AS qn FROM g WHERE doc_id = 0)
+SELECT g.doc_id,
+       CAST(FLOOR(1000000.0 * len(list_intersect(g.ngrams, qd.qn))
+            / NULLIF(len(list_distinct(list_concat(g.ngrams, qd.qn))), 0)
+            + 0.5) AS BIGINT) AS jaccard_e6
+FROM g, qd
+"""
+
+
+def train_test_split_docs(sf_dir: str):
+    """Deterministic md5-hash train/test split (reference
+    ned-train-test-split, cli.py:748-773, made content-keyed)."""
+    from sbb_ned_ray.stages.training import split_by_hash
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(split_by_hash, batch_format="pyarrow")
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 10 < 8
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def ned_training_pairs(sf_dir: str):
+    """Labeled good/bad training pairs (reference ned-pairing semantics;
+    rows-only check — sampling is seeded per mention)."""
+    from sbb_ned_ray.stages.training import training_pairs_ds
+    pages_dir = pages_dir_for_sf(sf_dir)
+    return training_pairs_ds(pages_dir, PipelineConfig()) \
+        .select_columns(["mention_key", "candidate_title", "qid", "label",
+                         "pair_no"])
+
+
+def media_decode(sf_dir: str):
+    """Multimodal plumbing: documents → synthetic binary media rows →
+    decode/feature actor stage (deterministic fake decode; schema and
+    batch sizing are the real thing)."""
+    from sbb_ned_ray.stages.multimodal import ImageDecodeStage
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [txt.encode("utf-8") for txt in t["text"].to_pylist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(
+                ["image/png" if i % 2 == 0 else "audio/wav" for i in ids],
+                pa.string()),
+        })
+
+    return rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(to_media, batch_format="pyarrow") \
+        .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4)) \
+        .drop_columns(["feature"])
+
+
+def parse_ner_mentions(sf_dir: str):
+    """BIO-tag parsing of NER-tagged token streams (reference /parse,
+    webapp/app.py:227-286) over a deterministic NER fixture derived from
+    the gold mentions (rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.stages.mentions import parse_ner_batch
+
+    pages_dir = pages_dir_for_sf(sf_dir)
+    gm = pq.read_table(f"{pages_dir}/mentions_gt.parquet").to_pandas()
+    pages = rd.read_parquet(f"{pages_dir}/pages", columns=["url", "text"])
+    spans = {}
+    for r in gm.itertuples():
+        spans.setdefault((r.url, r.sent_no), []).append(
+            (r.tok_start, r.tok_end, r.type, r.qid))
+    spans_ref = ray.put(spans)
+
+    class ToNer:
+        def __init__(self, ref):
+            self.spans = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+                else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            urls, sents, toks = [], [], []
+            for url, text in zip(t["url"].to_pylist(),
+                                 t["text"].to_pylist()):
+                for sent_no, line in enumerate(text.split("\n")):
+                    words = line.split(" ")
+                    tags = ["O"] * len(words)
+                    gts: list[str | None] = [None] * len(words)
+                    for (a, b, etype, qid) in \
+                            self.spans.get((url, sent_no), []):
+                        for i in range(a, min(b, len(words))):
+                            tags[i] = ("B-" if i == a else "I-") + etype
+                            gts[i] = qid
+                    urls.append(url)
+                    sents.append(sent_no)
+                    toks.append([{"word": w, "prediction": p, "gt": g}
+                                 for w, p, g in zip(words, tags, gts)])
+            return pa.table({
+                "url": pa.array(urls, pa.string()),
+                "sent_no": pa.array(sents, pa.int32()),
+                "tokens": pa.array(toks),
+            })
+
+    return pages.map_batches(ToNer, fn_constructor_args=(spans_ref,),
+                             batch_format="pyarrow",
+                             concurrency=(1, 4)) \
+        .map_batches(parse_ner_batch, batch_format="pyarrow") \
+        .drop_columns(["sent_tokens"])
+
+
 # ---------------------------------------------------------------------------
 # NED pipeline queries (synthetic pages scaled to the sf level;
 # non-SQL-expressible → rows-only driver checks)
@@ -517,6 +727,12 @@ QUERIES = {
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "doc_fingerprints": doc_fingerprints,
+    "embedding_neardup": embedding_neardup,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "train_test_split_docs": train_test_split_docs,
+    "ned_training_pairs": ned_training_pairs,
+    "media_decode": media_decode,
+    "parse_ner_mentions": parse_ner_mentions,
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,
@@ -536,4 +752,7 @@ ORACLE_SQL = {
     "lang_id": ORACLE_LANG_ID,
     "exact_dedup_docs": ORACLE_EXACT_DEDUP,
     "knn_cosine": ORACLE_KNN,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,
+    "train_test_split_docs": ORACLE_TRAIN_TEST_SPLIT,
 }

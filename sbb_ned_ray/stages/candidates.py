@@ -25,12 +25,14 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from sbb_ned_ray.config import PipelineConfig
 from sbb_ned_ray.functions.normalization import filter_surface, normalize_chars
 from sbb_ned_ray.state.alias_index import AliasIndex
 
 CANDIDATE_SCHEMA = pa.schema([
+    ("mention_row", pa.int64()),   # row index into the source mentions batch
     ("url", pa.string()),
     ("mention_id", pa.string()),
     ("surface", pa.string()),
@@ -141,41 +143,71 @@ class CandidateGenerator:
         self.include_tokens = include_tokens
         self._cache: dict[str, list] = {}
 
+    def _ranked_arrays(self, surface: str):
+        """Cached per-surface ranked candidates as numpy columns
+        (eids, dist, uniq, cov, proba, rank)."""
+        arr = self._cache.get(surface)
+        if arr is None:
+            ranked = generate_candidates_for_surface(
+                surface, self.index, self.config)
+            if ranked:
+                eids, dist, uniq, cov, proba, rank = \
+                    (np.asarray(c) for c in zip(*ranked))
+            else:
+                eids = np.zeros(0, dtype=np.int64)
+                dist = uniq = cov = proba = np.zeros(0)
+                rank = np.zeros(0, dtype=np.int64)
+            arr = (eids.astype(np.int64), dist.astype(np.float64),
+                   uniq.astype(np.float64), cov.astype(np.float64),
+                   proba.astype(np.float64), rank.astype(np.int32))
+            if len(self._cache) > 100_000:
+                self._cache.clear()
+            self._cache[surface] = arr
+        return arr
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx = self.index
-        cfg = self.config
         schema = CANDIDATE_SCHEMA if self.include_tokens else \
             _SCHEMA_NO_TOKENS
-        cols = {k: [] for k in schema.names}
-        toks_list = (batch["sent_tokens"].to_pylist()
-                     if self.include_tokens else None)
-        for row_no, (url, mid, surface, mtype) in enumerate(zip(
-                batch["url"].to_pylist(), batch["mention_id"].to_pylist(),
-                batch["surface"].to_pylist(), batch["type"].to_pylist())):
-            ranked = self._cache.get(surface)
-            if ranked is None:
-                ranked = generate_candidates_for_surface(surface, idx, cfg)
-                if len(self._cache) > 100_000:
-                    self._cache.clear()
-                self._cache[surface] = ranked
-            for (eid, dist, uniq, cov, proba, rank) in ranked:
-                cols["url"].append(url)
-                cols["mention_id"].append(mid)
-                cols["surface"].append(surface)
-                cols["type"].append(mtype)
-                if toks_list is not None:
-                    cols["sent_tokens"].append(toks_list[row_no])
-                cols["cand_entity"].append(eid)
-                cols["candidate_title"].append(idx.titles[eid])
-                cols["qid"].append(idx.qids[eid])
-                cols["dist"].append(dist)
-                cols["match_uniqueness"].append(uniq)
-                cols["match_coverage"].append(cov)
-                cols["proba"].append(proba)
-                cols["rank"].append(rank)
-        return pa.table(
-            {name: pa.array(cols[name], schema.field(name).type)
-             for name in schema.names})
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        surfaces = batch["surface"].to_pylist()
+        per_row = [self._ranked_arrays(s) for s in surfaces]
+        counts = np.fromiter((len(a[0]) for a in per_row),
+                             dtype=np.int64, count=n)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        take_rows = pa.array(row_idx, pa.int64())
+        eids = np.concatenate([a[0] for a in per_row]) if n else \
+            np.zeros(0, dtype=np.int64)
+        if not hasattr(idx, "_titles_arr"):
+            idx._titles_arr = pa.array(idx.titles, pa.string())
+            idx._qids_arr = pa.array(idx.qids, pa.string())
+        eid_arr = pa.array(eids, pa.int64())
+        data = {
+            "mention_row": take_rows,   # row index into the mentions batch
+            "url": batch["url"].take(take_rows),
+            "mention_id": batch["mention_id"].take(take_rows),
+            "surface": batch["surface"].take(take_rows),
+            "type": batch["type"].take(take_rows),
+            "cand_entity": eid_arr,
+            "candidate_title": pc.take(idx._titles_arr, eid_arr),
+            "qid": pc.take(idx._qids_arr, eid_arr),
+            "dist": pa.array(np.concatenate([a[1] for a in per_row]),
+                             pa.float64()),
+            "match_uniqueness": pa.array(
+                np.concatenate([a[2] for a in per_row]), pa.float64()),
+            "match_coverage": pa.array(
+                np.concatenate([a[3] for a in per_row]), pa.float64()),
+            "proba": pa.array(np.concatenate([a[4] for a in per_row]),
+                              pa.float64()),
+            "rank": pa.array(
+                np.concatenate([a[5] for a in per_row]).astype(np.int32),
+                pa.int32()),
+        }
+        if self.include_tokens:
+            data["sent_tokens"] = batch["sent_tokens"].take(take_rows)
+        return pa.table({name: data[name] for name in schema.names})
 
 
 def generate_candidates(mentions_ds, index_ref,

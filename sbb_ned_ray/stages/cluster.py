@@ -113,10 +113,22 @@ def label_propagation_components(edges_ds: ray.data.Dataset,
 
 def cluster_links(links_df: pd.DataFrame) -> pd.DataFrame:
     """mention→qid links (driver-side frame) → mention clusters via
-    union-find over the bipartite mention↔qid edges."""
+    union-find over the bipartite mention↔qid edges.
+
+    Fast path: with top-1 links every mention has degree 1, so a
+    component is exactly one qid's mention set and the union-find
+    representative (lexicographically smallest member; ``m:`` sorts
+    before ``q:``) is the minimum mention_key of that qid — a
+    vectorized groupby-min.  The general union-find handles multi-link
+    inputs; equality of the two paths is unit-tested.
+    """
+    links_df = links_df.copy()
+    if links_df["mention_key"].is_unique:
+        reps = links_df.groupby("qid")["mention_key"].transform("min")
+        links_df["cluster_id"] = "m:" + reps
+        return links_df
     edges = [(f"m:{k}", f"q:{q}")
              for k, q in zip(links_df["mention_key"], links_df["qid"])]
     comp = driver_union_find(edges)
-    links_df = links_df.copy()
     links_df["cluster_id"] = [comp[f"m:{k}"] for k in links_df["mention_key"]]
     return links_df

@@ -81,6 +81,9 @@ class FusedPairScorer:
         # eid -> [(ctx_bitmask, span_key), ...] per evidence window
         self._ev_cache: dict[int, list[tuple[int, str]]] = {}
         self._surf_toks: dict[str, list[str]] = {}
+        # compact per-entity evidence (indexed fast path)
+        self._tok_id: dict[str, int] = {}
+        self._ev_small_cache: dict[int, tuple] = {}
 
     def _evidence_masks(self, eid: int) -> list[tuple[int, str]]:
         ev = self._ev_cache.get(eid)
@@ -121,6 +124,127 @@ class FusedPairScorer:
         n = cands.num_rows
         if n == 0:
             return empty_partials()
+        if mentions is not None and "mention_row" in cands.column_names:
+            out = self._call_indexed(cands, mentions)
+        else:
+            out = self._call_generic(cands, mentions)
+        if self.config.emit_top_k is not None:
+            out = self._prune_top_k(out, self.config.emit_top_k)
+        return out
+
+    def _evidence_small(self, eid: int):
+        """Per-entity compact evidence: the union of its windows' context
+        tokens gets ≤~12 LOCAL bit positions; each window is a small int
+        mask over them.  Per (mention, entity) the matched-context bits
+        are computed once (≤12 membership tests), then each window's
+        overlap is one tiny-int AND+popcount — unlike the global-vocab
+        masks whose AND cost grows with every entity seen."""
+        ev = self._ev_small_cache.get(eid)
+        if ev is None:
+            tok_id = self._tok_id
+            tid_bit: dict[int, int] = {}
+            win_masks: list[int] = []
+            key_b = ""
+            for tok_b, pos_b, end_b in \
+                    evidence_sentences(self.index, eid)[:self.limit]:
+                m = 0
+                for t in tok_b[end_b:]:
+                    tid = tok_id.setdefault(t, len(tok_id))
+                    m |= 1 << tid_bit.setdefault(tid, len(tid_bit))
+                for t in tok_b[:pos_b]:
+                    tid = tok_id.setdefault(t, len(tok_id))
+                    m |= 1 << tid_bit.setdefault(tid, len(tid_bit))
+                win_masks.append(m)
+                key_b = normalized_surface_key(" ".join(tok_b[pos_b:end_b]))
+            ev = (tuple(tid_bit.items()), tuple(win_masks), key_b)
+            self._ev_small_cache[eid] = ev
+        return ev
+
+    def _call_indexed(self, cands: pa.Table, mentions: pa.Table) -> pa.Table:
+        """Fast path: candidate rows carry ``mention_row`` (index into
+        the mentions batch) and arrive grouped per mention — string
+        columns pass through as Arrow, mention state is computed once
+        per mention, and per-window scoring uses compact per-entity
+        bitmasks (:meth:`_evidence_small`)."""
+        n = cands.num_rows
+        eids = cands["cand_entity"].to_numpy(zero_copy_only=False)
+        mrow = cands["mention_row"].to_numpy(zero_copy_only=False)
+        ev_of = {int(e): self._evidence_small(int(e))
+                 for e in np.unique(eids)}
+        m_urls = mentions["url"].to_pylist()
+        m_mids = mentions["mention_id"].to_pylist()
+        m_surfs = mentions["surface"].to_pylist()
+        m_toks = mentions["sent_tokens"].to_pylist()
+        tok_id_get = self._tok_id.get
+        m_entry: dict[int, tuple[set, str]] = {}
+        raw_max = np.empty(n, dtype=np.float64)
+        raw_sum = np.empty(n, dtype=np.float64)
+        n_pairs = np.empty(n, dtype=np.int64)
+        # contiguous runs of one mention
+        bounds = np.flatnonzero(np.diff(mrow)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        key_per_run = []
+        for a, b in zip(starts, ends):
+            r = int(mrow[a])
+            ent = m_entry.get(r)
+            if ent is None:
+                ta = m_toks[r]
+                surface = m_surfs[r]
+                st = self._surf_toks.get(surface)
+                if st is None:
+                    st = [t for t in (normalize_token(x)
+                                      for x in surface.split(" ")) if t]
+                    self._surf_toks[surface] = st
+                pos_a, end_a = locate_entity(ta, st)
+                ids = set()
+                for t in set(ta):
+                    tid = tok_id_get(t)
+                    if tid is not None:
+                        ids.add(tid)
+                ent = (ids, normalized_surface_key(
+                    " ".join(ta[pos_a:end_a])))
+                m_entry[r] = ent
+            mention_ids, key_a = ent
+            key_per_run.append(f"{m_urls[r]}\x1f{m_mids[r]}")
+            for i in range(a, b):
+                ctx_bits, win_masks, key_b = ev_of[int(eids[i])]
+                matched = 0
+                for tid, bit in ctx_bits:
+                    if tid in mention_ids:
+                        matched |= 1 << bit
+                base = -2.0 + (0.25 if key_a and key_a == key_b else 0.0)
+                best = -np.inf
+                tot = 0.0
+                for wm in win_masks:
+                    s = 4.0 * min((matched & wm).bit_count(), 3) + base
+                    if s > best:
+                        best = s
+                    tot += s
+                raw_max[i] = best
+                raw_sum[i] = tot
+                n_pairs[i] = len(win_masks)
+        run_lens = ends - starts
+        keys = pa.array(np.repeat(np.array(key_per_run, dtype=object),
+                                  run_lens), pa.string())
+        p1_max = 1.0 / (1.0 + np.exp(-raw_max))
+        return pa.table({
+            "mention_key": keys,
+            "candidate_title": cands["candidate_title"].combine_chunks(),
+            "url": cands["url"].combine_chunks(),
+            "mention_id": cands["mention_id"].combine_chunks(),
+            "surface": cands["surface"].combine_chunks(),
+            "qid": cands["qid"].combine_chunks(),
+            "rank": cands["rank"].combine_chunks(),
+            "proba": cands["proba"].combine_chunks(),
+            "p1_max": pa.array(p1_max, pa.float64()),
+            "score_sum": pa.array(raw_sum, pa.float64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+        }).cast(PARTIAL_SCHEMA)
+
+    def _call_generic(self, cands: pa.Table,
+                      mentions: pa.Table | None) -> pa.Table:
+        n = cands.num_rows
         names = ("url", "mention_id", "surface", "cand_entity",
                  "candidate_title", "qid", "rank", "proba")
         col = {name: cands[name].to_pylist() for name in names}
@@ -167,7 +291,7 @@ class FusedPairScorer:
             n_pairs[i] = len(ev)
             keys.append(f"{ka[0]}\x1f{ka[1]}")
         p1_max = 1.0 / (1.0 + np.exp(-raw_max))
-        out = pa.table({
+        return pa.table({
             "mention_key": pa.array(keys, pa.string()),
             "candidate_title": pa.array(col["candidate_title"], pa.string()),
             "url": pa.array(col["url"], pa.string()),
@@ -180,9 +304,6 @@ class FusedPairScorer:
             "score_sum": pa.array(raw_sum, pa.float64()),
             "n_pairs": pa.array(n_pairs, pa.int64()),
         }, schema=PARTIAL_SCHEMA)
-        if self.config.emit_top_k is not None:
-            out = self._prune_top_k(out, self.config.emit_top_k)
-        return out
 
     def _prune_top_k(self, partials: pa.Table, k: int) -> pa.Table:
         """Local pre-shuffle pruning (exact for ranks < k).
