@@ -67,6 +67,18 @@ def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
     (``decider.py:47-48``).  Without it, a flood of distance-tied fuzzy
     parts can push every exact match past the ``max_candidates`` cut.
     """
+    return rank_hits(hits, config, exact_ids, query_parts,
+                     get_len=lambda e: len(index.titles[e]),
+                     get_proba=lambda e: float(index.probas[e]))
+
+
+def rank_hits(hits, config: PipelineConfig,
+              exact_ids: frozenset[int] = frozenset(),
+              query_parts: tuple[str, ...] = (),
+              get_len=None, get_proba=None):
+    """Core ranking over (entity, part, dist) hits — metadata access via
+    callables so both the broadcast path (AliasIndex lookups) and the
+    co-shuffle path (columns carried through the join) share it."""
     if not hits and not exact_ids:
         return []
     total_hits = float(max(1, len(hits)))
@@ -91,11 +103,10 @@ def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
     for eid, parts in per_entity.items():
         uniq = sum(total_hits / part_hit_count.get(p, 1) for p in parts) \
             * len(parts)
-        coverage = float(len(index.titles[eid])) / max(
-            1, sum(len(p) for p in parts))
+        tlen = get_len(eid)
+        coverage = float(tlen) / max(1, sum(len(p) for p in parts))
         dist = max(parts.values())
-        rows.append((eid, dist, uniq, coverage,
-                     float(index.probas[eid]), len(index.titles[eid])))
+        rows.append((eid, dist, uniq, coverage, get_proba(eid), tlen))
     # sort: exact-surface first, then match_uniqueness desc, dist asc,
     # proba desc, match_coverage asc, len_guessed asc (index.py:200-205);
     # entity id as final stable tiebreak

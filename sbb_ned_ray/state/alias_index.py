@@ -157,7 +157,11 @@ class AliasIndex:
         keep = dists < max_dist
         pids, dists = pids[keep], dists[keep]
         if pids.size > search_k:
-            order = np.argsort(dists, kind="stable")[:search_k]
+            # tie-break by part STRING (content-based, reproducible by the
+            # co-shuffle blocking path) — not by insertion-order pid
+            part_strs = [self.part_list[int(p)] for p in pids]
+            order = sorted(range(pids.size),
+                           key=lambda i: (dists[i], part_strs[i]))[:search_k]
             pids, dists = pids[order], dists[order]
         # expand parts → entities, keeping min dist per entity
         ent_dist: dict[int, float] = {}

@@ -1,0 +1,94 @@
+"""Co-shuffle (large-KB) blocking path: exact parity with the broadcast
+CandidateGenerator, plus the salted attach join."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sbb_ned_ray.config import PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def blocking_ctx(tiny_fixture_dir):
+    kb = pq.read_table(f"{tiny_fixture_dir}/kb_entities.parquet")
+    cfg = PipelineConfig()
+    return {"kb": kb, "cfg": cfg, "dir": tiny_fixture_dir}
+
+
+def _mentions(ctx):
+    from sbb_ned_ray.state.alias_index import build_alias_index
+    from sbb_ned_ray.stages.extract import extract_text_batch
+    from sbb_ned_ray.stages.mentions import MentionDetector
+
+    index = build_alias_index(ctx["kb"], ctx["cfg"])
+    pages = pq.read_table(f"{ctx['dir']}/pages")
+    return index, MentionDetector(index)(extract_text_batch(pages))
+
+
+def test_shuffle_blocking_matches_broadcast(ray_session, blocking_ctx):
+    import ray.data
+
+    from sbb_ned_ray.stages.blocking import ranked_candidates_via_shuffle
+    from sbb_ned_ray.stages.candidates import CandidateGenerator
+
+    cfg = blocking_ctx["cfg"]
+    index, mentions = _mentions(blocking_ctx)
+
+    bc = CandidateGenerator(index, cfg, include_tokens=False)(mentions) \
+        .to_pandas()
+    bc_ranked = bc.drop_duplicates(
+        subset=["surface", "candidate_title", "qid"])[
+        ["surface", "qid", "candidate_title", "rank", "dist",
+         "match_uniqueness", "match_coverage", "proba"]] \
+        .sort_values(["surface", "rank"]).reset_index(drop=True)
+
+    mentions_ds = ray.data.from_arrow(
+        mentions.select(["url", "mention_id", "surface"]))
+    sh = ranked_candidates_via_shuffle(
+        mentions_ds, blocking_ctx["kb"], cfg).to_pandas()
+    sh_ranked = sh[["surface", "qid", "candidate_title", "rank", "dist",
+                    "match_uniqueness", "match_coverage", "proba"]] \
+        .sort_values(["surface", "rank"]).reset_index(drop=True)
+
+    assert len(bc_ranked) == len(sh_ranked), \
+        f"row counts differ: {len(bc_ranked)} vs {len(sh_ranked)}"
+    for col in ("surface", "qid", "candidate_title", "rank"):
+        assert (bc_ranked[col].to_numpy() == sh_ranked[col].to_numpy()) \
+            .all(), col
+    import numpy as np
+    for col in ("match_uniqueness", "match_coverage", "proba"):
+        assert np.allclose(bc_ranked[col], sh_ranked[col], atol=1e-9), col
+    # dist: float32 matrix@vector (broadcast) vs vector·vector (shuffle)
+    # differ in the last bits only
+    assert np.allclose(bc_ranked["dist"], sh_ranked["dist"], atol=1e-5)
+
+
+def test_salted_attach_join(ray_session, blocking_ctx):
+    import ray.data
+
+    from sbb_ned_ray.stages.blocking import (
+        attach_candidates_salted,
+        ranked_candidates_via_shuffle,
+    )
+
+    cfg = blocking_ctx["cfg"]
+    _, mentions = _mentions(blocking_ctx)
+    mentions_ds = ray.data.from_arrow(
+        mentions.select(["url", "mention_id", "surface"]))
+    ranked = ranked_candidates_via_shuffle(
+        mentions_ds, blocking_ctx["kb"], cfg)
+    joined = attach_candidates_salted(mentions_ds, ranked, salt=4) \
+        .to_pandas()
+
+    # every (mention, candidate) appears exactly once despite the
+    # salt-replication of the candidate side
+    assert not joined.duplicated(
+        subset=["url", "mention_id", "candidate_title", "qid"]).any()
+    # per-mention candidate count equals the per-surface ranked count
+    per_surface = ranked.to_pandas().groupby("surface").size()
+    md = mentions.to_pandas()
+    expected = int(md["surface"].map(per_surface).fillna(0).sum())
+    assert len(joined) == expected

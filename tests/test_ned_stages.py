@@ -222,3 +222,36 @@ def test_emit_top_k_preserves_top_ranks(ned_ctx):
     pruned3 = pruned[pruned.out_rank < 3].sort_values(
         ["mention_key", "out_rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(full3, pruned3)
+
+
+def test_decider_features_semantics():
+    """Feature-parity path (reference models/decider.py:82-167):
+    case stats over one candidate's pairs, overall stats over ALL OTHER
+    candidates' pairs, diff = case - overall, among_top rank fractions."""
+    import numpy as np
+
+    from sbb_ned_ray.stages.decider import decider_features
+
+    decision = pd.DataFrame({
+        "guessed_title": ["A", "A", "B", "B", "B", "C"],
+        "scores": [3.0, 1.0, 2.0, 0.5, -1.0, 4.0],
+    })
+    candidates = pd.DataFrame({
+        "guessed_title": ["A", "B", "C"],
+        "proba": [0.5, 0.3, 0.2],
+    })
+    feats = decider_features(decision, candidates)
+    assert len(feats) == 3
+    fa = feats[feats.guessed_title == "A"].iloc[0]
+    # case stats of A's scores [3, 1]
+    assert fa["case_scores_min"] == 1.0
+    assert fa["case_scores_max"] == 3.0
+    assert fa["case_scores_mean"] == 2.0
+    # overall = the OTHER candidates' pairs: [2.0, 0.5, -1.0, 4.0]
+    assert fa["overall_scores_max"] == 4.0
+    assert np.isclose(fa["overall_scores_mean"], 1.375)
+    assert np.isclose(fa["diff_scores_mean"], 2.0 - 1.375)
+    # among_top: fraction of A's pairs in the global top-p score ranks
+    assert "among_top_0.1" in fa.index
+    # empty decision → empty frame
+    assert decider_features(pd.DataFrame(), candidates).empty
