@@ -51,6 +51,13 @@ class PipelineConfig:
     # batches, e.g. externally-supplied mention Datasets)
     local_decide: bool = True
 
+    # --- per-job context (reference request `__CONTEXT__`,
+    # webapp/app.py:373-375 / index.py:75-197): keys
+    #   "geographic": [qid, ...]        geo re-rank for LOC/ORG mentions
+    #   "time": {"not_after_year": y | "birth_not_after_year": y |
+    #            "not_after_datetime": iso}   date exclusion filters
+    context: dict | None = field(default=None, compare=False, hash=False)
+
     # --- misc ---
     seed: int = 42
     languages: tuple[str, ...] = ("de", "en")

@@ -56,7 +56,8 @@ _SCHEMA_NO_TOKENS = pa.schema(
 def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
                     config: PipelineConfig,
                     exact_ids: frozenset[int] = frozenset(),
-                    query_parts: tuple[str, ...] = ()):
+                    query_parts: tuple[str, ...] = (),
+                    keep_all: bool = False):
     """best_matches aggregation + ranking over (entity, part, dist) hits.
 
     Returns list of (entity_id, dist, match_uniqueness, match_coverage,
@@ -69,13 +70,14 @@ def rank_candidates(hits: list[tuple[int, str, float]], index: AliasIndex,
     """
     return rank_hits(hits, config, exact_ids, query_parts,
                      get_len=lambda e: len(index.titles[e]),
-                     get_proba=lambda e: float(index.probas[e]))
+                     get_proba=lambda e: float(index.probas[e]),
+                     keep_all=keep_all)
 
 
 def rank_hits(hits, config: PipelineConfig,
               exact_ids: frozenset[int] = frozenset(),
               query_parts: tuple[str, ...] = (),
-              get_len=None, get_proba=None):
+              get_len=None, get_proba=None, keep_all: bool = False):
     """Core ranking over (entity, part, dist) hits — metadata access via
     callables so both the broadcast path (AliasIndex lookups) and the
     co-shuffle path (columns carried through the join) share it."""
@@ -112,18 +114,20 @@ def rank_hits(hits, config: PipelineConfig,
     # entity id as final stable tiebreak
     rows.sort(key=lambda r: (0 if r[0] in exact_ids else 1,
                              -r[2], r[1], -r[4], r[3], r[5], r[0]))
+    limit = len(rows) if keep_all else config.max_candidates
     out = []
-    for rank, (eid, dist, uniq, cov, proba, _len) in enumerate(
-            rows[: config.max_candidates]):
+    for rank, (eid, dist, uniq, cov, proba, _len) in enumerate(rows[:limit]):
         out.append((eid, dist, uniq, cov, proba, rank))
     return out
 
 
 def generate_candidates_for_surface(surface: str, index: AliasIndex,
-                                    config: PipelineConfig):
+                                    config: PipelineConfig,
+                                    etype: str | None = None):
     """Per-mention probe: normalized-surface exact block + per-part
     ANN-style fuzzy hits → ranked candidates (north_star: surface-form
-    keys PLUS MinHash-LSH buckets)."""
+    keys PLUS MinHash-LSH buckets), with the per-job context filters
+    (geo / not-after) applied pre-truncation as in the reference."""
     parts = filter_surface(normalize_chars(surface))
     exact = frozenset(index.alias_exact.get(" ".join(parts), ()))
     hits: list[tuple[int, str, float]] = []
@@ -131,8 +135,98 @@ def generate_candidates_for_surface(surface: str, index: AliasIndex,
         ents, dists = index.probe_part(part, config.max_dist)
         for e, d in zip(ents, dists):
             hits.append((int(e), part, float(d)))
-    return rank_candidates(hits, index, config, exact_ids=exact,
-                           query_parts=tuple(parts))
+    keep_all = config.context is not None
+    ranked = rank_candidates(hits, index, config, exact_ids=exact,
+                             query_parts=tuple(parts), keep_all=keep_all)
+    if keep_all:
+        ranked = apply_context(ranked, index, config, etype, exact)
+        ranked = [(eid, dist, uniq, cov, proba, rank)
+                  for rank, (eid, dist, uniq, cov, proba, _) in
+                  enumerate(ranked[:config.max_candidates])]
+    return ranked
+
+
+def _haversine_km(lat1, lon1, lat2, lon2) -> float:
+    """Great-circle distance in km (reference index.py:99-109 uses the
+    `haversine` package with its default km unit)."""
+    import math
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + \
+        math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def apply_context(rows, index: AliasIndex, config: PipelineConfig,
+                  etype: str | None, exact_ids: frozenset[int]):
+    """Per-job context filters over pre-truncation ranked rows
+    (reference ``index.py:75-197``):
+
+    * ``geographic`` (LOC/ORG mentions): re-sort with ``geo_dist`` (min
+      haversine to any context entity) inserted after ``dist``.  NOTE:
+      the reference computes this sort but drops its result
+      (``index.py:111-112`` — ``sort_values`` without assignment); we
+      implement the evident intent and document the deviation here.
+    * ``time.not_after_datetime``: keep rows with both dates null OR
+      inception < t OR dateofbirth < t (``index.py:119-131``).
+    * ``time.not_after_year``: keep rows where (dob null or birth year
+      < y) AND (inception null or inception year < y)
+      (``index.py:141-163``).
+    * ``time.birth_not_after_year`` (PER mentions): dob null or birth
+      year < y (``index.py:178-197``).
+    """
+    ctx = config.context
+    if not ctx or not rows:
+        return rows
+    if "geographic" in ctx and etype in ("LOC", "ORG"):
+        geo = ctx["geographic"]
+        if isinstance(geo, str):
+            geo = [geo]
+        pts = []
+        for q in geo:
+            e = index.qid_to_eid.get(q)
+            if e is not None and not np.isnan(index.latitudes[e]) \
+                    and not np.isnan(index.longitudes[e]):
+                pts.append((index.latitudes[e], index.longitudes[e]))
+
+        def geo_dist(eid: int) -> float:
+            lat, lon = index.latitudes[eid], index.longitudes[eid]
+            if np.isnan(lat) or np.isnan(lon) or not pts:
+                return float("inf")
+            return min(_haversine_km(lat, lon, p[0], p[1]) for p in pts)
+
+        return sorted(rows, key=lambda r: (
+            0 if r[0] in exact_ids else 1, -r[2], r[1], geo_dist(r[0]),
+            -r[4], r[3], len(index.titles[r[0]]), r[0]))
+    time_ctx = ctx.get("time") or {}
+    if "not_after_datetime" in time_ctx:
+        import pandas as pd
+        t = pd.to_datetime(time_ctx["not_after_datetime"])
+
+        def keep(eid: int) -> bool:
+            dob = index.birth_dates[eid]
+            inc = index.inception_dates[eid]
+            if dob is None and inc is None:
+                return True
+            return (inc is not None and pd.Timestamp(inc) < t) or \
+                   (dob is not None and pd.Timestamp(dob) < t)
+
+        return [r for r in rows if keep(r[0])]
+    if "not_after_year" in time_ctx:
+        y = time_ctx["not_after_year"]
+        return [r for r in rows
+                if (np.isnan(index.birth_years[r[0]])
+                    or index.birth_years[r[0]] < y)
+                and (np.isnan(index.inception_years[r[0]])
+                     or index.inception_years[r[0]] < y)]
+    if "birth_not_after_year" in time_ctx and etype == "PER":
+        y = time_ctx["birth_not_after_year"]
+        return [r for r in rows
+                if np.isnan(index.birth_years[r[0]])
+                or index.birth_years[r[0]] < y]
+    return rows
 
 
 class CandidateGenerator:
@@ -154,13 +248,17 @@ class CandidateGenerator:
         self.include_tokens = include_tokens
         self._cache: dict[str, list] = {}
 
-    def _ranked_arrays(self, surface: str):
+    def _ranked_arrays(self, surface: str, etype: str | None = None):
         """Cached per-surface ranked candidates as numpy columns
-        (eids, dist, uniq, cov, proba, rank)."""
-        arr = self._cache.get(surface)
+        (eids, dist, uniq, cov, proba, rank).  The cache key includes
+        the mention type only when a context is set (the geo/date
+        filters are type-dependent)."""
+        key = (surface, etype) if self.config.context is not None \
+            else surface
+        arr = self._cache.get(key)
         if arr is None:
             ranked = generate_candidates_for_surface(
-                surface, self.index, self.config)
+                surface, self.index, self.config, etype=etype)
             if ranked:
                 eids, dist, uniq, cov, proba, rank = \
                     (np.asarray(c) for c in zip(*ranked))
@@ -173,7 +271,7 @@ class CandidateGenerator:
                    proba.astype(np.float64), rank.astype(np.int32))
             if len(self._cache) > 100_000:
                 self._cache.clear()
-            self._cache[surface] = arr
+            self._cache[key] = arr
         return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -184,7 +282,9 @@ class CandidateGenerator:
         if n == 0:
             return schema.empty_table()
         surfaces = batch["surface"].to_pylist()
-        per_row = [self._ranked_arrays(s) for s in surfaces]
+        types = batch["type"].to_pylist()
+        per_row = [self._ranked_arrays(s, et)
+                   for s, et in zip(surfaces, types)]
         counts = np.fromiter((len(a[0]) for a in per_row),
                              dtype=np.int64, count=n)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)

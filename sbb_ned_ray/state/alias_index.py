@@ -61,6 +61,35 @@ class AliasIndex:
         self.probas = np.asarray(kb["proba"].to_pylist(), dtype=np.float64)
         self.context_tokens = kb["context_tokens"].to_pylist()
         aliases = kb["aliases"].to_pylist()
+        # geo / temporal metadata for the per-job context filters
+        # (reference index.py:75-197); absent columns → all-NaN/NaT
+        n = kb.num_rows
+
+        def _f64(col):
+            if col in kb.column_names:
+                return np.array(
+                    [np.nan if v is None else float(v)
+                     for v in kb[col].to_pylist()], dtype=np.float64)
+            return np.full(n, np.nan)
+
+        def _years(col):
+            if col in kb.column_names:
+                return np.array(
+                    [np.nan if v is None else float(v.year)
+                     for v in kb[col].to_pylist()], dtype=np.float64)
+            return np.full(n, np.nan)
+
+        self.longitudes = _f64("longitude")
+        self.latitudes = _f64("latitude")
+        self.birth_years = _years("dateofbirth")
+        self.inception_years = _years("inception")
+        self.birth_dates = (kb["dateofbirth"].to_pylist()
+                            if "dateofbirth" in kb.column_names
+                            else [None] * n)
+        self.inception_dates = (kb["inception"].to_pylist()
+                                if "inception" in kb.column_names
+                                else [None] * n)
+        self.qid_to_eid = {q: i for i, q in enumerate(self.qids)}
 
         self.alias_exact: dict[str, list[int]] = {}
         part_to_id: dict[str, int] = {}
