@@ -101,15 +101,21 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
             batch_format="pyarrow", batch_size=cfg.batch_size)
         return decide_from_partials(partials, cfg)
 
+    # split path: four concurrent actor pools share the node — size each
+    # to a quarter of the CPU budget so together they fit (the scorer
+    # pool is where a GPU deployment adds num_gpus)
+    per_stage = (max(1, conc[0] // 4), max(1, conc[1] // 4))
     pages = extracted_pages(pages)
     mentions = detect_mentions(pages, index_ref,
-                               batch_size=cfg.batch_size, concurrency=conc)
+                               batch_size=cfg.batch_size,
+                               concurrency=per_stage)
     candidates = generate_candidates(mentions, index_ref, cfg,
                                      batch_size=cfg.batch_size,
-                                     concurrency=conc)
+                                     concurrency=per_stage)
     pairs = build_pairs(candidates, index_ref, cfg,
-                        batch_size=cfg.batch_size, concurrency=conc)
-    scored = score_pairs(pairs, cfg, scorer_cls=scorer_cls, concurrency=conc)
+                        batch_size=cfg.batch_size, concurrency=per_stage)
+    scored = score_pairs(pairs, cfg, scorer_cls=scorer_cls,
+                         concurrency=per_stage)
     return decide(scored, cfg)
 
 

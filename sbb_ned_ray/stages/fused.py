@@ -101,19 +101,28 @@ class FusedPairScorer:
             self._ev_cache[eid] = ev
         return ev
 
-    def _mention_entry(self, ta: list[str], surface: str) -> tuple[int, str]:
-        """(bitmask over evidence vocab, normalized span key) for one
-        mention sentence.  Call only AFTER all evidence vocab of the
-        batch is interned."""
+    def _locate(self, ta: list[str], surface: str) -> tuple[int, int]:
         st = self._surf_toks.get(surface)
         if st is None:
             st = [t for t in (normalize_token(x)
                               for x in surface.split(" ")) if t]
             self._surf_toks[surface] = st
-        pos_a, end_a = locate_entity(ta, st)
+        return locate_entity(ta, st)
+
+    def _window_a(self, ta: list[str], pos_a: int, end_a: int) -> list[str]:
+        w = self.config.scorer_context_window
+        if w is None:
+            return ta
+        return ta[max(0, pos_a - w):end_a + w]
+
+    def _mention_entry(self, ta: list[str], surface: str) -> tuple[int, str]:
+        """(bitmask over evidence vocab, normalized span key) for one
+        mention sentence.  Call only AFTER all evidence vocab of the
+        batch is interned."""
+        pos_a, end_a = self._locate(ta, surface)
         m = 0
         vocab_get = self.vocab.get
-        for t in set(ta):
+        for t in set(self._window_a(ta, pos_a, end_a)):
             bit = vocab_get(t)
             if bit is not None:
                 m |= 1 << bit
@@ -190,15 +199,9 @@ class FusedPairScorer:
             ent = m_entry.get(r)
             if ent is None:
                 ta = m_toks[r]
-                surface = m_surfs[r]
-                st = self._surf_toks.get(surface)
-                if st is None:
-                    st = [t for t in (normalize_token(x)
-                                      for x in surface.split(" ")) if t]
-                    self._surf_toks[surface] = st
-                pos_a, end_a = locate_entity(ta, st)
+                pos_a, end_a = self._locate(ta, m_surfs[r])
                 ids = set()
-                for t in set(ta):
+                for t in set(self._window_a(ta, pos_a, end_a)):
                     tid = tok_id_get(t)
                     if tid is not None:
                         ids.add(tid)

@@ -63,9 +63,11 @@ def evidence_sentences(index: AliasIndex, eid: int,
     out = []
     if not ctx:
         return [(label_toks, 0, len(label_toks))]
-    step = max(1, (len(ctx) - window) // max(1, n_windows - 1)) \
-        if len(ctx) > window else 1
+    step = max(1, -(-(len(ctx) - window) // max(1, n_windows - 1))) \
+        if len(ctx) > window else 1   # ceil-div: windows SPAN the whole
     starts = list(range(0, max(1, len(ctx) - window + 1), step))[:n_windows]
+    if starts and starts[-1] < len(ctx) - window:
+        starts.append(len(ctx) - window)   # guarantee tail coverage
     if not starts:
         starts = [0]
     for s in starts:

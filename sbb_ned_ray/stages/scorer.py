@@ -32,14 +32,25 @@ class DeterministicOverlapScorer:
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
 
-    @staticmethod
-    def _pair_raw_score(tok_a, pos_a, end_a, tok_b, pos_b, end_b) -> float:
+    def _window_a(self, tok_a, pos_a, end_a):
+        """Query tokens the scorer reads: ±scorer_context_window around
+        the mention span (None → whole sentence) — the stub's analog of
+        the reference's context windowing (EmbedWithContext w_size,
+        embeddings/base.py:207-352).  Bounded windows keep co-mentioned
+        entities' context from leaking into the overlap."""
+        w = self.config.scorer_context_window
+        if w is None:
+            return tok_a
+        return tok_a[max(0, pos_a - w):end_a + w]
+
+    def _pair_raw_score(self, tok_a, pos_a, end_a,
+                        tok_b, pos_b, end_b) -> float:
         span_a = tok_a[pos_a:end_a]
         span_b = tok_b[pos_b:end_b]
-        # context overlap: query tokens ∩ candidate evidence context
-        # (evidence tokens after the entity span)
+        # context overlap: query window tokens ∩ candidate evidence
+        # context (evidence tokens outside the entity span)
         ctx_b = set(tok_b[end_b:]) | set(tok_b[:pos_b])
-        ov = len(set(tok_a) & ctx_b)
+        ov = len(set(self._window_a(tok_a, pos_a, end_a)) & ctx_b)
         key_a = normalized_surface_key(" ".join(span_a))
         key_b = normalized_surface_key(" ".join(span_b))
         surf_sim = 1.0 if key_a and key_a == key_b else 0.0
@@ -99,7 +110,8 @@ class DeterministicOverlapScorer:
             ka = (urls[i], mids[i])
             am = a_mask.get(ka)
             if am is None:
-                ta = tok_a[i]
+                full = tok_a[i]
+                ta = self._window_a(full, pos_a[i], end_a[i])
                 am = 0
                 for t in set(ta):
                     bit = vocab.get(t)
@@ -107,7 +119,7 @@ class DeterministicOverlapScorer:
                         am |= 1 << bit
                 a_mask[ka] = am
                 a_key[ka] = normalized_surface_key(
-                    " ".join(ta[pos_a[i]:end_a[i]]))
+                    " ".join(full[pos_a[i]:end_a[i]]))
             kb = (eids[i], pnos[i])
             ov = (am & ev_mask[kb]).bit_count()
             key_a = a_key[ka]
