@@ -30,6 +30,17 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _read_split(sf_dir: str, name: str, columns: list[str],
+                nblocks: int = 32):
+    """read_parquet + repartition: the sf test tables are single-file,
+    single-row-group parquet, which Ray cannot split at the read — one
+    task would run the whole downstream per-row compute.  Repartitioning
+    the (small) table unlocks task parallelism; real corpora arrive as
+    many files and skip this."""
+    return rd.read_parquet(_t(sf_dir, name), columns=columns) \
+        .repartition(nblocks)
+
+
 def _e(x, scale: float):
     """floor(x*scale + 0.5) as int64 — FP-exact cross-engine encoding."""
     return pc.cast(pc.floor(pc.add(pc.multiply(x, scale), 0.5)), pa.int64())
@@ -281,8 +292,7 @@ GROUP BY user_id
 
 def doc_token_counts(sf_dir: str):
     from sbb_ned_ray.stages.analysis import token_count_batch
-    return rd.read_parquet(_t(sf_dir, "documents"),
-                           columns=["doc_id", "text"]) \
+    return _read_split(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(token_count_batch, batch_format="pyarrow")
 
 
@@ -345,10 +355,9 @@ FROM r
 
 def lang_id(sf_dir: str):
     from sbb_ned_ray.stages.analysis import LangIdStage
-    return rd.read_parquet(_t(sf_dir, "documents"),
-                           columns=["doc_id", "text"]) \
+    return _read_split(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(LangIdStage, batch_format="pyarrow",
-                     concurrency=(1, 4))
+                     concurrency=(1, 8))
 
 
 def _sql_stoplist(lang: str) -> str:
@@ -429,13 +438,13 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
 
 def minhash_dedup_docs(sf_dir: str):
     from sbb_ned_ray.stages.dedup import minhash_lsh_dedup
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_dedup(ds, jaccard_threshold=0.7)
 
 
 def simhash_dedup_docs(sf_dir: str):
     from sbb_ned_ray.stages.dedup import simhash_dedup
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dedup(ds, max_hamming=3)
 
 

@@ -40,6 +40,36 @@ from sbb_ned_ray.functions.textstats import tokenize_ws
 from sbb_ned_ray.stages.cluster import driver_union_find
 
 
+def bucketed_map_groups(rows: ray.data.Dataset, key_col: str, group_fn,
+                        nparts: int = 64):
+    """``groupby(key).map_groups`` with per-group overhead amortized:
+    hash-partition keys into ``nparts`` coarse buckets, then ONE pandas
+    call per bucket iterates its real groups locally, skipping
+    singleton groups entirely (the common case in LSH banding — most
+    buckets hold one row and can never produce a pair).
+    """
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(df[key_col], index=False)
+                       .to_numpy() % nparts).astype(np.int32)
+        return df
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        counts = df[key_col].value_counts()
+        multi = counts[counts > 1].index
+        df = df[df[key_col].isin(multi)]
+        outs = [group_fn(g) for _, g in df.groupby(key_col, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return group_fn(df.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return (rows.map_batches(add_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(per_part, batch_format="pandas"))
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     hashes = pa.array([stable_hash_hex(t) for t in texts], pa.string())
@@ -71,19 +101,18 @@ def minhash_signatures(docs: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        ngram: int = 5, seed: int = 42) -> ray.data.Dataset:
     """doc → (doc_id, sig:list<uint64>) one row per doc."""
-    class Signer:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, seed=seed)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            sigs = [self.mh.signature(char_ngrams(t.lower(), ngram)).tolist()
-                    for t in batch[text_col].to_pylist()]
-            return pa.table({
-                id_col: pa.array(ids),
-                "sig": pa.array(sigs, pa.list_(pa.uint64())),
-            })
-    return docs.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 8))
+    def signer(batch: pa.Table) -> pa.Table:
+        # MinHasher construction is trivial — plain tasks beat an actor
+        # pool (no startup cliff, scales to every free CPU)
+        mh = MinHasher(num_perm=num_perm, seed=seed)
+        ids = batch[id_col].to_pylist()
+        sigs = [mh.signature(char_ngrams(t.lower(), ngram)).tolist()
+                for t in batch[text_col].to_pylist()]
+        return pa.table({
+            id_col: pa.array(ids),
+            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+        })
+    return docs.map_batches(signer, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
@@ -99,27 +128,23 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
     → MinHash-estimate verify ≥ threshold → union-find on the driver
     (candidate-pair set is small relative to corpus by construction).
     """
-    class BandRows:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, seed=seed)
+    def band_rows_fn(batch: pa.Table) -> pa.Table:
+        mh = MinHasher(num_perm=num_perm, seed=seed)
+        out_band, out_id, out_sig = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            sig = mh.signature(char_ngrams(text.lower(), ngram))
+            for bk in mh.band_keys(sig, bands):
+                out_band.append(bk)
+                out_id.append(did)
+                out_sig.append(sig.tolist())
+        return pa.table({
+            "band_key": pa.array(out_band, pa.uint64()),
+            id_col: pa.array(out_id),
+            "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_band, out_id, out_sig = [], [], []
-            for did, text in zip(batch[id_col].to_pylist(),
-                                 batch[text_col].to_pylist()):
-                sig = self.mh.signature(char_ngrams(text.lower(), ngram))
-                for bk in self.mh.band_keys(sig, bands):
-                    out_band.append(bk)
-                    out_id.append(did)
-                    out_sig.append(sig.tolist())
-            return pa.table({
-                "band_key": pa.array(out_band, pa.uint64()),
-                id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
-            })
-
-    band_rows = docs.map_batches(BandRows, batch_format="pyarrow",
-                                 concurrency=(1, 8))
+    band_rows = docs.map_batches(band_rows_fn, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -141,8 +166,8 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                  "id_b": pd.Series(dtype="int64"),
                  "est_jaccard": pd.Series(dtype="float64")})
 
-    pairs = band_rows.groupby("band_key").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = bucketed_map_groups(band_rows, "band_key",
+                                bucket_pairs).to_pandas()
     pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
     comp = driver_union_find(
         [(str(a), str(b)) for a, b in zip(pairs.id_a, pairs.id_b)])
@@ -197,8 +222,7 @@ def simhash_dedup(docs: ray.data.Dataset, text_col: str = "text",
                                       "id_b": pd.Series(dtype="int64"),
                                       "hamming": pd.Series(dtype="int64")})
 
-    pairs = rows.groupby("bucket").map_groups(
-        bucket_verify, batch_format="pandas").to_pandas()
+    pairs = bucketed_map_groups(rows, "bucket", bucket_verify).to_pandas()
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -252,7 +276,6 @@ def embedding_dedup(emb: ray.data.Dataset, id_col: str = "vec_id",
                                       "id_b": pd.Series(dtype="int64"),
                                       "cosine": pd.Series(dtype="float64")})
 
-    pairs = rows.groupby("bucket").map_groups(
-        verify, batch_format="pandas").to_pandas()
+    pairs = bucketed_map_groups(rows, "bucket", verify).to_pandas()
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
