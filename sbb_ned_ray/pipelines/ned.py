@@ -101,21 +101,25 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
             batch_format="pyarrow", batch_size=cfg.batch_size)
         return decide_from_partials(partials, cfg)
 
-    # split path: four concurrent actor pools share the node — size each
-    # to a quarter of the CPU budget so together they fit (the scorer
-    # pool is where a GPU deployment adds num_gpus)
+    # split path: four concurrent actor pools share the node — each
+    # actor claims HALF a CPU so all four pools plus the decide shuffle
+    # fit even tiny clusters (four 1-CPU pools on a 4-CPU node would pin
+    # every slot and deadlock the downstream sort); the scorer pool is
+    # where a GPU deployment adds num_gpus
     per_stage = (max(1, conc[0] // 4), max(1, conc[1] // 4))
+    frac = {"num_cpus": 0.5}
     pages = extracted_pages(pages)
     mentions = detect_mentions(pages, index_ref,
                                batch_size=cfg.batch_size,
-                               concurrency=per_stage)
+                               concurrency=per_stage, **frac)
     candidates = generate_candidates(mentions, index_ref, cfg,
                                      batch_size=cfg.batch_size,
-                                     concurrency=per_stage)
+                                     concurrency=per_stage, **frac)
     pairs = build_pairs(candidates, index_ref, cfg,
-                        batch_size=cfg.batch_size, concurrency=per_stage)
+                        batch_size=cfg.batch_size, concurrency=per_stage,
+                        **frac)
     scored = score_pairs(pairs, cfg, scorer_cls=scorer_cls,
-                         concurrency=per_stage)
+                         concurrency=per_stage, **frac)
     return decide(scored, cfg)
 
 

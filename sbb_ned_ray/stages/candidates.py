@@ -323,8 +323,9 @@ class CandidateGenerator:
 
 def generate_candidates(mentions_ds, index_ref,
                         config: PipelineConfig | None = None,
-                        batch_size: int = 1024, concurrency=None):
-    kwargs = {}
+                        batch_size: int = 1024, concurrency=None,
+                        **ray_remote_kwargs):
+    kwargs = dict(ray_remote_kwargs)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return mentions_ds.map_batches(

@@ -96,8 +96,8 @@ class MentionDetector:
 
 
 def detect_mentions(pages_ds, index_ref, batch_size: int = 256,
-                    concurrency=None):
-    kwargs = {}
+                    concurrency=None, **ray_remote_kwargs):
+    kwargs = dict(ray_remote_kwargs)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return pages_ds.map_batches(

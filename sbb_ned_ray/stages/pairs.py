@@ -203,8 +203,9 @@ class PairBuilder:
 
 def build_pairs(candidates_ds, index_ref,
                 config: PipelineConfig | None = None,
-                batch_size: int = 2048, concurrency=None):
-    kwargs = {}
+                batch_size: int = 2048, concurrency=None,
+                **ray_remote_kwargs):
+    kwargs = dict(ray_remote_kwargs)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return candidates_ds.map_batches(

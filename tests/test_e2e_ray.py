@@ -41,3 +41,46 @@ def test_local_decide_equals_shuffle_decide(tiny_fixture_dir):
     a = local[cols].sort_values(cols[:3]).reset_index(drop=True)
     b = shuffled[cols].sort_values(cols[:3]).reset_index(drop=True)
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_scorer_path_equals_fused(tiny_fixture_dir):
+    """The GPU-deployment shape (separate detector/candidates/pairs/
+    scorer actor pools + groupby decide) must produce the same top-1
+    links as the fused task-pool path."""
+    from sbb_ned_ray.pipelines.ned import build_ned_links, top_links
+
+    cfg = PipelineConfig()
+    fused = top_links(build_ned_links(tiny_fixture_dir, cfg)).to_pandas()
+    split = top_links(build_ned_links(tiny_fixture_dir, cfg,
+                                      split_scorer=True)).to_pandas()
+    cols = ["mention_key", "qid", "candidate_title"]
+    a = fused[cols].sort_values("mention_key").reset_index(drop=True)
+    b = split[cols].sort_values("mention_key").reset_index(drop=True)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_matches_union_find():
+    """Distributed min-label connected components == driver union-find
+    on a multi-component edge set with a chain, a star, and singleton
+    pairs."""
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.cluster import (
+        driver_union_find,
+        label_propagation_components,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),          # chain
+             ("hub", "s1"), ("hub", "s2"), ("hub", "s3"),  # star
+             ("x", "y")]                                   # pair
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    lp = label_propagation_components(ds).to_pandas()
+    uf = driver_union_find(edges)
+    got = dict(zip(lp["node"], lp["component"]))
+    assert set(got) == set(uf)
+    # same partition: two nodes share a label iff union-find agrees
+    for n1 in uf:
+        for n2 in uf:
+            assert (got[n1] == got[n2]) == (uf[n1] == uf[n2]), (n1, n2)
