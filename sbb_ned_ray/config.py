@@ -26,12 +26,16 @@ class PipelineConfig:
     # --- scoring / decision (reference: DECISION_THRESHOLD, webapp/de-config.json:34) ---
     threshold: float = 0.1          # min proba_1 to accept a link
     max_seq_len: int = 128          # token window for the cross-encoder
-    # context window (tokens each side of the mention span) the stub
-    # scorer reads — analog of the reference's EmbedWithContext w_size
+    # context window the stub scorer reads around the mention span —
+    # analog of the reference's EmbedWithContext w_size
     # (embeddings/base.py:207-352); None = whole sentence.  Bounded
     # windows stop co-mentioned entities' context leaking into the
-    # overlap in multi-mention sentences.
+    # overlap in multi-mention sentences; the BACKWARD window is
+    # shorter because evidence in running text overwhelmingly FOLLOWS
+    # the mention (appositive pattern) while the tokens just before it
+    # belong to the previous clause/mention.
     scorer_context_window: int | None = 6
+    scorer_context_back: int = 2
 
     # --- MinHash-LSH blocking (new; north_star requires char-ngram LSH buckets) ---
     ngram_size: int = 3

@@ -113,7 +113,8 @@ class FusedPairScorer:
         w = self.config.scorer_context_window
         if w is None:
             return ta
-        return ta[max(0, pos_a - w):end_a + w]
+        wb = self.config.scorer_context_back
+        return ta[max(0, pos_a - wb):end_a + w]
 
     def _mention_entry(self, ta: list[str], surface: str) -> tuple[int, str]:
         """(bitmask over evidence vocab, normalized span key) for one

@@ -41,7 +41,8 @@ class DeterministicOverlapScorer:
         w = self.config.scorer_context_window
         if w is None:
             return tok_a
-        return tok_a[max(0, pos_a - w):end_a + w]
+        wb = self.config.scorer_context_back
+        return tok_a[max(0, pos_a - wb):end_a + w]
 
     def _pair_raw_score(self, tok_a, pos_a, end_a,
                         tok_b, pos_b, end_b) -> float:
