@@ -671,6 +671,40 @@ def parse_ner_mentions(sf_dir: str):
 # non-SQL-expressible → rows-only driver checks)
 # ---------------------------------------------------------------------------
 
+def ned_pair_features(sf_dir: str):
+    """Sentence pairs → fixed-length cross-encoder input features
+    (convert_examples_to_features semantics; rows-only check).  Runs the
+    split-path pair builder over the synthetic pages then the CPU
+    tokenizer stage."""
+    from sbb_ned_ray.pipelines.ned import _pool_size
+    from sbb_ned_ray.sources.pages import read_kb_table, read_pages
+    from sbb_ned_ray.stages.candidates import generate_candidates
+    from sbb_ned_ray.stages.extract import extracted_pages
+    from sbb_ned_ray.stages.features import convert_pairs_to_features
+    from sbb_ned_ray.stages.mentions import detect_mentions
+    from sbb_ned_ray.stages.pairs import build_pairs
+    from sbb_ned_ray.state.alias_index import build_alias_index
+
+    cfg = PipelineConfig()
+    pages_dir = pages_dir_for_sf(sf_dir)
+    index_ref = ray.put(build_alias_index(read_kb_table(pages_dir), cfg))
+    conc = (1, 4)
+    # bounded deterministic sample: the features are per-pair constant
+    # work; 500 pages exercise the full stage chain without a 30s gate
+    pages = extracted_pages(read_pages(pages_dir, columns=["url", "html"],
+                                       override_num_blocks=16).limit(500))
+    mentions = detect_mentions(pages, index_ref, concurrency=conc,
+                               num_cpus=0.5)
+    cands = generate_candidates(mentions, index_ref, cfg, concurrency=conc,
+                                num_cpus=0.5)
+    pairs = build_pairs(cands, index_ref, cfg, concurrency=conc,
+                        num_cpus=0.5)
+    feats = convert_pairs_to_features(pairs, cfg, concurrency=conc,
+                                      num_cpus=0.5)
+    return feats.select_columns(["url", "mention_id", "candidate_title",
+                                 "qid", "pair_no"])
+
+
 def ned_extract_pages(sf_dir: str):
     from sbb_ned_ray.sources.pages import read_pages
     from sbb_ned_ray.stages.extract import extracted_pages
@@ -742,6 +776,7 @@ QUERIES = {
     "ned_training_pairs": ned_training_pairs,
     "media_decode": media_decode,
     "parse_ner_mentions": parse_ner_mentions,
+    "ned_pair_features": ned_pair_features,
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,

@@ -255,3 +255,42 @@ def test_decider_features_semantics():
     assert "among_top_0.1" in fa.index
     # empty decision → empty frame
     assert decider_features(pd.DataFrame(), candidates).empty
+
+
+def test_feature_converter_shapes_and_marks(ned_ctx):
+    """convert_examples_to_features semantics (data_processor.py:506-601):
+    fixed-length input_ids/mask/segment_ids, CLS/SEP placement, entity
+    tokens marked with segment id 2, deterministic ids."""
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.features import (
+        CLS_ID,
+        SEP_ID,
+        FeatureConverter,
+    )
+
+    cfg = ned_ctx["cfg"]
+    found = _detect(ned_ctx)
+    cands = CandidateGenerator(ned_ctx["index"], cfg)(
+        pa.Table.from_pandas(found, preserve_index=False))
+    pairs = PairBuilder(ned_ctx["index"], cfg)(cands)
+    feats = FeatureConverter(cfg)(pairs.slice(0, 64))
+    L = cfg.max_seq_len
+    assert feats.num_rows == 64
+    ids = feats["input_ids"].to_pylist()
+    masks = feats["input_mask"].to_pylist()
+    segs = feats["segment_ids"].to_pylist()
+    for row_ids, row_mask, row_seg in zip(ids, masks, segs):
+        assert len(row_ids) == L and len(row_mask) == L \
+            and len(row_seg) == L
+        assert row_ids[0] == CLS_ID
+        n_real = sum(row_mask)
+        assert all(m == 0 for m in row_mask[n_real:])
+        assert SEP_ID in row_ids
+        assert 2 in row_seg          # entity marked somewhere
+    # deterministic: same input → same features
+    feats2 = FeatureConverter(cfg)(pairs.slice(0, 64))
+    assert feats["input_ids"].to_pylist() == feats2["input_ids"].to_pylist()
+    # token columns dropped, metadata kept
+    assert "tok_a" not in feats.column_names
+    assert "candidate_title" in feats.column_names
