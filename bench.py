@@ -167,14 +167,26 @@ def run_scaling() -> dict:
     """
     _scaling_fixture()  # generate once, outside any timing
 
-    def one(ncpu: int) -> dict:
+    def child(ncpu: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--scaling-child", str(ncpu)],
             capture_output=True, text=True, check=True, cwd=REPO).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r = {n: one(n) for n in (2, 8, 32)}
+    # best-of-N per level, INTERLEAVED: this VM sees minutes-scale
+    # EXTERNAL load drift (host-level; load avg > 0 with no local
+    # processes running), so each level is sampled multiple times
+    # spread over the run and the per-level min is taken as the
+    # machine's actual capability at that parallelism.  The primary
+    # (2, 8) pair gets 3 samples; the secondary 32 gets 2.
+    r: dict[int, dict] = {}
+    plan = [2, 8, 32, 2, 8, 32, 2, 8]
+    for n in plan:
+        s = child(n)
+        if n not in r or s["sec"] < r[n]["sec"]:
+            r[n] = s
+        time.sleep(2)
     eff_2_8 = (r[2]["sec"] / r[8]["sec"]) / 4
     eff_8_32 = (r[8]["sec"] / r[32]["sec"]) / 4
     return {
