@@ -1,0 +1,73 @@
+"""Index build-job artifacts: save/load the broadcast AliasIndex.
+
+Reference analog: ``build-index`` writes the Annoy index + mapping
+pickle (``index.py:584-592``) and serving loads them per process
+(``index.py:623-649``).  Here the artifact is one pickle of the
+:class:`AliasIndex` (its arrays/dicts are plain picklable objects)
+written atomically next to a JSON manifest recording the KB
+fingerprint and config — a rerun with an unchanged KB reuses the
+artifact instead of rebuilding, and a changed KB invalidates it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+
+import pyarrow as pa
+
+from sbb_ned_ray.config import PipelineConfig
+from sbb_ned_ray.state.alias_index import AliasIndex, build_alias_index
+
+
+def kb_fingerprint(kb: pa.Table, config: PipelineConfig) -> str:
+    h = hashlib.sha256()
+    h.update(str(kb.schema).encode())
+    h.update(str(kb.num_rows).encode())
+    # content sample: hash the qid column (unique per entity) + config
+    # knobs that shape the index
+    for q in kb["qid"].to_pylist():
+        h.update(q.encode())
+    h.update(f"{config.ngram_size}|{config.num_perm}|{config.lsh_bands}"
+             .encode())
+    return h.hexdigest()[:16]
+
+
+def save_index(index: AliasIndex, kb: pa.Table, out_dir: str,
+               config: PipelineConfig | None = None) -> str:
+    cfg = config or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    fp = kb_fingerprint(kb, cfg)
+    tmp = os.path.join(out_dir, "alias_index.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(index, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, os.path.join(out_dir, "alias_index.pkl"))
+    with open(os.path.join(out_dir, "_index_manifest.json"), "w") as f:
+        json.dump({"fingerprint": fp, "entities": len(index.titles)}, f)
+    return fp
+
+
+def load_or_build_index(kb: pa.Table, artifact_dir: str | None = None,
+                        config: PipelineConfig | None = None) -> AliasIndex:
+    """Load the index artifact when its manifest matches the KB
+    fingerprint; otherwise (re)build and save it."""
+    cfg = config or PipelineConfig()
+    if artifact_dir is None:
+        return build_alias_index(kb, cfg)
+    mf = os.path.join(artifact_dir, "_index_manifest.json")
+    pkl = os.path.join(artifact_dir, "alias_index.pkl")
+    fp = kb_fingerprint(kb, cfg)
+    if os.path.exists(mf) and os.path.exists(pkl):
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            if m.get("fingerprint") == fp:
+                with open(pkl, "rb") as f:
+                    return pickle.load(f)
+        except (json.JSONDecodeError, OSError, pickle.UnpicklingError):
+            pass
+    index = build_alias_index(kb, cfg)
+    save_index(index, kb, artifact_dir, cfg)
+    return index

@@ -71,3 +71,31 @@ def test_resumable_run_skips_and_matches(ray_session, tiny_fixture_dir,
     gt = pq.read_table(os.path.join(tiny_fixture_dir,
                                     "mention_pairs_gt.parquet"))
     assert pairwise_f1(links1, gt)["f1"] >= 0.99
+
+
+def test_index_artifact_roundtrip(tiny_fixture_dir, tmp_path):
+    """Index build-job artifact: save once, reload on matching KB
+    fingerprint, rebuild+resave on KB change."""
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.state.artifacts import (
+        kb_fingerprint,
+        load_or_build_index,
+    )
+
+    kb = pq.read_table(f"{tiny_fixture_dir}/kb_entities.parquet")
+    cfg = PipelineConfig()
+    d = str(tmp_path / "index")
+
+    idx1 = load_or_build_index(kb, d, cfg)         # builds + saves
+    assert (tmp_path / "index" / "alias_index.pkl").exists()
+    idx2 = load_or_build_index(kb, d, cfg)         # loads
+    assert idx2.titles == idx1.titles
+    assert idx2.alias_exact == idx1.alias_exact
+
+    # changed KB → different fingerprint → rebuild
+    kb2 = kb.slice(0, kb.num_rows - 1)
+    assert kb_fingerprint(kb2, cfg) != kb_fingerprint(kb, cfg)
+    idx3 = load_or_build_index(kb2, d, cfg)
+    assert len(idx3.titles) == kb.num_rows - 1
