@@ -137,6 +137,73 @@ def run_ned(fixture_dir: str, config: PipelineConfig | None = None
     return cluster_links(df)
 
 
+def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
+                       num_partitions: int = 4, salt: int = 4
+                       ) -> pd.DataFrame:
+    """Flagship pipeline in the LARGE-KB shape: candidate generation via
+    the co-shuffle blocking path (``stages/blocking``: blocking-key hash
+    joins + groupby(surface) ranking + SALTED attach join) instead of
+    the broadcast AliasIndex probe, then generic fused scoring and the
+    ``groupby(mention_key)`` decide (mention rows span batches after the
+    join, so the local-decide shortcut does not apply).  Top-1 links are
+    identical to :func:`run_ned` (asserted in tests/test_e2e_ray.py);
+    the scorer still reads per-entity evidence from the broadcast KB —
+    at true scale that side becomes a co-shuffle join on ``cand_entity``
+    of the same shape as the blocking join.
+    """
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.stages.blocking import (
+        attach_candidates_salted,
+        ranked_candidates_via_shuffle,
+    )
+    from sbb_ned_ray.stages.fused import FusedPairScorer
+
+    cfg = config or PipelineConfig()
+    kb = read_kb_table(fixture_dir)
+    index_ref = ray.put(build_alias_index(kb, cfg))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = cfg.read_num_blocks or max(16, 4 * ncpu)
+    pages = extracted_pages(read_pages(
+        fixture_dir, columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=nblocks))
+    mentions = detect_mentions(pages, index_ref,
+                               batch_size=cfg.batch_size,
+                               concurrency=(1, 4), num_cpus=0.5)
+    ranked = ranked_candidates_via_shuffle(mentions, kb, cfg,
+                                           num_partitions=num_partitions)
+
+    # pyarrow hash joins cannot carry list<string> payload columns —
+    # pack the mention tokens into one \x00-joined string around the
+    # join (vectorized kernels both ways)
+    def enc(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join(t["sent_tokens"], "\x00")
+        return t.drop_columns(["sent_tokens"]) \
+            .append_column("sent_tokens_enc", joined)
+
+    def dec(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["sent_tokens_enc"], "\x00")
+        return t.drop_columns(["sent_tokens_enc"]) \
+            .append_column("sent_tokens", toks)
+
+    mentions_enc = mentions.map_batches(enc, batch_format="pyarrow")
+    cands = attach_candidates_salted(mentions_enc, ranked, salt=salt,
+                                     num_partitions=num_partitions) \
+        .map_batches(dec, batch_format="pyarrow")
+    partials = cands.map_batches(
+        FusedPairScorer, fn_constructor_args=(index_ref, cfg),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=(1, 4), num_cpus=0.5)
+    links = decide_from_partials(partials, cfg)
+    top = links.map_batches(
+        lambda t: t.filter(pc.equal(t["out_rank"], 0)),
+        batch_format="pyarrow")
+    df = top.to_pandas()
+    if df.empty:
+        return df
+    return cluster_links(df)
+
+
 def ned_partitions(fixture_dir: str) -> list[tuple[str, str, str]]:
     """Deterministic partition list for the resumable runner: one
     partition per pages parquet file, fingerprinted by (name, size,
@@ -180,7 +247,10 @@ def run_ned_resumable(fixture_dir: str, out_dir: str,
     from sbb_ned_ray.state.manifests import run_partitioned
 
     cfg = config or PipelineConfig()
-    index_ref = ray.put(build_alias_index(read_kb_table(fixture_dir), cfg))
+    from sbb_ned_ray.state.artifacts import load_or_build_index
+    index_ref = ray.put(load_or_build_index(
+        read_kb_table(fixture_dir),
+        artifact_dir=os.path.join(out_dir, "_index"), config=cfg))
     parts = ned_partitions(fixture_dir)
     path_of = {pid: path for pid, _, path in parts}
 

@@ -73,7 +73,9 @@ class FusedPairScorer:
     """
 
     def __init__(self, index, config: PipelineConfig | None = None):
-        self.index = index
+        import ray
+        self.index = (ray.get(index)
+                      if isinstance(index, ray.ObjectRef) else index)
         self.config = config or PipelineConfig()
         use_found = math.ceil(math.sqrt(self.config.max_pairs))
         self.limit = max(1, self.config.max_pairs // use_found)

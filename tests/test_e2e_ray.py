@@ -84,3 +84,19 @@ def test_label_propagation_matches_union_find():
     for n1 in uf:
         for n2 in uf:
             assert (got[n1] == got[n2]) == (uf[n1] == uf[n2]), (n1, n2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_kb_pipeline_equals_broadcast(tiny_fixture_dir):
+    """The full large-KB pipeline (co-shuffle blocking + salted attach
+    join + generic fused scoring + groupby decide) must produce the same
+    top-1 links as the broadcast flagship."""
+    from sbb_ned_ray.pipelines.ned import run_ned_shuffle_kb
+
+    cfg = PipelineConfig()
+    a = run_ned(tiny_fixture_dir, cfg)
+    b = run_ned_shuffle_kb(tiny_fixture_dir, cfg)
+    cols = ["url", "mention_id", "qid", "candidate_title"]
+    aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
+    bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert aa.equals(bb)
