@@ -1,0 +1,115 @@
+"""Command-line entry points (reference: 16 console scripts,
+``setup.py:22-55`` — collapsed to the four workflows a user actually
+runs; each owns its Ray session per the driver contract).
+
+    python -m sbb_ned_ray.cli build-index  --kb KB.parquet --out DIR
+    python -m sbb_ned_ray.cli run          --pages DIR --out DIR [--resume]
+    python -m sbb_ned_ray.cli run-shuffle-kb --pages DIR --out DIR
+    python -m sbb_ned_ray.cli eval         --pages DIR
+    python -m sbb_ned_ray.cli training-pairs --pages DIR --out DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sbb_ned_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index", help="build + persist the alias index")
+    b.add_argument("--kb", required=True, help="kb_entities parquet file")
+    b.add_argument("--out", required=True, help="artifact directory")
+
+    for name in ("run", "run-shuffle-kb"):
+        r = sub.add_parser(name, help="run the flagship NED pipeline")
+        r.add_argument("--pages", required=True,
+                       help="fixture dir (pages/ + kb_entities.parquet)")
+        r.add_argument("--out", required=True, help="links output dir")
+        if name == "run":
+            r.add_argument("--resume", action="store_true",
+                           help="per-partition resumable mode")
+
+    e = sub.add_parser("eval", help="pairwise-F1 against labeled pairs")
+    e.add_argument("--pages", required=True)
+
+    t = sub.add_parser("training-pairs", help="generate labeled pairs")
+    t.add_argument("--pages", required=True)
+    t.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    from sbb_ned_ray.config import PipelineConfig
+    cfg = PipelineConfig()
+
+    if args.cmd == "build-index":
+        import pyarrow.parquet as pq
+
+        from sbb_ned_ray.state.alias_index import build_alias_index
+        from sbb_ned_ray.state.artifacts import save_index
+        kb = pq.read_table(args.kb)
+        fp = save_index(build_alias_index(kb, cfg), kb, args.out, cfg)
+        print(json.dumps({"artifact": args.out, "fingerprint": fp,
+                          "entities": kb.num_rows}))
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "run":
+            if args.resume:
+                from sbb_ned_ray.pipelines.ned import run_ned_resumable
+                links, summary = run_ned_resumable(args.pages, args.out, cfg)
+                print(json.dumps({
+                    "links": int(len(links)),
+                    "completed": summary["completed"],
+                    "skipped": summary["skipped"]}))
+            else:
+                from sbb_ned_ray.pipelines.ned import run_ned
+                links = run_ned(args.pages, cfg)
+                os.makedirs(args.out, exist_ok=True)
+                links.to_parquet(os.path.join(args.out, "links.parquet"))
+                print(json.dumps({"links": int(len(links)),
+                                  "out": args.out}))
+        elif args.cmd == "run-shuffle-kb":
+            from sbb_ned_ray.pipelines.ned import run_ned_shuffle_kb
+            links = run_ned_shuffle_kb(args.pages, cfg)
+            os.makedirs(args.out, exist_ok=True)
+            links.to_parquet(os.path.join(args.out, "links.parquet"))
+            print(json.dumps({"links": int(len(links)), "out": args.out}))
+        elif args.cmd == "eval":
+            import pyarrow.parquet as pq
+
+            from sbb_ned_ray.pipelines.ned import pairwise_f1, run_ned
+            links = run_ned(args.pages, cfg)
+            gt = pq.read_table(
+                os.path.join(args.pages, "mention_pairs_gt.parquet"))
+            m = pairwise_f1(links, gt)
+            print(json.dumps({k: round(v, 6) if isinstance(v, float) else v
+                              for k, v in m.items()}))
+        elif args.cmd == "training-pairs":
+            from sbb_ned_ray.stages.training import training_pairs_ds
+            ds = training_pairs_ds(args.pages, cfg)
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
