@@ -37,6 +37,8 @@ CANDIDATE_SCHEMA = pa.schema([
     ("mention_id", pa.string()),
     ("surface", pa.string()),
     ("type", pa.string()),
+    ("span_start", pa.int32()),    # mention span in sent_tokens space
+    ("span_end", pa.int32()),
     ("sent_tokens", pa.list_(pa.string())),
     ("cand_entity", pa.int64()),
     ("candidate_title", pa.string()),
@@ -301,6 +303,8 @@ class CandidateGenerator:
             "mention_id": batch["mention_id"].take(take_rows),
             "surface": batch["surface"].take(take_rows),
             "type": batch["type"].take(take_rows),
+            "span_start": batch["span_start"].take(take_rows),
+            "span_end": batch["span_end"].take(take_rows),
             "cand_entity": eid_arr,
             "candidate_title": pc.take(idx._titles_arr, eid_arr),
             "qid": pc.take(idx._qids_arr, eid_arr),

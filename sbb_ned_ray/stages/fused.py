@@ -118,11 +118,15 @@ class FusedPairScorer:
         wb = self.config.scorer_context_back
         return ta[max(0, pos_a - wb):end_a + w]
 
-    def _mention_entry(self, ta: list[str], surface: str) -> tuple[int, str]:
+    def _mention_entry(self, ta: list[str], surface: str,
+                       span: tuple[int, int] | None = None
+                       ) -> tuple[int, str]:
         """(bitmask over evidence vocab, normalized span key) for one
         mention sentence.  Call only AFTER all evidence vocab of the
-        batch is interned."""
-        pos_a, end_a = self._locate(ta, surface)
+        batch is interned.  ``span`` pins the occurrence (repeated
+        surfaces in one sentence); absent → locate by content."""
+        pos_a, end_a = span if span is not None \
+            else self._locate(ta, surface)
         m = 0
         vocab_get = self.vocab.get
         for t in set(self._window_a(ta, pos_a, end_a)):
@@ -187,6 +191,10 @@ class FusedPairScorer:
         m_mids = mentions["mention_id"].to_pylist()
         m_surfs = mentions["surface"].to_pylist()
         m_toks = mentions["sent_tokens"].to_pylist()
+        m_has_spans = "span_start" in mentions.column_names
+        if m_has_spans:
+            m_sp0 = mentions["span_start"].to_pylist()
+            m_sp1 = mentions["span_end"].to_pylist()
         tok_id_get = self._tok_id.get
         m_entry: dict[int, tuple[set, str]] = {}
         raw_max = np.empty(n, dtype=np.float64)
@@ -202,7 +210,8 @@ class FusedPairScorer:
             ent = m_entry.get(r)
             if ent is None:
                 ta = m_toks[r]
-                pos_a, end_a = self._locate(ta, m_surfs[r])
+                pos_a, end_a = (m_sp0[r], m_sp1[r]) if m_has_spans \
+                    else self._locate(ta, m_surfs[r])
                 ids = set()
                 for t in set(self._window_a(ta, pos_a, end_a)):
                     tid = tok_id_get(t)
@@ -264,14 +273,23 @@ class FusedPairScorer:
         # candidates' sent_tokens column
         a_mask: dict = {}
         if mentions is not None:
-            for u, mid, surf, ta in zip(
+            m_spans = ("span_start" in mentions.column_names)
+            m_sp = (list(zip(mentions["span_start"].to_pylist(),
+                             mentions["span_end"].to_pylist()))
+                    if m_spans else None)
+            for r_no, (u, mid, surf, ta) in enumerate(zip(
                     mentions["url"].to_pylist(),
                     mentions["mention_id"].to_pylist(),
                     mentions["surface"].to_pylist(),
-                    mentions["sent_tokens"].to_pylist()):
-                a_mask[(u, mid)] = self._mention_entry(ta, surf)
+                    mentions["sent_tokens"].to_pylist())):
+                a_mask[(u, mid)] = self._mention_entry(
+                    ta, surf, span=m_sp[r_no] if m_sp else None)
         else:
             toks = cands["sent_tokens"].to_pylist()
+            c_spans = ("span_start" in cands.column_names)
+            c_sp = (list(zip(cands["span_start"].to_pylist(),
+                             cands["span_end"].to_pylist()))
+                    if c_spans else None)
         raw_max = np.empty(n, dtype=np.float64)
         raw_sum = np.empty(n, dtype=np.float64)
         n_pairs = np.empty(n, dtype=np.int64)
@@ -280,7 +298,9 @@ class FusedPairScorer:
             ka = (col["url"][i], col["mention_id"][i])
             ent = a_mask.get(ka)
             if ent is None:
-                ent = self._mention_entry(toks[i], col["surface"][i])
+                ent = self._mention_entry(
+                    toks[i], col["surface"][i],
+                    span=c_sp[i] if c_sp else None)
                 a_mask[ka] = ent
             am, key_a = ent
             best = -np.inf

@@ -34,6 +34,12 @@ MENTION_SCHEMA = pa.schema([
     ("sent_no", pa.int32()),
     ("tok_start", pa.int32()),
     ("tok_end", pa.int32()),
+    # span in sent_tokens space (empty normalized tokens removed) — the
+    # OCCURRENCE this mention is, so downstream scoring never has to
+    # re-locate the surface (locate-by-content picks the FIRST
+    # occurrence and mis-windows repeated surfaces in one sentence)
+    ("span_start", pa.int32()),
+    ("span_end", pa.int32()),
     ("surface", pa.string()),
     ("type", pa.string()),
     ("block_key", pa.string()),
@@ -64,6 +70,15 @@ class MentionDetector:
                 raw = line.split(" ")
                 norm = [normalize_token(t) for t in raw]
                 n = len(norm)
+                # filtered-space index of each raw position (empty
+                # normalized tokens are dropped from sent_tokens)
+                fidx = [0] * (n + 1)
+                acc = 0
+                for k in range(n):
+                    fidx[k] = acc
+                    if norm[k]:
+                        acc += 1
+                fidx[n] = acc
                 i = 0
                 while i < n:
                     if norm[i] not in first:
@@ -85,6 +100,8 @@ class MentionDetector:
                     cols["sent_no"].append(sent_no)
                     cols["tok_start"].append(i)
                     cols["tok_end"].append(i + match_len)
+                    cols["span_start"].append(fidx[i])
+                    cols["span_end"].append(fidx[i + match_len])
                     cols["surface"].append(surface)
                     cols["type"].append(idx.seq_type[cand])
                     cols["block_key"].append(normalized_surface_key(surface))
@@ -167,12 +184,22 @@ def parse_ner_batch(batch: pa.Table) -> pa.Table:
                                   batch["sent_no"].to_pylist(),
                                   batch["tokens"].to_pylist()):
         words = [normalize_token(t["word"]) for t in toks]
+        n = len(words)
+        fidx = [0] * (n + 1)
+        acc = 0
+        for k in range(n):
+            fidx[k] = acc
+            if words[k]:
+                acc += 1
+        fidx[n] = acc
         for m in parse_ner_sentence(toks):
             cols["url"].append(url)
             cols["mention_id"].append(f"s{sent_no}t{m['tok_start']}")
             cols["sent_no"].append(sent_no)
             cols["tok_start"].append(m["tok_start"])
             cols["tok_end"].append(m["tok_end"])
+            cols["span_start"].append(fidx[m["tok_start"]])
+            cols["span_end"].append(fidx[m["tok_end"]])
             cols["surface"].append(m["surface"])
             cols["type"].append(m["type"])
             cols["block_key"].append(normalized_surface_key(m["surface"]))

@@ -158,6 +158,12 @@ class PairBuilder:
                for name in ("url", "mention_id", "surface", "cand_entity",
                             "candidate_title", "qid", "rank", "proba",
                             "sent_tokens")}
+        # detector-provided spans pin the OCCURRENCE (locate-by-content
+        # would pick the first of a repeated surface); absent → locate
+        has_spans = "span_start" in batch.column_names
+        if has_spans:
+            col["span_start"] = batch["span_start"].to_pylist()
+            col["span_end"] = batch["span_end"].to_pylist()
         cols = {k: [] for k in PAIR_SCHEMA.names}
         surf_toks_cache: dict[str, list[str]] = {}
         # locate cache: the (sentence, surface) span repeats across all
@@ -165,18 +171,22 @@ class PairBuilder:
         loc_cache: dict[tuple[str, str, str], tuple[int, int]] = {}
         for i in range(n):
             surface = col["surface"][i]
-            st = surf_toks_cache.get(surface)
-            if st is None:
-                st = [normalize_token(t) for t in surface.split(" ")]
-                st = [t for t in st if t]
-                surf_toks_cache[surface] = st
+            if has_spans:
+                pos_a, end_a = col["span_start"][i], col["span_end"][i]
+            else:
+                st = surf_toks_cache.get(surface)
+                if st is None:
+                    st = [normalize_token(t) for t in surface.split(" ")]
+                    st = [t for t in st if t]
+                    surf_toks_cache[surface] = st
+                tok_a = col["sent_tokens"][i]
+                lk = (col["url"][i], col["mention_id"][i], surface)
+                span = loc_cache.get(lk)
+                if span is None:
+                    span = locate_entity(tok_a, st)
+                    loc_cache[lk] = span
+                pos_a, end_a = span
             tok_a = col["sent_tokens"][i]
-            lk = (col["url"][i], col["mention_id"][i], surface)
-            span = loc_cache.get(lk)
-            if span is None:
-                span = locate_entity(tok_a, st)
-                loc_cache[lk] = span
-            pos_a, end_a = span
             # query sentences: we carry one sentence per mention occurrence;
             # budget caps evidence sentences per candidate at `limit`
             ev = self.evidence(int(col["cand_entity"][i]))

@@ -100,3 +100,44 @@ def test_shuffle_kb_pipeline_equals_broadcast(tiny_fixture_dir):
     aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
     bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
     assert aa.equals(bb)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_junk_html_pages_yield_zero_links_no_crash(tiny_fixture_dir,
+                                                   tmp_path):
+    """Robustness: non-UTF8 bytes, empty html, tag soup, and huge
+    whitespace runs flow through the whole pipeline without crashing
+    and produce zero links."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sbb_ned_ray.pipelines.ned import build_ned_links, top_links
+    from sbb_ned_ray.sources.pages import read_kb_table
+
+    junk = [
+        b"\xff\xfe\x00garbage\x80\x81",
+        b"",
+        b"<html><body><p>" + b"\xc3\x28" * 50 + b"</p>",
+        b"<div><div><div>" + b" " * 10_000 + b"</div>",
+        b"<script>while(1){}</script><style>*{}</style>",
+    ]
+    pages = pa.table({
+        "url": pa.array([f"https://junk.example/{i}" for i in
+                         range(len(junk))], pa.string()),
+        "warc_ts": pa.array([np.datetime64("2024-01-01", "us")] * len(junk),
+                            pa.timestamp("us")),
+        "html": pa.array(junk, pa.binary()),
+        "lang": pa.array(["de"] * len(junk), pa.string()),
+    })
+    pdir = tmp_path / "junk_pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "part-0.parquet"))
+
+    kb = read_kb_table(tiny_fixture_dir)
+    cfg = PipelineConfig()
+    links = top_links(build_ned_links(
+        str(tmp_path), cfg, kb_table=kb,
+        pages_ds=rd.read_parquet(str(pdir)))).to_pandas()
+    assert len(links) == 0
