@@ -150,6 +150,13 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     the scorer still reads per-entity evidence from the broadcast KB —
     at true scale that side becomes a co-shuffle join on ``cand_entity``
     of the same shape as the blocking join.
+
+    Cost profile (sf0.1, 32 CPUs): ~2.5 min vs ~4 s for the broadcast
+    flagship — dominated by hash-join aggregator rounds and the joined
+    candidate volume (~18 rows/mention through two exchanges).  This
+    path exists for KBs that exceed the object store, where the
+    broadcast path is impossible and the join overhead amortizes across
+    a real cluster; below that threshold use :func:`run_ned`.
     """
     import pyarrow.compute as pc
 
@@ -181,15 +188,12 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
         return t.drop_columns(["sent_tokens"]) \
             .append_column("sent_tokens_enc", joined)
 
-    def dec(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["sent_tokens_enc"], "\x00")
-        return t.drop_columns(["sent_tokens_enc"]) \
-            .append_column("sent_tokens", toks)
-
     mentions_enc = mentions.map_batches(enc, batch_format="pyarrow")
+    # the scorer decodes sent_tokens_enc lazily, once per MENTION —
+    # arrow-splitting the column here would materialize the token list
+    # duplicated across every candidate row
     cands = attach_candidates_salted(mentions_enc, ranked, salt=salt,
-                                     num_partitions=num_partitions) \
-        .map_batches(dec, batch_format="pyarrow")
+                                     num_partitions=num_partitions)
     partials = cands.map_batches(
         FusedPairScorer, fn_constructor_args=(index_ref, cfg),
         batch_format="pyarrow", batch_size=cfg.batch_size,

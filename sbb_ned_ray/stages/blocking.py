@@ -174,6 +174,11 @@ def _surface_rows(surfaces_ds, cfg: PipelineConfig):
 def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     """One surface's joined hit rows → ranked candidates (replicates
     probe_part caps + rank_hits)."""
+    if g.empty:
+        return pd.DataFrame(columns=["surface", "cand_entity", "dist",
+                                     "match_uniqueness", "match_coverage",
+                                     "proba", "rank", "candidate_title",
+                                     "qid"])
     surface = g["surface"].iloc[0]
     exact_rows = g[g["is_exact"] == 1]
     exact_ids = frozenset(int(e) for e in exact_rows["eid"])
@@ -277,8 +282,11 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             "is_exact": pa.array(np.ones(t.num_rows, dtype=np.int8)),
         }), batch_format="pyarrow").materialize()
 
-    return hits.union(j_sur).groupby("surface").map_groups(
-        lambda g: _rank_surface_group(g, cfg), batch_format="pandas")
+    from sbb_ned_ray.stages.dedup import bucketed_map_groups
+    return bucketed_map_groups(
+        hits.union(j_sur), "surface",
+        lambda g: _rank_surface_group(g, cfg),
+        nparts=max(16, num_partitions * 4), skip_singletons=False)
 
 
 def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,

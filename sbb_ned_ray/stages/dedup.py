@@ -41,12 +41,13 @@ from sbb_ned_ray.stages.cluster import driver_union_find
 
 
 def bucketed_map_groups(rows: ray.data.Dataset, key_col: str, group_fn,
-                        nparts: int = 64):
+                        nparts: int = 64, skip_singletons: bool = True):
     """``groupby(key).map_groups`` with per-group overhead amortized:
     hash-partition keys into ``nparts`` coarse buckets, then ONE pandas
-    call per bucket iterates its real groups locally, skipping
-    singleton groups entirely (the common case in LSH banding — most
-    buckets hold one row and can never produce a pair).
+    call per bucket iterates its real groups locally.
+    ``skip_singletons`` drops single-row groups before calling
+    ``group_fn`` (right for pair emitters — a singleton can never
+    produce a pair); pass False when every group must be processed.
     """
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -56,9 +57,10 @@ def bucketed_map_groups(rows: ray.data.Dataset, key_col: str, group_fn,
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["_part"])
-        counts = df[key_col].value_counts()
-        multi = counts[counts > 1].index
-        df = df[df[key_col].isin(multi)]
+        if skip_singletons:
+            counts = df[key_col].value_counts()
+            multi = counts[counts > 1].index
+            df = df[df[key_col].isin(multi)]
         outs = [group_fn(g) for _, g in df.groupby(key_col, sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:

@@ -285,7 +285,19 @@ class FusedPairScorer:
                 a_mask[(u, mid)] = self._mention_entry(
                     ta, surf, span=m_sp[r_no] if m_sp else None)
         else:
-            toks = cands["sent_tokens"].to_pylist()
+            if "sent_tokens" in cands.column_names:
+                _toks = cands["sent_tokens"].to_pylist()
+
+                def get_toks(i: int) -> list[str]:
+                    return _toks[i]
+            else:
+                # joined rows carry \x00-packed tokens (pyarrow hash
+                # joins reject list payloads); split lazily — only once
+                # per MENTION, in the cache-miss branch below
+                _enc = cands["sent_tokens_enc"].to_pylist()
+
+                def get_toks(i: int) -> list[str]:
+                    return _enc[i].split("\x00")
             c_spans = ("span_start" in cands.column_names)
             c_sp = (list(zip(cands["span_start"].to_pylist(),
                              cands["span_end"].to_pylist()))
@@ -299,7 +311,7 @@ class FusedPairScorer:
             ent = a_mask.get(ka)
             if ent is None:
                 ent = self._mention_entry(
-                    toks[i], col["surface"][i],
+                    get_toks(i), col["surface"][i],
                     span=c_sp[i] if c_sp else None)
                 a_mask[ka] = ent
             am, key_a = ent
