@@ -258,6 +258,109 @@ QUALIFY rnk <= 3
 """
 
 
+def events_asof_join(sf_dir: str):
+    """AS-OF join (custom operator — Ray Data has no native asof): for
+    each 'click' event, the most recent strictly-earlier 'purchase' by
+    the same user.  Partitioned by user via the coarse-bucket group
+    helper; inside a group both sides sort once and numpy searchsorted
+    does the per-click lookup.  The partitioning assumption: the join
+    key (user_id) co-locates both streams — the same assumption any
+    distributed asof needs."""
+    import pyarrow.parquet  # noqa: F401  (driver env parity)
+
+    from sbb_ned_ray.stages.dedup import bucketed_map_groups
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "prev_purchase_id": pd.Series(dtype="int64"),
+            "gap_us": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        clicks = g[g.event_type == "click"].sort_values("ts")
+        buys = g[g.event_type == "purchase"].sort_values("ts")
+        if clicks.empty or buys.empty:
+            return empty
+        c_ts = clicks["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        b_ts = buys["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        idx = np.searchsorted(b_ts, c_ts, side="left") - 1
+        keep = idx >= 0
+        return pd.DataFrame({
+            "event_id": clicks["event_id"].to_numpy()[keep],
+            "prev_purchase_id": buys["event_id"].to_numpy()[idx[keep]],
+            "gap_us": c_ts[keep] - b_ts[idx[keep]],
+        })
+
+    return bucketed_map_groups(ds, "user_id", asof_group,
+                               skip_singletons=False)
+
+
+ORACLE_EVENTS_ASOF = """
+SELECT a.event_id AS event_id, b.event_id AS prev_purchase_id,
+       datediff('microseconds', b.ts, a.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts > b.ts
+"""
+
+
+def events_range_join(sf_dir: str, window_s: int = 3600):
+    """RANGE join (custom operator): all 'error' events by the same user
+    within ``window_s`` seconds BEFORE each 'purchase'.  Same
+    user-partitioned sorted-merge shape as the asof join; interval
+    bounds via two searchsorted calls per probe row."""
+    from sbb_ned_ray.stages.dedup import bucketed_map_groups
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    win_us = window_s * 1_000_000
+
+    def range_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series(dtype="int64"),
+            "error_id": pd.Series(dtype="int64"),
+            "gap_us": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        buys = g[g.event_type == "purchase"]
+        errs = g[g.event_type == "error"].sort_values("ts")
+        if buys.empty or errs.empty:
+            return empty
+        e_ts = errs["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        e_id = errs["event_id"].to_numpy()
+        out_p, out_e, out_g = [], [], []
+        for pid, pts in zip(
+                buys["event_id"].to_numpy(),
+                buys["ts"].to_numpy().astype("datetime64[us]")
+                .astype("int64")):
+            lo = np.searchsorted(e_ts, pts - win_us, side="left")
+            hi = np.searchsorted(e_ts, pts, side="left")
+            for j in range(lo, hi):
+                out_p.append(int(pid))
+                out_e.append(int(e_id[j]))
+                out_g.append(int(pts - e_ts[j]))
+        return pd.DataFrame({"purchase_id": out_p, "error_id": out_e,
+                             "gap_us": out_g}) if out_p else empty
+
+    return bucketed_map_groups(ds, "user_id", range_group,
+                               skip_singletons=False)
+
+
+ORACLE_EVENTS_RANGE = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       datediff('microseconds', e.ts, p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+"""
+
+
 def sessionize_users(sf_dir: str):
     """Session windows: 30-min inactivity gap per user → session count."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
@@ -760,6 +863,8 @@ QUERIES = {
     "distinct_segments": distinct_segments,
     "events_windowed": events_windowed,
     "top_events_per_user": top_events_per_user,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "sessionize_users": sessionize_users,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
@@ -790,6 +895,8 @@ ORACLE_SQL = {
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,
+    "events_asof_join": ORACLE_EVENTS_ASOF,
+    "events_range_join": ORACLE_EVENTS_RANGE,
     "sessionize_users": ORACLE_SESSIONIZE,
     "doc_token_counts": ORACLE_DOC_TOKEN_COUNTS,
     "doc_quality": ORACLE_DOC_QUALITY,
