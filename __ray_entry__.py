@@ -31,5 +31,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sbb_ned_ray.fixtures.generator import pages_dir_for_sf
     from sbb_ned_ray.pipelines.queries import ORACLE_SQL
+
+    # a few oracles read fixture parquet by literal path (BIO round-trip,
+    # CLEF TSV) — materialize the sf0.01 fixture so the paths exist even
+    # when the driver runs the SQL before the Ray query
+    pages_dir_for_sf("/root/testdata/sf0.01")
     return dict(ORACLE_SQL)

@@ -104,14 +104,25 @@ def q3_top_orders(sf_dir: str):
     revenue pre-scaled; top-10 by (revenue desc, orderkey asc)."""
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey",
-                                      "o_orderdate"]).to_pandas()
-    cutoff = np.datetime64("1995-03-15", "us")
-    sel_orders = orders[(orders.o_custkey.isin(keys))
-                        & (orders.o_orderdate < cutoff)]
-    okeys_ref = ray.put(set(sel_orders.o_orderkey))
+    keys = pa.array(
+        sorted(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"]),
+        pa.int64())
+    ckeys_ref = ray.put(keys)
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+
+    def sel_orders_fn(t: pa.Table) -> pa.Table:
+        # distributed semi-join filter: orders is NOT the small side —
+        # only the qualifying orderkey column ever reaches the driver
+        ck = ray.get(ckeys_ref)
+        mask = pc.and_(pc.is_in(t["o_custkey"], value_set=ck),
+                       pc.less(t["o_orderdate"], cutoff))
+        return t.filter(mask).select(["o_orderkey"])
+
+    sel_keys = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(sel_orders_fn, batch_format="pyarrow").to_pandas()
+    okeys_ref = ray.put(set(sel_keys.o_orderkey))
 
     class Revenue:
         def __init__(self, ref):
@@ -167,10 +178,13 @@ def orders_per_nation(sf_dir: str):
 
     class Tag:
         def __init__(self, r):
-            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.m = pd.Series(m)   # vectorized lookup table
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.m.get(k) for k in t["o_custkey"].to_pylist()]
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            names = self.m.reindex(keys)
+            names = names.where(names.notna(), None).to_numpy()
             return pa.table({"n_name": pa.array(names, pa.string())})
 
     out = (rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
@@ -282,7 +296,10 @@ def events_asof_join(sf_dir: str):
         if g.empty:
             return empty
         clicks = g[g.event_type == "click"].sort_values("ts")
-        buys = g[g.event_type == "purchase"].sort_values("ts")
+        # tie-break: among purchases sharing a ts, the MAX event_id wins
+        # (searchsorted side="left" − 1 lands on the last tied row) —
+        # the oracle encodes the same rule explicitly
+        buys = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
         if clicks.empty or buys.empty:
             return empty
         c_ts = clicks["ts"].to_numpy().astype("datetime64[us]").astype("int64")
@@ -300,11 +317,15 @@ def events_asof_join(sf_dir: str):
 
 
 ORACLE_EVENTS_ASOF = """
-SELECT a.event_id AS event_id, b.event_id AS prev_purchase_id,
-       datediff('microseconds', b.ts, a.ts) AS gap_us
-FROM (SELECT * FROM events WHERE event_type = 'click') a
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-  ON a.user_id = b.user_id AND a.ts > b.ts
+SELECT event_id, prev_purchase_id, gap_us FROM (
+  SELECT a.event_id AS event_id, b.event_id AS prev_purchase_id,
+         datediff('microseconds', b.ts, a.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY a.event_id
+                            ORDER BY b.ts DESC, b.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'click') a
+  JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+    ON a.user_id = b.user_id AND b.ts < a.ts)
+WHERE rn = 1
 """
 
 
@@ -333,19 +354,25 @@ def events_range_join(sf_dir: str, window_s: int = 3600):
             return empty
         e_ts = errs["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         e_id = errs["event_id"].to_numpy()
-        out_p, out_e, out_g = [], [], []
-        for pid, pts in zip(
-                buys["event_id"].to_numpy(),
-                buys["ts"].to_numpy().astype("datetime64[us]")
-                .astype("int64")):
-            lo = np.searchsorted(e_ts, pts - win_us, side="left")
-            hi = np.searchsorted(e_ts, pts, side="left")
-            for j in range(lo, hi):
-                out_p.append(int(pid))
-                out_e.append(int(e_id[j]))
-                out_g.append(int(pts - e_ts[j]))
-        return pd.DataFrame({"purchase_id": out_p, "error_id": out_e,
-                             "gap_us": out_g}) if out_p else empty
+        p_id = buys["event_id"].to_numpy()
+        p_ts = buys["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        # interval bounds per probe row, then one vectorized expansion:
+        # idx = concat(arange(lo_i, hi_i)) via repeat + running offset
+        lo = np.searchsorted(e_ts, p_ts - win_us, side="left")
+        hi = np.searchsorted(e_ts, p_ts, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                            counts)
+        idx = starts + offs
+        pid_rep = np.repeat(p_id, counts)
+        pts_rep = np.repeat(p_ts, counts)
+        return pd.DataFrame({"purchase_id": pid_rep,
+                             "error_id": e_id[idx],
+                             "gap_us": pts_rep - e_ts[idx]})
 
     return bucketed_map_groups(ds, "user_id", range_group,
                                skip_singletons=False)
@@ -552,11 +579,18 @@ def simhash_dedup_docs(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
+    """Document fingerprinting; oracle compares the md5 twin column
+    (blake2b content_hash and the winnowing fingerprint list are not
+    DuckDB-expressible — both are unit-tested instead)."""
     from sbb_ned_ray.stages.analysis import fingerprint_batch
     return rd.read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"]) \
         .map_batches(fingerprint_batch, batch_format="pyarrow") \
-        .drop_columns(["fingerprints"])
+        .select_columns(["doc_id", "content_md5"])
+
+
+ORACLE_DOC_FINGERPRINTS = \
+    "SELECT doc_id, md5(text) AS content_md5 FROM documents"
 
 
 def embedding_neardup(sf_dir: str, cos_threshold: float = 0.45):
@@ -695,7 +729,10 @@ def ned_training_pairs(sf_dir: str):
 def media_decode(sf_dir: str):
     """Multimodal plumbing: documents → synthetic binary media rows →
     decode/feature actor stage (deterministic fake decode; schema and
-    batch sizing are the real thing)."""
+    batch sizing are the real thing).  No SQL oracle: the decode digest
+    is blake2b over binary payloads — DuckDB ships md5 only and cannot
+    express the per-media-type fake decode; covered rows-only plus unit
+    tests (tests/test_ned_stages.py multimodal cases)."""
     from sbb_ned_ray.stages.multimodal import ImageDecodeStage
 
     def to_media(t: pa.Table) -> pa.Table:
@@ -766,7 +803,25 @@ def parse_ner_mentions(sf_dir: str):
                              batch_format="pyarrow",
                              concurrency=(1, 4)) \
         .map_batches(parse_ner_batch, batch_format="pyarrow") \
-        .drop_columns(["sent_tokens"])
+        .select_columns(["url", "mention_id", "sent_no", "tok_start",
+                         "tok_end", "type"])
+
+
+def _oracle_parse_ner(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """BIO round-trip oracle: the parse of tags synthesized from the gold
+    spans must reproduce the gold spans exactly — the oracle reads the
+    fixture's mentions_gt.parquet directly (normalized surface / span
+    columns are not SQL-reconstructible and are excluded on both sides).
+    The fixture path is deterministic (content-fingerprinted); callers of
+    ``oracle_sql()`` materialize it first (see ``__ray_entry__``)."""
+    import os as _os
+
+    from sbb_ned_ray.fixtures.generator import spec_for_sf
+    path = _os.path.join("/tmp/sbb_ned_ray_fixtures",
+                         spec_for_sf(sf_dir).fingerprint(),
+                         "mentions_gt.parquet")
+    return (f"SELECT url, mention_id, sent_no, tok_start, tok_end, type "
+            f"FROM read_parquet('{path}')")
 
 
 # ---------------------------------------------------------------------------
@@ -902,6 +957,8 @@ ORACLE_SQL = {
     "doc_quality": ORACLE_DOC_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "exact_dedup_docs": ORACLE_EXACT_DEDUP,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "parse_ner_mentions": _oracle_parse_ner(),
     "knn_cosine": ORACLE_KNN,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,

@@ -76,11 +76,19 @@ class LangIdStage:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """content_hash (blake2b — the engine key), content_md5 (cross-engine
+    oracle twin: DuckDB has md5() but not blake2b), and winnowing
+    fingerprints (engine-specific rolling hash, unit-tested)."""
+    import hashlib
+
     texts = batch["text"].to_pylist()
     return pa.table({
         "doc_id": batch["doc_id"],
         "content_hash": pa.array([stable_hash_hex(t) for t in texts],
                                  pa.string()),
+        "content_md5": pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+            pa.string()),
         "fingerprints": pa.array(
             [[fp % (1 << 62) for fp in rolling_fingerprint(t)]
              for t in texts], pa.list_(pa.int64())),

@@ -65,9 +65,11 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
     kb_ds = ray.data.from_arrow(kb.append_column(
         "eid", pa.array(np.arange(kb.num_rows, dtype=np.int64))))
 
-    def alias_rows(t: pa.Table):
-        parts_col, eids, titles, qids, probas = [], [], [], [], []
-        ex_keys, ex_eids, ex_titles, ex_qids, ex_probas = [], [], [], [], []
+    def alias_rows(t: pa.Table) -> pa.Table:
+        """ONE pass per KB batch → combined rows tagged by ``kind``
+        (0 = part posting, 1 = exact surface key) — the two tables are
+        split afterward instead of normalizing every alias twice."""
+        kinds, keys_col, eids, titles, qids, probas = [], [], [], [], [], []
         for eid, title, qid, proba, aliases in zip(
                 t["eid"].to_pylist(), t["page_title"].to_pylist(),
                 t["qid"].to_pylist(), t["proba"].to_pylist(),
@@ -81,38 +83,45 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
                 key = " ".join(parts)
                 if key not in seen_keys:
                     seen_keys.add(key)
-                    ex_keys.append(key)
-                    ex_eids.append(eid)
-                    ex_titles.append(title)
-                    ex_qids.append(qid)
-                    ex_probas.append(float(proba))
-                for p in parts:
-                    if p in seen_parts:
-                        continue
-                    seen_parts.add(p)
-                    parts_col.append(p)
+                    kinds.append(1)
+                    keys_col.append(key)
                     eids.append(eid)
                     titles.append(title)
                     qids.append(qid)
                     probas.append(float(proba))
-        return (pa.table({
-            "part": pa.array(parts_col, pa.string()),
+                for p in parts:
+                    if p in seen_parts:
+                        continue
+                    seen_parts.add(p)
+                    kinds.append(0)
+                    keys_col.append(p)
+                    eids.append(eid)
+                    titles.append(title)
+                    qids.append(qid)
+                    probas.append(float(proba))
+        return pa.table({
+            "kind": pa.array(kinds, pa.int8()),
+            "key0": pa.array(keys_col, pa.string()),
             "eid": pa.array(eids, pa.int64()),
             "title": pa.array(titles, pa.string()),
             "qid": pa.array(qids, pa.string()),
             "proba": pa.array(probas, pa.float64()),
-        }), pa.table({
-            "skey": pa.array(ex_keys, pa.string()),
-            "eid": pa.array(ex_eids, pa.int64()),
-            "title": pa.array(ex_titles, pa.string()),
-            "qid": pa.array(ex_qids, pa.string()),
-            "proba": pa.array(ex_probas, pa.float64()),
-        }))
+        })
 
-    postings0 = kb_ds.map_batches(lambda t: alias_rows(t)[0],
-                                  batch_format="pyarrow")
-    exact = kb_ds.map_batches(lambda t: alias_rows(t)[1],
-                              batch_format="pyarrow").materialize()
+    import pyarrow.compute as pc
+    combined = kb_ds.map_batches(alias_rows,
+                                 batch_format="pyarrow").materialize()
+
+    def _split(kind: int, key_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["kind"], kind)).drop_columns(["kind"])
+            return t.rename_columns(
+                [key_name if c == "key0" else c for c in t.column_names])
+        return fn
+
+    postings0 = combined.map_batches(_split(0, "part"),
+                                     batch_format="pyarrow")
+    exact = combined.map_batches(_split(1, "skey"), batch_format="pyarrow")
     # frequency stoplist table: entities reachable per part
     freqs = postings0.groupby("part").count() \
         .map_batches(lambda t: t.rename_columns(["part", "freq"]),

@@ -426,9 +426,17 @@ def ned_task_fn(index_ref, config: PipelineConfig,
     shuffle also returns those CPUs to the map stage.  Equality with
     the shuffle path is asserted in tests/test_e2e_ray.py.
     """
+    # PipelineConfig.context is compare=False/hash=False, so two jobs
+    # sharing an index_ref that differ only in per-job context would
+    # collide on (index_ref, config) — include a canonical context
+    # serialization in the key
+    import json
+    ctx_key = json.dumps(config.context, sort_keys=True, default=str) \
+        if config.context else ""
+
     def fn(batch: pa.Table) -> pa.Table:
         key = (index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
-               config)
+               config, ctx_key)
         w = _WORKER_CACHE.get(key)
         if w is None:
             _WORKER_CACHE.clear()   # one live pipeline config per worker

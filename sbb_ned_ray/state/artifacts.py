@@ -21,16 +21,38 @@ import pyarrow as pa
 from sbb_ned_ray.config import PipelineConfig
 from sbb_ned_ray.state.alias_index import AliasIndex, build_alias_index
 
+# Bump when AliasIndex layout / anagram alphabet / probe semantics
+# change: a pickled artifact from an older code version must NOT be
+# loaded and probed with mismatched vector dims or bucket keys.
+INDEX_FORMAT_VERSION = 2
+
 
 def kb_fingerprint(kb: pa.Table, config: PipelineConfig) -> str:
+    """Content fingerprint of everything the index build reads.
+
+    Hashes ALL index-relevant KB columns (not just qids — alias edits,
+    proba changes, context/geo/date updates with unchanged qids must
+    invalidate the artifact), the schema, the index-shaping config
+    knobs, and :data:`INDEX_FORMAT_VERSION` (code changes such as the
+    anagram-alphabet widening are versioned too).
+    """
     h = hashlib.sha256()
     h.update(str(kb.schema).encode())
     h.update(str(kb.num_rows).encode())
-    # content sample: hash the qid column (unique per entity) + config
-    # knobs that shape the index
-    for q in kb["qid"].to_pylist():
-        h.update(q.encode())
-    h.update(f"{config.ngram_size}|{config.num_perm}|{config.lsh_bands}"
+    index_cols = [c for c in ("qid", "page_title", "label", "type",
+                              "proba", "aliases", "context_tokens",
+                              "longitude", "latitude", "dateofbirth",
+                              "inception")
+                  if c in kb.column_names]
+    # one pass over the raw Arrow buffers — no Python-object conversion
+    for col in index_cols:
+        h.update(col.encode())
+        for chunk in kb[col].chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    h.update(f"v{INDEX_FORMAT_VERSION}|{config.ngram_size}|"
+             f"{config.num_perm}|{config.lsh_bands}|{config.seed}"
              .encode())
     return h.hexdigest()[:16]
 
