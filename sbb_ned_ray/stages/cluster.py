@@ -2,24 +2,33 @@
 
 The reference links each mention to the KB independently; our north_rule
 additionally requires transitive closure of matched pairs into entity
-clusters (SURVEY.md §2.7 "Entity clustering (ours)").  Two
-implementations behind one API:
+clusters (SURVEY.md §2.7 "Entity clustering (ours)").  Three layers
+behind one API:
 
 * :func:`driver_union_find` — exact union-find on the driver for edge
   sets known to be small (accepted links are ≤ one row per mention).
 * :func:`label_propagation_components` — distributed min-label
-  propagation for web-scale edge sets: iterate
-  ``edges ⋈ labels → groupby(node).min(label)`` until no label changes;
-  each iteration is one shuffle keyed on node id (the "large-graph"
-  connected-components pattern; cf. Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SoCC'14).
+  propagation for web-scale edge sets.  Fully distributed: each
+  iteration is a co-shuffle hash join ``edges ⋈ labels`` on node id
+  plus one ``groupby(node)`` aggregation (the "large-graph" connected
+  components pattern; cf. Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14).  The only thing that ever reaches
+  the driver is the per-iteration changed-label COUNT (one scalar) —
+  the label table itself stays in the object store.
+* :func:`pairs_to_clusters` — pair Dataset → (node, cluster_id) frame,
+  choosing driver union-find below ``driver_pair_limit`` pairs and the
+  distributed propagation above it (the dedup paths' guard against
+  collecting an unbounded candidate-pair list on a duplicate-heavy
+  corpus).
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+
 import ray.data
+from ray.data.aggregate import Min
 
 
 def driver_union_find(edges: list[tuple[str, str]]) -> dict[str, str]:
@@ -46,69 +55,159 @@ def driver_union_find(edges: list[tuple[str, str]]) -> dict[str, str]:
 
 def label_propagation_components(edges_ds: ray.data.Dataset,
                                  src: str = "src", dst: str = "dst",
-                                 max_iters: int = 12) -> ray.data.Dataset:
+                                 max_iters: int = 12,
+                                 num_partitions: int = 16
+                                 ) -> ray.data.Dataset:
     """Distributed connected components over an edge Dataset.
 
-    Returns Dataset(node, component).  Each iteration: symmetrize edges,
-    attach current labels, propagate min label across each edge, then
-    ``groupby(node).min(label)``.  Converges in O(diameter) iterations;
-    ``max_iters`` bounds pathological chains (web-entity graphs are
-    shallow: star-shaped around canonical entities).
-    """
-    def symmetrize(t: pa.Table) -> pa.Table:
-        a, b = t[src], t[dst]
-        return pa.table({"u": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                         "v": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+    Returns Dataset(node, component) covering every node that appears
+    in an edge; ``component`` is the minimum node id of the component.
 
-    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow")
-    # initial label of a node = min neighbour ∪ self
+    Per iteration (all Dataset ops, no driver-side label table):
+
+    1. Co-shuffle join ``sym ⋈ labels`` on the edge source: both sides
+       are unioned into tagged rows, hash-bucketed into
+       ``num_partitions`` coarse partitions on the join key, and merged
+       with one vectorized pandas merge per bucket — each edge proposes
+       its source's current label to its target.  (A bucketed groupby
+       stands in for ``Dataset.join`` deliberately: the hash-join
+       operator chokes on the empty-schema partition blocks an upstream
+       aggregate can emit, and the bucket merge amortizes per-group
+       overhead the same way the dedup stages do.)
+    2. Union the proposals with the current labels (old rows carry
+       their label duplicated into an ``old`` column; proposal rows
+       have ``old = null``) and ``groupby(node)`` with two ``Min``
+       aggregates → the new label AND the label it replaced, in ONE
+       shuffle.
+    3. ``sum(new < old)`` → changed-label count (a single scalar to the
+       driver); zero ⇒ converged.
+
+    Converges in O(diameter) iterations; ``max_iters`` bounds
+    pathological chains (web-entity graphs are shallow: star-shaped
+    around canonical entities).
+    """
+    import pyarrow.compute as pc
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a, b = t[src].combine_chunks(), t[dst].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    # bound the block count once up front: the per-iteration shuffles pay
+    # per-block overhead, and a many-tiny-block input (e.g. from_items)
+    # would multiply it 12×
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
     def init_labels(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         lab = pc.min_element_wise(t["u"], t["v"])
         return pa.table({"node": t["u"], "label": lab})
 
     labels = sym.map_batches(init_labels, batch_format="pyarrow") \
         .groupby("node").min("label") \
         .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                     batch_format="pyarrow")
-    labels = labels.materialize()
+                     batch_format="pyarrow").materialize()
 
-    sym_mat = sym.materialize()
+    # tagged rows for the co-shuffle join: edge rows key on u and carry
+    # v; label rows key on node and carry the label (null-padded so both
+    # sides share one schema)
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["u"], "v": t["v"],
+                         "label": pa.nulls(t.num_rows, t["u"].type)})
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"],
+                         "v": pa.nulls(t.num_rows, t["node"].type),
+                         "label": t["label"]})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # hash in pandas but append to the ARROW table: a whole-table
+        # pandas round-trip would coerce the null-padded int columns to
+        # float64 on one side of the union and diverge the schemas
+        h = (pd.util.hash_pandas_object(t["key"].to_pandas(), index=False)
+             .to_numpy() % num_partitions).astype("int32")
+        return t.append_column("_part", pa.array(h, pa.int32()))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.loc[df["label"].isna(), ["key", "v"]]
+        l = df.loc[df["v"].isna(), ["key", "label"]]
+        m = e.merge(l, on="key")
+        # cast back to the key dtype: pandas represents the nullable int
+        # columns as float64, which would otherwise leak out as floats
+        kd = df["key"].dtype
+        return pd.DataFrame({"node": m["v"].to_numpy(),
+                             "label": m["label"].to_numpy()}) \
+            .astype({"node": kd, "label": kd})
+
+    def proposals(t: pa.Table) -> pa.Table:
+        # old = null so the Min("old") aggregate ignores proposal rows
+        return pa.table({"node": t["node"], "label": t["label"],
+                         "old": pa.nulls(t.num_rows, t["label"].type)})
+
+    def carry(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["label"],
+                         "old": t["label"]})
+
+    def changed_partial(t: pa.Table) -> pa.Table:
+        chg = pc.sum(pc.cast(pc.less(t["label"], t["old"]),
+                             pa.int64())).as_py() or 0
+        return pa.table({"chg": pa.array([chg], pa.int64())})
+
+    edge_tagged = sym.map_batches(edge_rows, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow").materialize()
     for _ in range(max_iters):
-        lab_df = labels.to_pandas()
-        lab_map = dict(zip(lab_df["node"], lab_df["label"]))
-        # NOTE: for truly huge graphs, replace this broadcast-map join with
-        # a co-shuffle join on node; the broadcast is right while the label
-        # table (≈ number of linked mentions) fits the object store.
-        import ray
-        lab_ref = ray.put(lab_map)
-
-        class Propagate:
-            def __init__(self, ref):
-                self.m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                us = t["u"].to_pylist()
-                vs = t["v"].to_pylist()
-                m = self.m
-                lab = [min(m.get(u, u), m.get(v, v)) for u, v in zip(us, vs)]
-                return pa.table({"node": pa.array(us), "label": pa.array(lab)})
-
-        new_labels = sym_mat.map_batches(
-            Propagate, fn_constructor_args=(lab_ref,),
-            batch_format="pyarrow", concurrency=2) \
-            .groupby("node").min("label") \
-            .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                         batch_format="pyarrow").materialize()
-        new_df = new_labels.to_pandas()
-        new_map = dict(zip(new_df["node"], new_df["label"]))
-        if new_map == lab_map:
-            labels = new_labels
+        tagged = edge_tagged.union(
+            labels.map_batches(label_rows, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow"))
+        cand = tagged.groupby("_part") \
+            .map_groups(merge_bucket, batch_format="pandas") \
+            .map_batches(proposals, batch_format="pyarrow")
+        merged = cand.union(
+            labels.map_batches(carry, batch_format="pyarrow"))
+        agg = merged.groupby("node").aggregate(
+            Min("label", alias_name="label"),
+            Min("old", alias_name="old")).materialize()
+        changed = agg.map_batches(changed_partial,
+                                  batch_format="pyarrow").sum("chg")
+        labels = agg.map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow")
+        if not changed:
             break
-        labels = new_labels
+        # re-bound the block count: the hash aggregate emits roughly one
+        # block per input block, which would double every iteration and
+        # blow up per-iteration scheduling overhead
+        labels = labels.repartition(num_partitions).materialize()
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
+
+
+def pairs_to_clusters(pairs_ds: ray.data.Dataset,
+                      id_a: str = "id_a", id_b: str = "id_b",
+                      driver_pair_limit: int = 200_000) -> pd.DataFrame:
+    """Candidate-pair Dataset → (node, cluster_id) DataFrame.
+
+    ≤ ``driver_pair_limit`` pairs: collect + exact driver union-find
+    (the common case — near-dup pairs are sparse on a clean corpus).
+    Above it: distributed :func:`label_propagation_components`, so a
+    duplicate-heavy crawl (30%+ near-dup rate) cannot OOM the driver
+    with its pair list; only the final (node, component) table — one
+    row per *duplicated* doc — is collected.
+    """
+    ids = pairs_ds.select_columns([id_a, id_b])
+    n_pairs = ids.count()
+    if n_pairs <= driver_pair_limit:
+        df = ids.to_pandas().drop_duplicates()
+        comp = driver_union_find(list(zip(df[id_a], df[id_b])))
+        if not comp:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "cluster_id": pd.Series(dtype="int64")})
+        out = pd.DataFrame({"node": list(comp.keys()),
+                            "cluster_id": list(comp.values())})
+    else:
+        comps = label_propagation_components(ids, src=id_a, dst=id_b)
+        out = comps.to_pandas().rename(columns={"component": "cluster_id"})
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def cluster_links(links_df: pd.DataFrame) -> pd.DataFrame:

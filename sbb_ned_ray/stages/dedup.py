@@ -37,7 +37,7 @@ from sbb_ned_ray.functions.hashing import (
     stable_hash_hex,
 )
 from sbb_ned_ray.functions.textstats import tokenize_ws
-from sbb_ned_ray.stages.cluster import driver_union_find
+from sbb_ned_ray.stages.cluster import pairs_to_clusters
 
 
 def bucketed_map_groups(rows: ray.data.Dataset, key_col: str, group_fn,
@@ -121,14 +121,18 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, ngram: int = 5,
                       jaccard_threshold: float = 0.8, seed: int = 42,
-                      max_pairs_per_bucket: int = 1000) -> pd.DataFrame:
+                      max_pairs_per_bucket: int = 1000,
+                      driver_pair_limit: int = 200_000) -> pd.DataFrame:
     """Near-dup clusters: returns DataFrame (doc_id, cluster_id) for docs
     in near-dup clusters (cluster_id = min doc_id of cluster).
 
     Pipeline: sign per batch → flat_map to (band_key, doc_id, sig) →
     groupby(band_key) → candidate pairs (capped per bucket — skew guard)
-    → MinHash-estimate verify ≥ threshold → union-find on the driver
-    (candidate-pair set is small relative to corpus by construction).
+    → MinHash-estimate verify ≥ threshold → transitive closure via
+    :func:`sbb_ned_ray.stages.cluster.pairs_to_clusters` (driver
+    union-find for small pair sets, distributed label propagation above
+    ``driver_pair_limit`` — a duplicate-heavy corpus cannot OOM the
+    driver with its pair list).
     """
     def band_rows_fn(batch: pa.Table) -> pa.Table:
         mh = MinHasher(num_perm=num_perm, seed=seed)
@@ -168,31 +172,23 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                  "id_b": pd.Series(dtype="int64"),
                  "est_jaccard": pd.Series(dtype="float64")})
 
-    pairs = bucketed_map_groups(band_rows, "band_key",
-                                bucket_pairs).to_pandas()
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
-    comp = driver_union_find(
-        [(str(a), str(b)) for a, b in zip(pairs.id_a, pairs.id_b)])
-    if not comp:
+    pairs_ds = bucketed_map_groups(band_rows, "band_key", bucket_pairs)
+    out = pairs_to_clusters(pairs_ds, driver_pair_limit=driver_pair_limit)
+    if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})
-    groups: dict[str, list[int]] = {}
-    for n, r in comp.items():
-        groups.setdefault(r, []).append(int(n))
-    rows = []
-    for members in groups.values():
-        rep = min(members)
-        rows.extend((m, rep) for m in members)
-    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]) \
-        .sort_values("doc_id").reset_index(drop=True)
+    out["node"] = out["node"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.rename(columns={"node": "doc_id"})
 
 
-def simhash_dedup(docs: ray.data.Dataset, text_col: str = "text",
+def simhash_pairs(docs: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  prefix_bits: int = 16) -> pd.DataFrame:
-    """SimHash near-dup pairs: bucket by 4 rotated 16-bit prefixes (any
-    pair within Hamming ≤ 3 of a 64-bit hash shares at least one of 4
-    disjoint 16-bit blocks exactly — pigeonhole), verify Hamming in-bucket."""
+                  prefix_bits: int = 16) -> ray.data.Dataset:
+    """SimHash near-dup candidate pairs as a lazy Dataset: bucket by 4
+    rotated 16-bit prefixes (any pair within Hamming ≤ 3 of a 64-bit
+    hash shares at least one of 4 disjoint 16-bit blocks exactly —
+    pigeonhole), verify Hamming in-bucket."""
     def sim_rows(batch: pa.Table) -> pa.Table:
         out_b, out_id, out_h = [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
@@ -224,9 +220,26 @@ def simhash_dedup(docs: ray.data.Dataset, text_col: str = "text",
                                       "id_b": pd.Series(dtype="int64"),
                                       "hamming": pd.Series(dtype="int64")})
 
-    pairs = bucketed_map_groups(rows, "bucket", bucket_verify).to_pandas()
+    return bucketed_map_groups(rows, "bucket", bucket_verify)
+
+
+def simhash_dedup(docs: ray.data.Dataset, **kwargs) -> pd.DataFrame:
+    """Collected, deduped SimHash pair list (small-result contract; for
+    duplicate-heavy corpora use :func:`simhash_clusters` which never
+    collects the raw pair list)."""
+    pairs = simhash_pairs(docs, **kwargs).to_pandas()
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_clusters(docs: ray.data.Dataset,
+                     driver_pair_limit: int = 200_000,
+                     **kwargs) -> pd.DataFrame:
+    """SimHash near-dup clusters (doc_id, cluster_id) via the bounded
+    transitive-closure helper."""
+    out = pairs_to_clusters(simhash_pairs(docs, **kwargs),
+                            driver_pair_limit=driver_pair_limit)
+    return out.rename(columns={"node": "doc_id"})
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
@@ -237,13 +250,14 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     return len(a & b) / len(a | b)
 
 
-def embedding_dedup(emb: ray.data.Dataset, id_col: str = "vec_id",
+def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     cos_threshold: float = 0.95,
-                    n_projections: int = 12, seed: int = 42) -> pd.DataFrame:
-    """Embedding-cosine near-dup: sign-random-projection buckets (SimHash
-    for vectors), exact cosine verify within buckets.  Returns pairs
-    (id_a, id_b, cosine ≥ threshold)."""
+                    n_projections: int = 12,
+                    seed: int = 42) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs as a lazy Dataset:
+    sign-random-projection buckets (SimHash for vectors), exact cosine
+    verify within buckets."""
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
@@ -278,6 +292,22 @@ def embedding_dedup(emb: ray.data.Dataset, id_col: str = "vec_id",
                                       "id_b": pd.Series(dtype="int64"),
                                       "cosine": pd.Series(dtype="float64")})
 
-    pairs = bucketed_map_groups(rows, "bucket", verify).to_pandas()
+    return bucketed_map_groups(rows, "bucket", verify)
+
+
+def embedding_dedup(emb: ray.data.Dataset, **kwargs) -> pd.DataFrame:
+    """Collected, deduped embedding near-dup pair list (small-result
+    contract; :func:`embedding_clusters` is the unbounded-safe variant)."""
+    pairs = embedding_pairs(emb, **kwargs).to_pandas()
     return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_clusters(emb: ray.data.Dataset,
+                       driver_pair_limit: int = 200_000,
+                       **kwargs) -> pd.DataFrame:
+    """Embedding near-dup clusters (vec_id, cluster_id) via the bounded
+    transitive-closure helper."""
+    out = pairs_to_clusters(embedding_pairs(emb, **kwargs),
+                            driver_pair_limit=driver_pair_limit)
+    return out.rename(columns={"node": "vec_id"})

@@ -87,6 +87,26 @@ def test_label_propagation_matches_union_find():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pairs_to_clusters_distributed_path_matches_driver_path():
+    """Above driver_pair_limit the pair set routes through distributed
+    label propagation instead of driver union-find; forcing the limit to
+    0 must give identical clusters (ints, numeric-min representative)."""
+    import numpy as np
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.cluster import pairs_to_clusters
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 80, size=(150, 2)) if a != b]
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    via_driver = pairs_to_clusters(ds, driver_pair_limit=10**9)
+    via_lp = pairs_to_clusters(ds, driver_pair_limit=0)
+    assert via_driver.equals(via_lp)
+    assert via_driver["cluster_id"].dtype == np.dtype("int64")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shuffle_kb_pipeline_equals_broadcast(tiny_fixture_dir):
     """The full large-KB pipeline (co-shuffle blocking + salted attach
     join + generic fused scoring + groupby decide) must produce the same
