@@ -61,7 +61,12 @@ def main(argv: list[str] | None = None) -> int:
         from sbb_ned_ray.state.alias_index import build_alias_index
         from sbb_ned_ray.state.artifacts import save_index
         kb = pq.read_table(args.kb)
-        fp = save_index(build_alias_index(kb, cfg), kb, args.out, cfg)
+        sent_path = os.path.join(os.path.dirname(args.kb),
+                                 "kb_sentences.parquet")
+        sentences = pq.read_table(sent_path) \
+            if os.path.exists(sent_path) else None
+        fp = save_index(build_alias_index(kb, cfg, sentences=sentences),
+                        kb, args.out, cfg, sentences)
         print(json.dumps({"artifact": args.out, "fingerprint": fp,
                           "entities": kb.num_rows}))
         return 0

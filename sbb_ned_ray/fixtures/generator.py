@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from sbb_ned_ray.functions.extract import EXTRACTOR_VERSION, extract_text
 from sbb_ned_ray.functions.normalization import normalized_surface_key
 
-FIXTURE_VERSION = "6"
+FIXTURE_VERSION = "7"
 
 # --- deterministic vocabularies -------------------------------------------
 
@@ -329,7 +329,38 @@ def generate_fixture(spec: FixtureSpec):
     pairs = _build_gt_pairs(spec, rng, gt_rows)
 
     return {"pages": pages, "kb_entities": kb, "mentions_gt": mentions_gt,
-            "mention_pairs_gt": pairs}
+            "mention_pairs_gt": pairs,
+            "kb_sentences": _build_kb_sentences(ents)}
+
+
+def _build_kb_sentences(ents) -> pa.Table:
+    """The sentence KB: per-entity evidence sentences with marked entity
+    spans (qid, sent_no, tokens, ent_pos, ent_end) — the fixture analog
+    of the reference's one-time ``<lang>-ned.sqlite`` sentences/links
+    build (``cli.py:657-685``).  The engine loads this table into the
+    broadcast index (or co-shuffle joins it on the large-KB path)
+    instead of synthesizing evidence at runtime."""
+    from sbb_ned_ray.stages.pairs import synthesize_evidence
+    from sbb_ned_ray.state.alias_index import normalize_token
+
+    qids, sent_nos, toks_col, pos_col, end_col = [], [], [], [], []
+    for e in ents:
+        label_toks = [t for t in (normalize_token(x)
+                                  for x in e["label"].split(" ")) if t]
+        for i, (toks, pos, end) in enumerate(
+                synthesize_evidence(label_toks, e["context_tokens"])):
+            qids.append(e["qid"])
+            sent_nos.append(i)
+            toks_col.append(toks)
+            pos_col.append(pos)
+            end_col.append(end)
+    return pa.table({
+        "qid": pa.array(qids, pa.string()),
+        "sent_no": pa.array(sent_nos, pa.int32()),
+        "tokens": pa.array(toks_col, pa.list_(pa.string())),
+        "ent_pos": pa.array(pos_col, pa.int32()),
+        "ent_end": pa.array(end_col, pa.int32()),
+    })
 
 
 def _build_gt_pairs(spec, rng, gt):
@@ -395,7 +426,8 @@ def materialize_fixture(spec: FixtureSpec, base_dir: str = "/tmp/sbb_ned_ray_fix
             break
         pq.write_table(sl, os.path.join(tmp, "pages", f"part-{i:04d}.parquet"),
                        row_group_size=rg)
-    for name in ("kb_entities", "mentions_gt", "mention_pairs_gt"):
+    for name in ("kb_entities", "mentions_gt", "mention_pairs_gt",
+                 "kb_sentences"):
         pq.write_table(tables[name], os.path.join(tmp, f"{name}.parquet"))
     with open(os.path.join(tmp, "_FIXTURE_COMPLETE"), "w") as f:
         json.dump({"spec": asdict(spec), "version": FIXTURE_VERSION}, f)

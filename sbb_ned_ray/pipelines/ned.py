@@ -27,7 +27,11 @@ import pyarrow as pa
 import ray
 
 from sbb_ned_ray.config import PipelineConfig
-from sbb_ned_ray.sources.pages import read_kb_table, read_pages
+from sbb_ned_ray.sources.pages import (
+    read_kb_sentences,
+    read_kb_table,
+    read_pages,
+)
 from sbb_ned_ray.stages.candidates import generate_candidates
 from sbb_ned_ray.stages.cluster import cluster_links
 from sbb_ned_ray.stages.decider import decide, decide_from_partials, top_links
@@ -73,7 +77,8 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
     cfg = config or PipelineConfig()
     if index_ref is None:
         kb = kb_table if kb_table is not None else read_kb_table(fixture_dir)
-        index_ref = ray.put(build_alias_index(kb, cfg))
+        index_ref = ray.put(build_alias_index(
+            kb, cfg, sentences=read_kb_sentences(fixture_dir)))
     conc = _pool_size(cfg)
 
     if pages_ds is not None:
@@ -138,18 +143,24 @@ def run_ned(fixture_dir: str, config: PipelineConfig | None = None
 
 
 def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
-                       num_partitions: int = 4, salt: int = 4
-                       ) -> pd.DataFrame:
+                       num_partitions: int = 4, salt: int = 4,
+                       evidence: str = "broadcast") -> pd.DataFrame:
     """Flagship pipeline in the LARGE-KB shape: candidate generation via
     the co-shuffle blocking path (``stages/blocking``: blocking-key hash
     joins + groupby(surface) ranking + SALTED attach join) instead of
     the broadcast AliasIndex probe, then generic fused scoring and the
     ``groupby(mention_key)`` decide (mention rows span batches after the
     join, so the local-decide shortcut does not apply).  Top-1 links are
-    identical to :func:`run_ned` (asserted in tests/test_e2e_ray.py);
-    the scorer still reads per-entity evidence from the broadcast KB —
-    at true scale that side becomes a co-shuffle join on ``cand_entity``
-    of the same shape as the blocking join.
+    identical to :func:`run_ned` (asserted in tests/test_e2e_ray.py).
+
+    ``evidence`` selects where per-candidate evidence sentences come
+    from: ``"broadcast"`` reads them from the broadcast AliasIndex
+    (right while the sentence KB fits the object store); ``"shuffle"``
+    streams ``kb_sentences.parquet`` and co-shuffle joins it with the
+    candidates on ``qid``
+    (:func:`sbb_ned_ray.stages.pairs.attach_evidence_shuffle`) — the
+    fully-broadcast-free shape for a sentence KB that exceeds the
+    object store.  Both produce identical links (parity-tested).
 
     Cost profile (sf0.1, 32 CPUs): ~2.5 min vs ~4 s for the broadcast
     flagship — dominated by hash-join aggregator rounds and the joined
@@ -168,7 +179,8 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
 
     cfg = config or PipelineConfig()
     kb = read_kb_table(fixture_dir)
-    index_ref = ray.put(build_alias_index(kb, cfg))
+    index_ref = ray.put(build_alias_index(
+        kb, cfg, sentences=read_kb_sentences(fixture_dir)))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = cfg.read_num_blocks or max(16, 4 * ncpu)
     pages = extracted_pages(read_pages(
@@ -194,11 +206,29 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     # duplicated across every candidate row
     cands = attach_candidates_salted(mentions_enc, ranked, salt=salt,
                                      num_partitions=num_partitions)
-    partials = cands.map_batches(
-        FusedPairScorer, fn_constructor_args=(index_ref, cfg),
-        batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=(1, 4), num_cpus=0.5)
-    links = decide_from_partials(partials, cfg)
+    if evidence == "shuffle":
+        import ray.data as rd
+
+        from sbb_ned_ray.stages.decider import decide
+        from sbb_ned_ray.stages.pairs import attach_evidence_shuffle
+        from sbb_ned_ray.stages.scorer import score_pairs
+
+        sent_path = os.path.join(fixture_dir, "kb_sentences.parquet")
+        if not os.path.exists(sent_path):
+            raise FileNotFoundError(
+                f"evidence='shuffle' needs {sent_path} (the sentence KB)")
+        sentences_ds = rd.read_parquet(sent_path)
+        pairs = attach_evidence_shuffle(
+            cands, sentences_ds, cfg,
+            num_partitions=max(16, num_partitions * 4))
+        scored = score_pairs(pairs, cfg, concurrency=(1, 4), num_cpus=0.5)
+        links = decide(scored, cfg)
+    else:
+        partials = cands.map_batches(
+            FusedPairScorer, fn_constructor_args=(index_ref, cfg),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+            concurrency=(1, 4), num_cpus=0.5)
+        links = decide_from_partials(partials, cfg)
     top = links.map_batches(
         lambda t: t.filter(pc.equal(t["out_rank"], 0)),
         batch_format="pyarrow")
@@ -254,7 +284,8 @@ def run_ned_resumable(fixture_dir: str, out_dir: str,
     from sbb_ned_ray.state.artifacts import load_or_build_index
     index_ref = ray.put(load_or_build_index(
         read_kb_table(fixture_dir),
-        artifact_dir=os.path.join(out_dir, "_index"), config=cfg))
+        artifact_dir=os.path.join(out_dir, "_index"), config=cfg,
+        sentences=read_kb_sentences(fixture_dir)))
     parts = ned_partitions(fixture_dir)
     path_of = {pid: path for pid, _, path in parts}
 

@@ -46,6 +46,16 @@ def read_kb_table(fixture_dir: str):
     return pq.read_table(os.path.join(fixture_dir, "kb_entities.parquet"))
 
 
+def read_kb_sentences(fixture_dir: str):
+    """Driver-side read of the sentence-KB table (qid, sent_no, tokens,
+    ent_pos, ent_end) — ``None`` when the KB ships without one (the
+    evidence synthesis fallback covers that case)."""
+    path = os.path.join(fixture_dir, "kb_sentences.parquet")
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path)
+
+
 def read_gt_mentions(fixture_dir: str):
     return pq.read_table(os.path.join(fixture_dir, "mentions_gt.parquet"))
 

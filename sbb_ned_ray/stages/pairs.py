@@ -48,18 +48,19 @@ PAIR_SCHEMA = pa.schema([
 ])
 
 
-def evidence_sentences(index: AliasIndex, eid: int,
-                       n_windows: int = 5, window: int = 6):
-    """Deterministic evidence sentences for one KB entity.
+def synthesize_evidence(label_toks: list[str], ctx: list[str],
+                        n_windows: int = 5, window: int = 6
+                        ) -> list[tuple[list[str], int, int]]:
+    """Deterministic evidence-sentence synthesis for one KB entity.
 
     Each sentence = label tokens + a sliding slice of the entity's
     context vocabulary; the union of slices covers the whole vocabulary
     (so at least one pair shares context with a true mention).  Entity
-    span = the label tokens at the front.
+    span = the label tokens at the front.  Used by the fixture
+    generator to BUILD the sentence KB (reference ``cli.py:657-685``
+    builds ``<lang>-ned.sqlite`` sentences/links the same one-time way)
+    and as the runtime fallback for KBs shipped without one.
     """
-    label_toks = [normalize_token(t) for t in index.labels[eid].split(" ")]
-    label_toks = [t for t in label_toks if t]
-    ctx = index.context_tokens[eid]
     out = []
     if not ctx:
         return [(label_toks, 0, len(label_toks))]
@@ -74,6 +75,24 @@ def evidence_sentences(index: AliasIndex, eid: int,
         toks = label_toks + ctx[s:s + window]
         out.append((toks, 0, len(label_toks)))
     return out
+
+
+def evidence_sentences(index: AliasIndex, eid: int,
+                       n_windows: int = 5, window: int = 6):
+    """Evidence sentences for one KB entity: the REAL sentence-KB rows
+    (``kb_sentences.parquet`` loaded into ``index.sentences`` — the
+    reference's per-candidate SQLite sentence lookup,
+    ``models/sentence_lookup.py:29-54``) when the KB ships one, else the
+    deterministic :func:`synthesize_evidence` stand-in."""
+    sents = getattr(index, "sentences", None)
+    if sents is not None:
+        ev = sents.get(eid)
+        if ev is not None:
+            return ev
+    label_toks = [normalize_token(t) for t in index.labels[eid].split(" ")]
+    label_toks = [t for t in label_toks if t]
+    return synthesize_evidence(label_toks, index.context_tokens[eid],
+                               n_windows, window)
 
 
 def locate_entity(tokens: list[str], target: list[str]) -> tuple[int, int]:
@@ -209,6 +228,139 @@ class PairBuilder:
         return pa.table(
             {name: pa.array(cols[name], PAIR_SCHEMA.field(name).type)
              for name in PAIR_SCHEMA.names})
+
+
+def attach_evidence_shuffle(cands_ds, sentences_ds,
+                            config: PipelineConfig | None = None,
+                            num_partitions: int = 16):
+    """Large-KB evidence join: candidate rows ⋈ sentence-KB rows on
+    ``qid`` via a bucketed co-shuffle, emitting PAIR rows ready for the
+    pluggable scorer.
+
+    This is the promised counterpart of the broadcast evidence lookup
+    (``pipelines/ned.py`` large-KB note): when the sentence KB exceeds
+    the object store, it streams from parquet and co-shuffles with the
+    candidates instead of riding inside the broadcast AliasIndex.  Both
+    sides are hash-bucketed on ``qid`` into ``num_partitions`` coarse
+    partitions (same key ⇒ same bucket) and merged with one vectorized
+    pandas merge per bucket; the per-candidate pair budget caps
+    ``sent_no < limit`` exactly like :class:`PairBuilder`
+    (``sentence_lookup.py:25-31`` semantics).  Hot-entity skew is
+    bounded by the bucket count; salt ``qid`` like the attach join if a
+    single entity dominates a corpus.
+
+    Candidate rows must carry ``sent_tokens_enc`` (\\x00-packed mention
+    sentence tokens) and ``span_start``/``span_end``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cfg = config or PipelineConfig()
+    use_found = math.ceil(math.sqrt(cfg.max_pairs))
+    limit = max(1, cfg.max_pairs // use_found)
+
+    CAND_COLS = ["url", "mention_id", "surface", "cand_entity",
+                 "candidate_title", "qid", "rank", "proba",
+                 "span_start", "span_end", "sent_tokens_enc"]
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        t = t.select(CAND_COLS)
+        n = t.num_rows
+        t = t.append_column("side", pa.array(np.zeros(n, np.int8)))
+        for name, typ in (("sent_no", pa.int32()),
+                          ("ent_pos", pa.int32()), ("ent_end", pa.int32())):
+            t = t.append_column(name, pa.nulls(n, typ))
+        return t.append_column("tokens",
+                               pa.nulls(n, pa.list_(pa.string())))
+
+    def sent_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.table({
+            "url": pa.nulls(n, pa.string()),
+            "mention_id": pa.nulls(n, pa.string()),
+            "surface": pa.nulls(n, pa.string()),
+            "cand_entity": pa.nulls(n, pa.int64()),
+            "candidate_title": pa.nulls(n, pa.string()),
+            "qid": t["qid"],
+            "rank": pa.nulls(n, pa.int32()),
+            "proba": pa.nulls(n, pa.float64()),
+            "span_start": pa.nulls(n, pa.int32()),
+            "span_end": pa.nulls(n, pa.int32()),
+            "sent_tokens_enc": pa.nulls(n, pa.string()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "sent_no": t["sent_no"],
+            "ent_pos": t["ent_pos"],
+            "ent_end": t["ent_end"],
+            "tokens": t["tokens"],
+        })
+        return out
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = (pd.util.hash_pandas_object(t["qid"].to_pandas(), index=False)
+             .to_numpy() % num_partitions).astype("int32")
+        return t.append_column("_part", pa.array(h, pa.int32()))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["side"] == 0, CAND_COLS]
+        s = df.loc[df["side"] == 1,
+                   ["qid", "sent_no", "tokens", "ent_pos", "ent_end"]]
+        s = s[s["sent_no"] < limit]
+        m = c.merge(s, on="qid")
+        if m.empty:
+            return pd.DataFrame({
+                "url": pd.Series(dtype="object"),
+                "mention_id": pd.Series(dtype="object"),
+                "surface": pd.Series(dtype="object"),
+                "cand_entity": pd.Series(dtype="int64"),
+                "candidate_title": pd.Series(dtype="object"),
+                "qid": pd.Series(dtype="object"),
+                "rank": pd.Series(dtype="int32"),
+                "proba": pd.Series(dtype="float64"),
+                "pair_no": pd.Series(dtype="int32"),
+                "tok_a": pd.Series(dtype="object"),
+                "pos_a": pd.Series(dtype="int32"),
+                "end_a": pd.Series(dtype="int32"),
+                "tok_b": pd.Series(dtype="object"),
+                "pos_b": pd.Series(dtype="int32"),
+                "end_b": pd.Series(dtype="int32")})
+        # decode mention tokens once per unique packed string (explicit
+        # cache loop — Series.map(dict) silently drops some matches when
+        # the dict values are lists)
+        enc_vals = m["sent_tokens_enc"].to_numpy()
+        cache: dict = {}
+        tok_a = np.empty(len(enc_vals), dtype=object)
+        for i, e in enumerate(enc_vals):
+            v = cache.get(e)
+            if v is None:
+                v = e.split("\x00")
+                cache[e] = v
+            tok_a[i] = v
+        return pd.DataFrame({
+            "url": m["url"].to_numpy(),
+            "mention_id": m["mention_id"].to_numpy(),
+            "surface": m["surface"].to_numpy(),
+            "cand_entity": m["cand_entity"].astype("int64").to_numpy(),
+            "candidate_title": m["candidate_title"].to_numpy(),
+            "qid": m["qid"].to_numpy(),
+            "rank": m["rank"].astype("int32").to_numpy(),
+            "proba": m["proba"].astype("float64").to_numpy(),
+            "pair_no": m["sent_no"].astype("int32").to_numpy(),
+            "tok_a": tok_a,
+            "pos_a": m["span_start"].astype("int32").to_numpy(),
+            "end_a": m["span_end"].astype("int32").to_numpy(),
+            # arrow list cells arrive as numpy arrays; plain lists
+            # convert back to arrow cleanly
+            "tok_b": m["tokens"].map(list).to_numpy(),
+            "pos_b": m["ent_pos"].astype("int32").to_numpy(),
+            "end_b": m["ent_end"].astype("int32").to_numpy(),
+        })
+
+    tagged = cands_ds.map_batches(cand_rows, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .union(sentences_ds.map_batches(sent_rows, batch_format="pyarrow")
+               .map_batches(add_part, batch_format="pyarrow"))
+    return tagged.groupby("_part").map_groups(merge_bucket,
+                                              batch_format="pandas")
 
 
 def build_pairs(candidates_ds, index_ref,

@@ -51,7 +51,8 @@ def normalize_token(tok: str) -> str:
 
 
 class AliasIndex:
-    def __init__(self, kb: pa.Table, config: PipelineConfig | None = None):
+    def __init__(self, kb: pa.Table, config: PipelineConfig | None = None,
+                 sentences: pa.Table | None = None):
         config = config or PipelineConfig()
         self.config = config
         self.titles = kb["page_title"].to_pylist()
@@ -90,6 +91,27 @@ class AliasIndex:
                                 if "inception" in kb.column_names
                                 else [None] * n)
         self.qid_to_eid = {q: i for i, q in enumerate(self.qids)}
+
+        # real sentence-KB evidence (kb_sentences.parquet: qid, sent_no,
+        # tokens, ent_pos, ent_end), replacing the synthesized fallback
+        # (reference sentence lookup, models/sentence_lookup.py:29-54)
+        self.sentences: dict[int, list[tuple[list[str], int, int]]] | None \
+            = None
+        if sentences is not None:
+            by_eid: dict[int, list] = {}
+            order = sorted(
+                zip(sentences["qid"].to_pylist(),
+                    sentences["sent_no"].to_pylist(),
+                    sentences["tokens"].to_pylist(),
+                    sentences["ent_pos"].to_pylist(),
+                    sentences["ent_end"].to_pylist()),
+                key=lambda r: (r[0], r[1]))
+            for qid, _, toks, pos, end in order:
+                eid = self.qid_to_eid.get(qid)
+                if eid is not None:
+                    by_eid.setdefault(eid, []).append(
+                        (list(toks), int(pos), int(end)))
+            self.sentences = by_eid
 
         self.alias_exact: dict[str, list[int]] = {}
         part_to_id: dict[str, int] = {}
@@ -205,5 +227,6 @@ class AliasIndex:
         return ents, np.array([ent_dist[int(e)] for e in ents])
 
 
-def build_alias_index(kb: pa.Table, config: PipelineConfig | None = None) -> AliasIndex:
-    return AliasIndex(kb, config)
+def build_alias_index(kb: pa.Table, config: PipelineConfig | None = None,
+                      sentences: pa.Table | None = None) -> AliasIndex:
+    return AliasIndex(kb, config, sentences=sentences)

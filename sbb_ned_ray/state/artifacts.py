@@ -24,10 +24,20 @@ from sbb_ned_ray.state.alias_index import AliasIndex, build_alias_index
 # Bump when AliasIndex layout / anagram alphabet / probe semantics
 # change: a pickled artifact from an older code version must NOT be
 # loaded and probed with mismatched vector dims or bucket keys.
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 
-def kb_fingerprint(kb: pa.Table, config: PipelineConfig) -> str:
+def _hash_table_buffers(h, table: pa.Table, cols: list[str]) -> None:
+    for col in cols:
+        h.update(col.encode())
+        for chunk in table[col].chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+
+
+def kb_fingerprint(kb: pa.Table, config: PipelineConfig,
+                   sentences: pa.Table | None = None) -> str:
     """Content fingerprint of everything the index build reads.
 
     Hashes ALL index-relevant KB columns (not just qids — alias edits,
@@ -45,12 +55,10 @@ def kb_fingerprint(kb: pa.Table, config: PipelineConfig) -> str:
                               "inception")
                   if c in kb.column_names]
     # one pass over the raw Arrow buffers — no Python-object conversion
-    for col in index_cols:
-        h.update(col.encode())
-        for chunk in kb[col].chunks:
-            for buf in chunk.buffers():
-                if buf is not None:
-                    h.update(buf)
+    _hash_table_buffers(h, kb, index_cols)
+    if sentences is not None:
+        h.update(f"|sentences:{sentences.num_rows}|".encode())
+        _hash_table_buffers(h, sentences, sentences.column_names)
     h.update(f"v{INDEX_FORMAT_VERSION}|{config.ngram_size}|"
              f"{config.num_perm}|{config.lsh_bands}|{config.seed}"
              .encode())
@@ -58,10 +66,11 @@ def kb_fingerprint(kb: pa.Table, config: PipelineConfig) -> str:
 
 
 def save_index(index: AliasIndex, kb: pa.Table, out_dir: str,
-               config: PipelineConfig | None = None) -> str:
+               config: PipelineConfig | None = None,
+               sentences: pa.Table | None = None) -> str:
     cfg = config or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
-    fp = kb_fingerprint(kb, cfg)
+    fp = kb_fingerprint(kb, cfg, sentences)
     tmp = os.path.join(out_dir, "alias_index.pkl.tmp")
     with open(tmp, "wb") as f:
         pickle.dump(index, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -72,15 +81,16 @@ def save_index(index: AliasIndex, kb: pa.Table, out_dir: str,
 
 
 def load_or_build_index(kb: pa.Table, artifact_dir: str | None = None,
-                        config: PipelineConfig | None = None) -> AliasIndex:
-    """Load the index artifact when its manifest matches the KB
-    fingerprint; otherwise (re)build and save it."""
+                        config: PipelineConfig | None = None,
+                        sentences: pa.Table | None = None) -> AliasIndex:
+    """Load the index artifact when its manifest matches the KB (and
+    sentence-KB) fingerprint; otherwise (re)build and save it."""
     cfg = config or PipelineConfig()
     if artifact_dir is None:
-        return build_alias_index(kb, cfg)
+        return build_alias_index(kb, cfg, sentences=sentences)
     mf = os.path.join(artifact_dir, "_index_manifest.json")
     pkl = os.path.join(artifact_dir, "alias_index.pkl")
-    fp = kb_fingerprint(kb, cfg)
+    fp = kb_fingerprint(kb, cfg, sentences)
     if os.path.exists(mf) and os.path.exists(pkl):
         try:
             with open(mf) as f:
@@ -90,6 +100,6 @@ def load_or_build_index(kb: pa.Table, artifact_dir: str | None = None,
                     return pickle.load(f)
         except (json.JSONDecodeError, OSError, pickle.UnpicklingError):
             pass
-    index = build_alias_index(kb, cfg)
-    save_index(index, kb, artifact_dir, cfg)
+    index = build_alias_index(kb, cfg, sentences=sentences)
+    save_index(index, kb, artifact_dir, cfg, sentences)
     return index

@@ -123,6 +123,43 @@ def test_shuffle_kb_pipeline_equals_broadcast(tiny_fixture_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kb_sentences_match_synthesis(tiny_fixture_dir):
+    """The fixture's sentence KB loaded into the index must yield the
+    same evidence as the runtime synthesis fallback — the broadcast and
+    sentence-KB evidence paths are interchangeable."""
+    from sbb_ned_ray.sources.pages import read_kb_sentences, read_kb_table
+    from sbb_ned_ray.stages.pairs import evidence_sentences
+    from sbb_ned_ray.state.alias_index import build_alias_index
+
+    kb = read_kb_table(tiny_fixture_dir)
+    sentences = read_kb_sentences(tiny_fixture_dir)
+    assert sentences is not None and sentences.num_rows > 0
+    cfg = PipelineConfig()
+    with_kb = build_alias_index(kb, cfg, sentences=sentences)
+    without = build_alias_index(kb, cfg)
+    assert with_kb.sentences is not None and without.sentences is None
+    for eid in range(0, kb.num_rows, 7):
+        assert evidence_sentences(with_kb, eid) == \
+            evidence_sentences(without, eid), eid
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_evidence_join_equals_broadcast(tiny_fixture_dir):
+    """The co-shuffle sentence-KB evidence join (broadcast-free
+    large-KB shape) must produce the same top-1 links as the broadcast
+    flagship."""
+    from sbb_ned_ray.pipelines.ned import run_ned_shuffle_kb
+
+    cfg = PipelineConfig()
+    a = run_ned(tiny_fixture_dir, cfg)
+    b = run_ned_shuffle_kb(tiny_fixture_dir, cfg, evidence="shuffle")
+    cols = ["url", "mention_id", "qid", "candidate_title"]
+    aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
+    bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert aa.equals(bb)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_junk_html_pages_yield_zero_links_no_crash(tiny_fixture_dir,
                                                    tmp_path):
     """Robustness: non-UTF8 bytes, empty html, tag soup, and huge
