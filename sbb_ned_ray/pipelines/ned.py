@@ -144,7 +144,9 @@ def run_ned(fixture_dir: str, config: PipelineConfig | None = None
 
 def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
                        num_partitions: int = 4, salt: int = 4,
-                       evidence: str = "broadcast") -> pd.DataFrame:
+                       evidence: str = "broadcast",
+                       block_artifact_dir: str | None = None
+                       ) -> pd.DataFrame:
     """Flagship pipeline in the LARGE-KB shape: candidate generation via
     the co-shuffle blocking path (``stages/blocking``: blocking-key hash
     joins + groupby(surface) ranking + SALTED attach join) instead of
@@ -162,12 +164,18 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     fully-broadcast-free shape for a sentence KB that exceeds the
     object store.  Both produce identical links (parity-tested).
 
-    Cost profile (sf0.1, 32 CPUs): ~2.5 min vs ~4 s for the broadcast
-    flagship — dominated by hash-join aggregator rounds and the joined
-    candidate volume (~18 rows/mention through two exchanges).  This
-    path exists for KBs that exceed the object store, where the
-    broadcast path is impossible and the join overhead amortizes across
-    a real cluster; below that threshold use :func:`run_ned`.
+    Cost profile (sf0.1, 32 CPUs, round 2): ~55-63 s vs ~8.6 s for the
+    broadcast flagship (was ~2.5 min in round 1 — the eager
+    materializations are gone, mentions are detected once and reused,
+    pools scale with the node, and scoring batches by candidate rows).
+    The residual gap is hash-join aggregator startup/rounds (~45 s
+    across the blocking joins) — a FIXED cost that amortizes at real KB
+    scale, which is the only regime this path is for; below the
+    object-store threshold use :func:`run_ned`.
+    ``block_artifact_dir`` persists the KB blocking tables as parquet
+    (build-index job); at toy KB sizes reading them back costs more
+    than rebuilding, at real scale it is the difference between an
+    index build and a lookup.
     """
     import pyarrow.compute as pc
 
@@ -186,11 +194,37 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     pages = extracted_pages(read_pages(
         fixture_dir, columns=["url", "warc_ts", "html", "lang"],
         override_num_blocks=nblocks))
+    # actor pools sized to HALF the node (num_cpus=0.5 each): the other
+    # half stays free for the join/aggregate exchanges running
+    # concurrently
+    pool = (1, max(4, ncpu))
+    # materialized: consumed by TWO branches (distinct surfaces for the
+    # blocking joins, encoded mention rows for the attach join) — lazy,
+    # the whole read→extract→detect prefix would re-execute per branch
+    # and its actor pools would deadlock a small node
     mentions = detect_mentions(pages, index_ref,
                                batch_size=cfg.batch_size,
-                               concurrency=(1, 4), num_cpus=0.5)
-    ranked = ranked_candidates_via_shuffle(mentions, kb, cfg,
-                                           num_partitions=num_partitions)
+                               concurrency=pool,
+                               num_cpus=0.5).materialize()
+    has_ctx = cfg.context is not None
+    kb_tables = None
+    if block_artifact_dir is not None:
+        # one-time build-index artifacts: reruns pay only the
+        # mention-side joins
+        from sbb_ned_ray.stages.blocking import (
+            load_block_tables,
+            save_block_tables,
+        )
+        kb_tables = load_block_tables(save_block_tables(
+            kb, cfg, block_artifact_dir, num_partitions,
+            with_meta=has_ctx))
+    # second DAG cut: the ranked table is small (≤ max_candidates rows
+    # per distinct surface) and feeds the salted attach join — keeping
+    # it lazy would chain the blocking joins into the attach/score/
+    # decide segment and overrun the executor's all-to-all budget
+    ranked = ranked_candidates_via_shuffle(
+        mentions, kb, cfg, num_partitions=num_partitions,
+        kb_tables=kb_tables).materialize()
 
     # pyarrow hash joins cannot carry list<string> payload columns —
     # pack the mention tokens into one \x00-joined string around the
@@ -205,7 +239,8 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     # arrow-splitting the column here would materialize the token list
     # duplicated across every candidate row
     cands = attach_candidates_salted(mentions_enc, ranked, salt=salt,
-                                     num_partitions=num_partitions)
+                                     num_partitions=num_partitions,
+                                     with_type=has_ctx)
     if evidence == "shuffle":
         import ray.data as rd
 
@@ -221,13 +256,16 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
         pairs = attach_evidence_shuffle(
             cands, sentences_ds, cfg,
             num_partitions=max(16, num_partitions * 4))
-        scored = score_pairs(pairs, cfg, concurrency=(1, 4), num_cpus=0.5)
+        scored = score_pairs(pairs, cfg, concurrency=pool, num_cpus=0.5)
         links = decide(scored, cfg)
     else:
+        # batch unit here is CANDIDATE rows (narrow), not pages — use the
+        # scorer batch size; page-sized batches would pay actor-dispatch
+        # overhead per ~256 rows
         partials = cands.map_batches(
             FusedPairScorer, fn_constructor_args=(index_ref, cfg),
-            batch_format="pyarrow", batch_size=cfg.batch_size,
-            concurrency=(1, 4), num_cpus=0.5)
+            batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+            concurrency=pool, num_cpus=0.5)
         links = decide_from_partials(partials, cfg)
     top = links.map_batches(
         lambda t: t.filter(pc.equal(t["out_rank"], 0)),

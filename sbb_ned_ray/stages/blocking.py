@@ -59,21 +59,35 @@ def _band_keys(part: str, cfg: PipelineConfig, hasher: MinHasher) -> list[int]:
 
 
 def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
-                    num_partitions: int = 4) -> dict:
-    """KB → blocking-side Datasets (materialized — these are the
-    build-index artifacts; see module docstring)."""
-    kb_ds = ray.data.from_arrow(kb.append_column(
-        "eid", pa.array(np.arange(kb.num_rows, dtype=np.int64))))
+                    num_partitions: int = 4,
+                    with_meta: bool = False) -> dict:
+    """KB → blocking-side Datasets (the build-index artifacts; persist
+    them with :func:`save_block_tables` so reruns pay only the
+    mention-side joins).
+
+    ``with_meta=True`` additionally carries the per-entity geo/temporal
+    metadata (lat/lon, birth/inception years + timestamps) through the
+    posting rows so the per-job context filters can run inside the
+    surface-group ranker — required whenever ``cfg.context`` is set;
+    left off otherwise to keep the join exchange narrow."""
+    meta_cols = ["longitude", "latitude", "dateofbirth", "inception"]
+    keep = ["eid", "page_title", "qid", "proba", "aliases"] + \
+        [c for c in meta_cols if c in kb.column_names and with_meta]
+    kb_eid = kb.append_column(
+        "eid", pa.array(np.arange(kb.num_rows, dtype=np.int64)))
+    kb_ds = ray.data.from_arrow(
+        kb_eid.select([c for c in keep if c in kb_eid.column_names]))
 
     def alias_rows(t: pa.Table) -> pa.Table:
         """ONE pass per KB batch → combined rows tagged by ``kind``
         (0 = part posting, 1 = exact surface key) — the two tables are
         split afterward instead of normalizing every alias twice."""
         kinds, keys_col, eids, titles, qids, probas = [], [], [], [], [], []
-        for eid, title, qid, proba, aliases in zip(
+        src_rows: list[int] = []   # row in t, for metadata gather
+        for row_no, (eid, title, qid, proba, aliases) in enumerate(zip(
                 t["eid"].to_pylist(), t["page_title"].to_pylist(),
                 t["qid"].to_pylist(), t["proba"].to_pylist(),
-                t["aliases"].to_pylist()):
+                t["aliases"].to_pylist())):
             seen_parts = set()
             seen_keys = set()
             for alias in aliases:
@@ -89,6 +103,7 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
                     titles.append(title)
                     qids.append(qid)
                     probas.append(float(proba))
+                    src_rows.append(row_no)
                 for p in parts:
                     if p in seen_parts:
                         continue
@@ -99,7 +114,8 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
                     titles.append(title)
                     qids.append(qid)
                     probas.append(float(proba))
-        return pa.table({
+                    src_rows.append(row_no)
+        out = pa.table({
             "kind": pa.array(kinds, pa.int8()),
             "key0": pa.array(keys_col, pa.string()),
             "eid": pa.array(eids, pa.int64()),
@@ -107,6 +123,15 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
             "qid": pa.array(qids, pa.string()),
             "proba": pa.array(probas, pa.float64()),
         })
+        if with_meta:
+            take = pa.array(src_rows, pa.int64())
+            for col in meta_cols:
+                if col in t.column_names:
+                    out = out.append_column(col, t[col].take(take))
+                else:
+                    out = out.append_column(
+                        col, pa.nulls(out.num_rows, pa.float64()))
+        return out
 
     import pyarrow.compute as pc
     combined = kb_ds.map_batches(alias_rows,
@@ -122,13 +147,15 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
     postings0 = combined.map_batches(_split(0, "part"),
                                      batch_format="pyarrow")
     exact = combined.map_batches(_split(1, "skey"), batch_format="pyarrow")
-    # frequency stoplist table: entities reachable per part
+    # frequency stoplist table: entities reachable per part — small
+    # (one row per part); materialized because both the postings join
+    # and the band table read it
     freqs = postings0.groupby("part").count() \
         .map_batches(lambda t: t.rename_columns(["part", "freq"]),
-                     batch_format="pyarrow")
+                     batch_format="pyarrow").materialize()
     postings = postings0.join(freqs, join_type="inner",
                               num_partitions=num_partitions,
-                              on=("part",)).materialize()
+                              on=("part",))
 
     hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
 
@@ -143,52 +170,110 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
         return pa.table({"key": pa.array(ks, pa.string()),
                          "part": pa.array(ps, pa.string())})
 
-    bands = freqs.map_batches(band_rows, batch_format="pyarrow") \
-        .materialize()
+    bands = freqs.map_batches(band_rows, batch_format="pyarrow")
     return {"postings": postings, "exact": exact, "bands": bands}
 
 
-def _surface_rows(surfaces_ds, cfg: PipelineConfig):
+def save_block_tables(kb: pa.Table, cfg: PipelineConfig, artifact_dir: str,
+                      num_partitions: int = 4,
+                      with_meta: bool = False) -> str:
+    """Persist the KB blocking tables as parquet artifacts keyed by the
+    KB fingerprint — the build-index job of the large-KB path.  Reruns
+    load them with :func:`load_block_tables` and pay only the
+    mention-side joins (the docstring promise of the module header)."""
+    import json
+    import os
+
+    from sbb_ned_ray.state.artifacts import kb_fingerprint
+
+    fp = kb_fingerprint(kb, cfg) + ("-meta" if with_meta else "")
+    out = os.path.join(artifact_dir, fp)
+    if os.path.exists(os.path.join(out, "_BLOCK_TABLES_COMPLETE")):
+        return out
+    tabs = kb_block_tables(kb, cfg, num_partitions, with_meta=with_meta)
+    tmp = out + ".tmp"
+    for name in ("postings", "exact", "bands"):
+        tabs[name].write_parquet(os.path.join(tmp, name))
+    with open(os.path.join(tmp, "_BLOCK_TABLES_COMPLETE"), "w") as f:
+        json.dump({"fingerprint": fp}, f)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        pass   # concurrent writer won; identical content
+    return out
+
+
+def load_block_tables(artifact_path: str) -> dict:
+    """Streaming read of persisted blocking tables."""
+    import os
+    return {name: ray.data.read_parquet(os.path.join(artifact_path, name))
+            for name in ("postings", "exact", "bands")}
+
+
+def _surface_rows(surfaces_ds, cfg: PipelineConfig,
+                  with_type: bool = False):
     hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
 
     def block_rows(t: pa.Table) -> pa.Table:
-        s_out, p_out, k_out = [], [], []
-        for s in t["surface"].to_pylist():
+        s_out, p_out, k_out, t_out = [], [], [], []
+        types = t["stype"].to_pylist() if with_type else None
+        for row_no, s in enumerate(t["surface"].to_pylist()):
             for p in filter_surface(normalize_chars(s)):
                 s_out.append(s)
                 p_out.append(p)
                 k_out.append(f"p:{p}")
+                if with_type:
+                    t_out.append(types[row_no])
                 for bk in _band_keys(p, cfg, hasher):
                     s_out.append(s)
                     p_out.append(p)
                     k_out.append(f"b:{bk}")
-        return pa.table({"surface": pa.array(s_out, pa.string()),
-                         "query_part": pa.array(p_out, pa.string()),
-                         "key": pa.array(k_out, pa.string())})
+                    if with_type:
+                        t_out.append(types[row_no])
+        out = pa.table({"surface": pa.array(s_out, pa.string()),
+                        "query_part": pa.array(p_out, pa.string()),
+                        "key": pa.array(k_out, pa.string())})
+        if with_type:
+            out = out.append_column("stype", pa.array(t_out, pa.string()))
+        return out
 
     def key_rows(t: pa.Table) -> pa.Table:
-        ss, ks = [], []
-        for s in t["surface"].to_pylist():
+        ss, ks, ts = [], [], []
+        types = t["stype"].to_pylist() if with_type else None
+        for row_no, s in enumerate(t["surface"].to_pylist()):
             parts = filter_surface(normalize_chars(s))
             if parts:
                 ss.append(s)
                 ks.append(" ".join(parts))
-        return pa.table({"surface": pa.array(ss, pa.string()),
-                         "skey": pa.array(ks, pa.string())})
+                if with_type:
+                    ts.append(types[row_no])
+        out = pa.table({"surface": pa.array(ss, pa.string()),
+                        "skey": pa.array(ks, pa.string())})
+        if with_type:
+            out = out.append_column("stype", pa.array(ts, pa.string()))
+        return out
 
     return (surfaces_ds.map_batches(block_rows, batch_format="pyarrow"),
             surfaces_ds.map_batches(key_rows, batch_format="pyarrow"))
 
 
-def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
+                        geo_pts: list | None = None) -> pd.DataFrame:
     """One surface's joined hit rows → ranked candidates (replicates
-    probe_part caps + rank_hits)."""
+    probe_part caps + rank_hits).  When ``cfg.context`` is set the group
+    is one (surface, mention-type) and the per-job context filters run
+    over the pre-truncation ranking via ``apply_context_core`` with
+    metadata read from the joined posting columns."""
+    out_cols = ["surface", "cand_entity", "dist", "match_uniqueness",
+                "match_coverage", "proba", "rank", "candidate_title",
+                "qid"]
+    has_ctx = cfg.context is not None
+    if has_ctx:
+        out_cols.append("stype")
     if g.empty:
-        return pd.DataFrame(columns=["surface", "cand_entity", "dist",
-                                     "match_uniqueness", "match_coverage",
-                                     "proba", "rank", "candidate_title",
-                                     "qid"])
+        return pd.DataFrame(columns=out_cols)
     surface = g["surface"].iloc[0]
+    stype = g["stype"].iloc[0] if has_ctx else None
     exact_rows = g[g["is_exact"] == 1]
     exact_ids = frozenset(int(e) for e in exact_rows["eid"])
     part_rows = g[g["is_exact"] == 0]
@@ -224,14 +309,33 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         meta[int(r.eid)] = (len(r.title), float(r.proba), r.title, r.qid)
     for r in exact_rows.itertuples():
         meta[int(r.eid)] = (len(r.title), float(r.proba), r.title, r.qid)
+    meta_ctx: dict[int, tuple] = {}
+    if has_ctx:
+        # geo/temporal metadata carried through the posting join
+        for src in (part_rows, exact_rows):
+            for r in src.itertuples():
+                meta_ctx[int(r.eid)] = (
+                    float(r.latitude) if pd.notna(r.latitude) else np.nan,
+                    float(r.longitude) if pd.notna(r.longitude) else np.nan,
+                    r.dateofbirth if pd.notna(r.dateofbirth) else None,
+                    r.inception if pd.notna(r.inception) else None)
     ranked = rank_hits(hits, cfg, exact_ids, query_parts,
                        get_len=lambda e: meta[e][0],
-                       get_proba=lambda e: meta[e][1])
+                       get_proba=lambda e: meta[e][1],
+                       keep_all=has_ctx)
+    if has_ctx and ranked:
+        from sbb_ned_ray.stages.candidates import apply_context_core
+        ranked = apply_context_core(
+            ranked, cfg, stype, exact_ids, geo_pts or [],
+            get_latlon=lambda e: (meta_ctx[e][0], meta_ctx[e][1]),
+            get_birth=lambda e: meta_ctx[e][2],
+            get_inception=lambda e: meta_ctx[e][3],
+            get_len=lambda e: meta[e][0])
+        ranked = [(eid, dist, uniq, cov, proba, rank)
+                  for rank, (eid, dist, uniq, cov, proba, _) in
+                  enumerate(ranked[:cfg.max_candidates])]
     if not ranked:
-        return pd.DataFrame(columns=["surface", "cand_entity", "dist",
-                                     "match_uniqueness", "match_coverage",
-                                     "proba", "rank", "candidate_title",
-                                     "qid"])
+        return pd.DataFrame(columns=out_cols)
     out = pd.DataFrame(ranked, columns=["cand_entity", "dist",
                                         "match_uniqueness",
                                         "match_coverage", "proba", "rank"])
@@ -239,11 +343,14 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     out["candidate_title"] = [meta[int(e)][2] for e in out["cand_entity"]]
     out["qid"] = [meta[int(e)][3] for e in out["cand_entity"]]
     out["rank"] = out["rank"].astype(np.int32)
-    return out
+    if has_ctx:
+        out["stype"] = stype
+    return out[out_cols]
 
 
 _HIT_COLS = ["surface", "query_part", "part", "freq", "eid", "title",
              "qid", "proba", "is_exact"]
+_META_COLS = ["longitude", "latitude", "dateofbirth", "inception"]
 
 
 def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
@@ -251,22 +358,68 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
                                   num_partitions: int = 4,
                                   kb_tables: dict | None = None):
     """Distinct mention surfaces → ranked candidates, via blocking-key
-    joins + one groupby(surface) aggregation (see module docstring)."""
-    cfg = cfg or PipelineConfig()
-    tabs = kb_tables or kb_block_tables(kb, cfg, num_partitions)
+    joins + one groupby(surface) aggregation (see module docstring) —
+    all streaming: no intermediate materialization, the executor
+    pipelines the three joins into the final group ranking.
 
-    surfaces = mentions_ds.select_columns(["surface"]) \
-        .groupby("surface").count() \
-        .map_batches(lambda t: t.select(["surface"]), batch_format="pyarrow")
-    block_rows, key_rows = _surface_rows(surfaces, cfg)
+    With ``cfg.context`` set, the unit of ranking is (surface,
+    mention type) and the posting rows carry geo/temporal metadata so
+    the group ranker can run ``apply_context_core`` — same semantics as
+    the broadcast path (parity-tested)."""
+    cfg = cfg or PipelineConfig()
+    has_ctx = cfg.context is not None
+    tabs = kb_tables if kb_tables is not None else \
+        kb_block_tables(kb, cfg, num_partitions, with_meta=has_ctx)
+    hit_cols = list(_HIT_COLS)
+    geo_pts: list = []
+    if has_ctx:
+        hit_cols += ["stype"] + _META_COLS
+
+        def qid_to_latlon(q):
+            rows = kb.filter(
+                pa.compute.equal(kb["qid"], pa.scalar(q)))
+            if rows.num_rows == 0:
+                return None
+            lat = rows["latitude"][0].as_py() \
+                if "latitude" in rows.column_names else None
+            lon = rows["longitude"][0].as_py() \
+                if "longitude" in rows.column_names else None
+            if lat is None or lon is None:
+                return None
+            return (lat, lon)
+
+        from sbb_ned_ray.stages.candidates import geo_points_from_context
+        geo_pts = geo_points_from_context(cfg, qid_to_latlon)
+
+        surfaces = mentions_ds.select_columns(["surface", "type"]) \
+            .map_batches(lambda t: t.rename_columns(["surface", "stype"]),
+                         batch_format="pyarrow") \
+            .groupby(["surface", "stype"]).count() \
+            .map_batches(lambda t: t.select(["surface", "stype"]),
+                         batch_format="pyarrow")
+    else:
+        surfaces = mentions_ds.select_columns(["surface"]) \
+            .groupby("surface").count() \
+            .map_batches(lambda t: t.select(["surface"]),
+                         batch_format="pyarrow")
+    block_rows, key_rows = _surface_rows(surfaces, cfg, with_type=has_ctx)
+
+    sg_cols = ["surface", "stype"] if has_ctx else ["surface"]
 
     # J1: fuzzy + exact-part probe in ONE key join, then dedupe the
     # (surface, query_part, part) matches (multiple shared bands)
+    # materialized: the one DAG cut.  A fully-lazy graph here stacks
+    # 5+ concurrent hash-shuffle operators (3 joins + 2 aggregations);
+    # each reserves executor resources and at small CPU counts the
+    # streaming executor deadlocks.  Cutting after J1 bounds the
+    # concurrent all-to-all count on both sides of the cut; J2/J3 and
+    # the group ranking still pipeline.
     j1 = block_rows.join(tabs["bands"], join_type="inner",
                          num_partitions=num_partitions, on=("key",)) \
-        .groupby(["surface", "query_part", "part"]).count() \
-        .map_batches(lambda t: t.select(["surface", "query_part", "part"]),
-                     batch_format="pyarrow").materialize()
+        .groupby(sg_cols + ["query_part", "part"]).count() \
+        .map_batches(
+            lambda t: t.select(sg_cols + ["query_part", "part"]),
+            batch_format="pyarrow").materialize()
 
     # J2: expand matched parts → entity hit rows (carries freq + metadata)
     hits = j1.join(tabs["postings"], join_type="inner",
@@ -274,12 +427,11 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         .map_batches(lambda t: t.append_column(
             "is_exact",
             pa.array(np.zeros(t.num_rows, dtype=np.int8)))
-            .select(_HIT_COLS), batch_format="pyarrow").materialize()
+            .select(hit_cols), batch_format="pyarrow")
 
     # J3: exact full-surface-key rows
-    j_sur = key_rows.join(tabs["exact"], join_type="inner",
-                          num_partitions=num_partitions, on=("skey",)) \
-        .map_batches(lambda t: pa.table({
+    def sur_rows(t: pa.Table) -> pa.Table:
+        out = pa.table({
             "surface": t["surface"],
             "query_part": pa.array([None] * t.num_rows, pa.string()),
             "part": pa.array([None] * t.num_rows, pa.string()),
@@ -289,17 +441,41 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             "qid": t["qid"],
             "proba": t["proba"],
             "is_exact": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-        }), batch_format="pyarrow").materialize()
+        })
+        if has_ctx:
+            out = out.append_column("stype", t["stype"])
+            for col in _META_COLS:
+                out = out.append_column(col, t[col])
+        return out.select(hit_cols)
+
+    j_sur = key_rows.join(tabs["exact"], join_type="inner",
+                          num_partitions=num_partitions, on=("skey",)) \
+        .map_batches(sur_rows, batch_format="pyarrow")
 
     from sbb_ned_ray.stages.dedup import bucketed_map_groups
+    both = hits.union(j_sur)
+    if has_ctx:
+        import pyarrow.compute as pc
+
+        def add_sg(t: pa.Table) -> pa.Table:
+            sg = pc.binary_join_element_wise(t["surface"], t["stype"],
+                                             "\x1f")
+            return t.append_column("_sg", sg)
+
+        return bucketed_map_groups(
+            both.map_batches(add_sg, batch_format="pyarrow"), "_sg",
+            lambda g: _rank_surface_group(g.drop(columns=["_sg"]), cfg,
+                                          geo_pts),
+            nparts=max(16, num_partitions * 4), skip_singletons=False)
     return bucketed_map_groups(
-        hits.union(j_sur), "surface",
+        both, "surface",
         lambda g: _rank_surface_group(g, cfg),
         nparts=max(16, num_partitions * 4), skip_singletons=False)
 
 
 def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,
-                             num_partitions: int = 4):
+                             num_partitions: int = 4,
+                             with_type: bool = False):
     """mentions ⋈ ranked candidates on surface, with SALTED keys.
 
     Surface popularity is Zipfian — one hot surface can be a large
@@ -316,8 +492,11 @@ def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,
         h = pd.util.hash_pandas_object(
             pd.Series(t["mention_id"].to_pylist()), index=False) \
             .to_numpy() % salt
+        key = t["surface"]
+        if with_type:
+            key = pc.binary_join_element_wise(key, t["type"], "\x1f")
         sk = pc.binary_join_element_wise(
-            t["surface"], pa.array(h.astype("U"), pa.string()), "\x1e")
+            key, pa.array(h.astype("U"), pa.string()), "\x1e")
         return t.append_column("salt_key", sk)
 
     def replicate_r(t: pa.Table) -> pa.Table:
@@ -326,8 +505,11 @@ def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,
                        pa.int64())
         rep = t.take(idx)
         shard = np.tile(np.arange(salt), n).astype("U")
+        key = rep["surface"]
+        if with_type:
+            key = pc.binary_join_element_wise(key, rep["stype"], "\x1f")
         sk = pc.binary_join_element_wise(
-            rep["surface"], pa.array(shard, pa.string()), "\x1e")
+            key, pa.array(shard, pa.string()), "\x1e")
         rep = rep.rename_columns(
             ["r_surface" if c == "surface" else c for c in rep.column_names])
         return rep.append_column("salt_key", sk)
@@ -338,5 +520,6 @@ def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,
                     on=("salt_key",))
     return joined.map_batches(
         lambda t: t.drop_columns(
-            [c for c in ("salt_key", "r_surface") if c in t.column_names]),
+            [c for c in ("salt_key", "r_surface", "stype")
+             if c in t.column_names]),
         batch_format="pyarrow")

@@ -161,10 +161,30 @@ def _haversine_km(lat1, lon1, lat2, lon2) -> float:
     return 2 * r * math.asin(math.sqrt(a))
 
 
-def apply_context(rows, index: AliasIndex, config: PipelineConfig,
-                  etype: str | None, exact_ids: frozenset[int]):
+def geo_points_from_context(config: PipelineConfig, qid_to_latlon) -> list:
+    """Resolve the context's geographic qids to (lat, lon) points.
+    ``qid_to_latlon``: qid → (lat, lon) | None."""
+    ctx = config.context or {}
+    geo = ctx.get("geographic")
+    if geo is None:
+        return []
+    if isinstance(geo, str):
+        geo = [geo]
+    pts = []
+    for q in geo:
+        p = qid_to_latlon(q)
+        if p is not None and not np.isnan(p[0]) and not np.isnan(p[1]):
+            pts.append(p)
+    return pts
+
+
+def apply_context_core(rows, config: PipelineConfig, etype: str | None,
+                       exact_ids: frozenset[int], geo_pts: list,
+                       get_latlon, get_birth, get_inception, get_len):
     """Per-job context filters over pre-truncation ranked rows
-    (reference ``index.py:75-197``):
+    (reference ``index.py:75-197``) — metadata access via callables so
+    the broadcast path (AliasIndex lookups) and the co-shuffle path
+    (columns carried through the join) share one implementation:
 
     * ``geographic`` (LOC/ORG mentions): re-sort with ``geo_dist`` (min
       haversine to any context entity) inserted after ``dist``.  NOTE:
@@ -178,57 +198,81 @@ def apply_context(rows, index: AliasIndex, config: PipelineConfig,
       (``index.py:141-163``).
     * ``time.birth_not_after_year`` (PER mentions): dob null or birth
       year < y (``index.py:178-197``).
+
+    ``get_birth`` / ``get_inception`` return a ``pd.Timestamp`` or
+    ``None``; ``get_latlon`` returns (lat, lon) floats (NaN = absent).
     """
+    import pandas as pd
+
     ctx = config.context
     if not ctx or not rows:
         return rows
     if "geographic" in ctx and etype in ("LOC", "ORG"):
-        geo = ctx["geographic"]
-        if isinstance(geo, str):
-            geo = [geo]
-        pts = []
-        for q in geo:
-            e = index.qid_to_eid.get(q)
-            if e is not None and not np.isnan(index.latitudes[e]) \
-                    and not np.isnan(index.longitudes[e]):
-                pts.append((index.latitudes[e], index.longitudes[e]))
-
         def geo_dist(eid: int) -> float:
-            lat, lon = index.latitudes[eid], index.longitudes[eid]
-            if np.isnan(lat) or np.isnan(lon) or not pts:
+            lat, lon = get_latlon(eid)
+            if np.isnan(lat) or np.isnan(lon) or not geo_pts:
                 return float("inf")
-            return min(_haversine_km(lat, lon, p[0], p[1]) for p in pts)
+            return min(_haversine_km(lat, lon, p[0], p[1])
+                       for p in geo_pts)
 
         return sorted(rows, key=lambda r: (
             0 if r[0] in exact_ids else 1, -r[2], r[1], geo_dist(r[0]),
-            -r[4], r[3], len(index.titles[r[0]]), r[0]))
+            -r[4], r[3], get_len(r[0]), r[0]))
     time_ctx = ctx.get("time") or {}
     if "not_after_datetime" in time_ctx:
-        import pandas as pd
         t = pd.to_datetime(time_ctx["not_after_datetime"])
 
         def keep(eid: int) -> bool:
-            dob = index.birth_dates[eid]
-            inc = index.inception_dates[eid]
+            dob = get_birth(eid)
+            inc = get_inception(eid)
             if dob is None and inc is None:
                 return True
-            return (inc is not None and pd.Timestamp(inc) < t) or \
-                   (dob is not None and pd.Timestamp(dob) < t)
+            return (inc is not None and inc < t) or \
+                   (dob is not None and dob < t)
 
         return [r for r in rows if keep(r[0])]
     if "not_after_year" in time_ctx:
         y = time_ctx["not_after_year"]
-        return [r for r in rows
-                if (np.isnan(index.birth_years[r[0]])
-                    or index.birth_years[r[0]] < y)
-                and (np.isnan(index.inception_years[r[0]])
-                     or index.inception_years[r[0]] < y)]
+
+        def keep_y(eid: int) -> bool:
+            dob = get_birth(eid)
+            inc = get_inception(eid)
+            return (dob is None or dob.year < y) and \
+                   (inc is None or inc.year < y)
+
+        return [r for r in rows if keep_y(r[0])]
     if "birth_not_after_year" in time_ctx and etype == "PER":
         y = time_ctx["birth_not_after_year"]
         return [r for r in rows
-                if np.isnan(index.birth_years[r[0]])
-                or index.birth_years[r[0]] < y]
+                if get_birth(r[0]) is None or get_birth(r[0]).year < y]
     return rows
+
+
+def apply_context(rows, index: AliasIndex, config: PipelineConfig,
+                  etype: str | None, exact_ids: frozenset[int]):
+    """Broadcast-path wrapper of :func:`apply_context_core` reading
+    metadata from the AliasIndex."""
+    import pandas as pd
+
+    if not config.context or not rows:
+        return rows
+
+    def qid_to_latlon(q):
+        e = index.qid_to_eid.get(q)
+        if e is None:
+            return None
+        return (index.latitudes[e], index.longitudes[e])
+
+    def as_ts(v):
+        return None if v is None else pd.Timestamp(v)
+
+    return apply_context_core(
+        rows, config, etype, exact_ids,
+        geo_pts=geo_points_from_context(config, qid_to_latlon),
+        get_latlon=lambda e: (index.latitudes[e], index.longitudes[e]),
+        get_birth=lambda e: as_ts(index.birth_dates[e]),
+        get_inception=lambda e: as_ts(index.inception_dates[e]),
+        get_len=lambda e: len(index.titles[e]))
 
 
 class CandidateGenerator:

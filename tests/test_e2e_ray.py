@@ -123,6 +123,34 @@ def test_shuffle_kb_pipeline_equals_broadcast(tiny_fixture_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_shuffle_kb_applies_context_like_broadcast(tiny_fixture_dir):
+    """Per-job context (geo re-rank + not-after filter) must flow
+    through the co-shuffle blocking path — mention type and entity
+    metadata are threaded through the joins and apply_context_core runs
+    inside the surface-group ranker (ADVICE round 1: the shuffle path
+    used to silently drop cfg.context)."""
+    import dataclasses
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.pipelines.ned import run_ned_shuffle_kb
+
+    kb = pq.read_table(f"{tiny_fixture_dir}/kb_entities.parquet")
+    # pick a LOC entity qid as the geographic anchor
+    loc_qid = kb.filter(pc.equal(kb["type"], "LOC"))["qid"][0].as_py()
+    for ctx in ({"geographic": [loc_qid]},
+                {"time": {"not_after_year": 1950}}):
+        cfg = dataclasses.replace(PipelineConfig(), context=ctx)
+        a = run_ned(tiny_fixture_dir, cfg)
+        b = run_ned_shuffle_kb(tiny_fixture_dir, cfg)
+        cols = ["url", "mention_id", "qid", "candidate_title"]
+        aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
+        bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
+        assert aa.equals(bb), ctx
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kb_sentences_match_synthesis(tiny_fixture_dir):
     """The fixture's sentence KB loaded into the index must yield the
     same evidence as the runtime synthesis fallback — the broadcast and
