@@ -48,6 +48,10 @@ class PipelineConfig:
     scorer_batch_size: int = 4096   # pairs per scorer batch (reference GPU BATCH_SIZE analog)
     cpu_concurrency: int | None = None   # actor-pool size; None → let Ray autoscale tasks
     scorer_concurrency: int = 4
+    # GPU slot for the cross-encoder pool (split_scorer deployment):
+    # passed as num_gpus to the scorer's map_batches — e.g. 1.0 for one
+    # GPU per scorer actor, 0.5 to pack two actors per GPU
+    scorer_num_gpus: float = 0.0
     decide_partitions: int = 64     # hash buckets for the mention_key decide shuffle
     read_num_blocks: int | None = None   # override read parallelism; None → auto
     # local pre-shuffle pruning: keep only the top-k candidates per mention

@@ -123,8 +123,13 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
     pairs = build_pairs(candidates, index_ref, cfg,
                         batch_size=cfg.batch_size, concurrency=per_stage,
                         **frac)
+    scorer_res = dict(frac)
+    if cfg.scorer_num_gpus:
+        # the GPU deployment shape: cross-encoder actors own GPU slots,
+        # CPU share drops to a sliver (the GPU is the resource)
+        scorer_res = {"num_cpus": 0.1, "num_gpus": cfg.scorer_num_gpus}
     scored = score_pairs(pairs, cfg, scorer_cls=scorer_cls,
-                         concurrency=per_stage, **frac)
+                         concurrency=per_stage, **scorer_res)
     return decide(scored, cfg)
 
 

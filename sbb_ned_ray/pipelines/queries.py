@@ -863,6 +863,51 @@ def ned_pair_features(sf_dir: str):
                                  "qid", "pair_no"])
 
 
+def ned_links_bert(sf_dir: str):
+    """Flagship split-scorer path with the BERT cross-encoder adapter in
+    the loop (numpy mini-model backend in this container — untrained, so
+    rows-only: the check is that the model path runs end-to-end with the
+    GPU-deployment wiring, not link quality).  Bounded input: the mini
+    transformer is ~100× the stub's cost per pair."""
+    import dataclasses
+
+    from sbb_ned_ray.pipelines.ned import top_links
+    from sbb_ned_ray.sources.pages import (
+        read_kb_sentences,
+        read_kb_table,
+        read_pages,
+    )
+    from sbb_ned_ray.stages.bert_scorer import BertPairScorer
+    from sbb_ned_ray.stages.candidates import generate_candidates
+    from sbb_ned_ray.stages.decider import decide
+    from sbb_ned_ray.stages.extract import extracted_pages
+    from sbb_ned_ray.stages.mentions import detect_mentions
+    from sbb_ned_ray.stages.pairs import build_pairs
+    from sbb_ned_ray.stages.scorer import score_pairs
+    from sbb_ned_ray.state.alias_index import build_alias_index
+
+    cfg = dataclasses.replace(PipelineConfig(), max_seq_len=48)
+    pages_dir = pages_dir_for_sf(sf_dir)
+    index_ref = ray.put(build_alias_index(
+        read_kb_table(pages_dir), cfg,
+        sentences=read_kb_sentences(pages_dir)))
+    conc = (1, 4)
+    pages = extracted_pages(read_pages(
+        pages_dir, columns=["url", "html"],
+        override_num_blocks=16).limit(40))
+    mentions = detect_mentions(pages, index_ref, concurrency=conc,
+                               num_cpus=0.5)
+    cands = generate_candidates(mentions, index_ref, cfg,
+                                concurrency=conc, num_cpus=0.5)
+    pairs = build_pairs(cands, index_ref, cfg, concurrency=conc,
+                        num_cpus=0.5)
+    scored = score_pairs(pairs, cfg, scorer_cls=BertPairScorer,
+                         concurrency=(1, 8), num_cpus=0.5)
+    links = top_links(decide(scored, cfg))
+    return links.select_columns(["mention_key", "url", "mention_id",
+                                 "surface", "candidate_title", "qid"])
+
+
 def ned_extract_pages(sf_dir: str):
     from sbb_ned_ray.sources.pages import read_pages
     from sbb_ned_ray.stages.extract import extracted_pages
@@ -937,6 +982,7 @@ QUERIES = {
     "media_decode": media_decode,
     "parse_ner_mentions": parse_ner_mentions,
     "ned_pair_features": ned_pair_features,
+    "ned_links_bert": ned_links_bert,
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,
