@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from sbb_ned_ray.functions.extract import EXTRACTOR_VERSION, extract_text
 from sbb_ned_ray.functions.normalization import normalized_surface_key
 
-FIXTURE_VERSION = "7"
+FIXTURE_VERSION = "8"
 
 # --- deterministic vocabularies -------------------------------------------
 
@@ -330,7 +330,42 @@ def generate_fixture(spec: FixtureSpec):
 
     return {"pages": pages, "kb_entities": kb, "mentions_gt": mentions_gt,
             "mention_pairs_gt": pairs,
-            "kb_sentences": _build_kb_sentences(ents)}
+            "kb_sentences": _build_kb_sentences(ents),
+            "clef_tsv": _build_clef_file(urls, texts, gt_rows)}
+
+
+def _build_clef_file(urls, texts, gt_rows) -> str:
+    """CLEF-HIPE-format ground-truth file for the converter round trip
+    (tags in the shared task's lowercase style ``B-pers``/``I-loc`` so
+    the coarsening of ``clef_hipe_2020.py:113-124`` is exercised;
+    sentence ends flagged ``EndOfSentence`` in MISC; one
+    ``# document_id`` header per page)."""
+    span_of: dict[tuple, list] = {}
+    for i in range(len(gt_rows["url"])):
+        span_of.setdefault(
+            (gt_rows["url"][i], gt_rows["sent_no"][i]), []).append(
+            (gt_rows["tok_start"][i], gt_rows["tok_end"][i],
+             gt_rows["type"][i], gt_rows["qid"][i]))
+    low = {"PER": "pers", "LOC": "loc", "ORG": "org"}
+    out = ["\t".join(["TOKEN", "NE-COARSE-LIT", "NE-COARSE-METO",
+                      "NE-FINE-LIT", "NE-FINE-METO", "NE-FINE-COMP",
+                      "NE-NESTED", "NEL-LIT", "NEL-METO", "MISC"])]
+    for url, text in zip(urls, texts):
+        out.append(f"# document_id = {url}")
+        out.append("# segment_iiif_link = _")
+        for sent_no, line in enumerate(text.split("\n")):
+            words = line.split(" ")
+            tags = ["O"] * len(words)
+            nels = ["-"] * len(words)
+            for (a, b, etype, qid) in span_of.get((url, sent_no), []):
+                for k in range(a, min(b, len(words))):
+                    tags[k] = ("B-" if k == a else "I-") + low[etype]
+                    nels[k] = qid
+            for k, (w, tg, nl) in enumerate(zip(words, tags, nels)):
+                misc = "EndOfSentence" if k == len(words) - 1 else "-"
+                out.append("\t".join([w, tg, tg, "O", "O", "O", "O",
+                                      nl, "-", misc]))
+    return "\n".join(out) + "\n"
 
 
 def _build_kb_sentences(ents) -> pa.Table:
@@ -429,6 +464,8 @@ def materialize_fixture(spec: FixtureSpec, base_dir: str = "/tmp/sbb_ned_ray_fix
     for name in ("kb_entities", "mentions_gt", "mention_pairs_gt",
                  "kb_sentences"):
         pq.write_table(tables[name], os.path.join(tmp, f"{name}.parquet"))
+    with open(os.path.join(tmp, "clef.tsv"), "w", encoding="utf-8") as f:
+        f.write(tables["clef_tsv"])
     with open(os.path.join(tmp, "_FIXTURE_COMPLETE"), "w") as f:
         json.dump({"spec": asdict(spec), "version": FIXTURE_VERSION}, f)
     try:

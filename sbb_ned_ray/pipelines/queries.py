@@ -829,6 +829,29 @@ def _oracle_parse_ner(sf_dir: str = "/root/testdata/sf0.01") -> str:
 # non-SQL-expressible → rows-only driver checks)
 # ---------------------------------------------------------------------------
 
+def clef_mentions(sf_dir: str):
+    """CLEF-HIPE file-format loop (reference clef_hipe_2020/2022): the
+    shared-task TSV is converted to the neat format (tag coarsening,
+    control-char scrub, per-doc headers) and parsed into mention rows by
+    the distributed BIO parser.  Oracle: the round trip must reproduce
+    the gold mention spans exactly (same parquet oracle as
+    parse_ner_mentions)."""
+    import os
+
+    from sbb_ned_ray.sources.clef import clef_to_neat, neat_tokens_table
+    from sbb_ned_ray.stages.mentions import parse_ner_batch
+
+    pages_dir = pages_dir_for_sf(sf_dir)
+    neat = os.path.join("/tmp", "sbb_ned_ray_clef_neat_"
+                        + os.path.basename(pages_dir) + ".tsv")
+    clef_to_neat(os.path.join(pages_dir, "clef.tsv"), neat)
+    toks = neat_tokens_table(neat)
+    return rd.from_arrow(toks).repartition(16) \
+        .map_batches(parse_ner_batch, batch_format="pyarrow") \
+        .select_columns(["url", "mention_id", "sent_no", "tok_start",
+                         "tok_end", "type"])
+
+
 def ned_pair_features(sf_dir: str):
     """Sentence pairs → fixed-length cross-encoder input features
     (convert_examples_to_features semantics; rows-only check).  Runs the
@@ -981,6 +1004,7 @@ QUERIES = {
     "ned_training_pairs": ned_training_pairs,
     "media_decode": media_decode,
     "parse_ner_mentions": parse_ner_mentions,
+    "clef_mentions": clef_mentions,
     "ned_pair_features": ned_pair_features,
     "ned_links_bert": ned_links_bert,
     "ned_extract_pages": ned_extract_pages,
@@ -1005,6 +1029,7 @@ ORACLE_SQL = {
     "exact_dedup_docs": ORACLE_EXACT_DEDUP,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "parse_ner_mentions": _oracle_parse_ner(),
+    "clef_mentions": _oracle_parse_ner(),
     "knn_cosine": ORACLE_KNN,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,
