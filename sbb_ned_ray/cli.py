@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--pages", required=True)
     t.add_argument("--out", required=True)
 
+    td = sub.add_parser("train-decider",
+                        help="train + persist the decider model "
+                             "(GroupKFold ROC-AUC logged)")
+    td.add_argument("--pages", required=True)
+    td.add_argument("--out", required=True, help="model pickle path")
+    td.add_argument("--folds", type=int, default=5)
+
     args = p.parse_args(argv)
     from sbb_ned_ray.config import PipelineConfig
     cfg = PipelineConfig()
@@ -111,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
             ds = training_pairs_ds(args.pages, cfg)
             ds.write_parquet(args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "train-decider":
+            from sbb_ned_ray.stages.training import train_decider_job
+            _, scores, n_rows = train_decider_job(
+                args.pages, cfg, out_path=args.out, n_folds=args.folds)
+            print(json.dumps({"out": args.out, "rows": n_rows,
+                              "cv_roc_auc": [round(s, 6)
+                                             for s in scores]}))
     finally:
         ray.shutdown()
     return 0

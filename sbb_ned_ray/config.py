@@ -72,6 +72,12 @@ class PipelineConfig:
     #            "not_after_datetime": iso}   date exclusion filters
     context: dict | None = field(default=None, compare=False, hash=False)
 
+    # pickled decider-model artifact (models/decider_model.save_decider);
+    # None → proba_1 = p1_max (the stub-calibrated identity).  A path,
+    # not a ref: must be reachable from every worker (shared storage on
+    # a real cluster)
+    decider_model_path: str | None = None
+
     # --- misc ---
     seed: int = 42
     languages: tuple[str, ...] = ("de", "en")

@@ -962,6 +962,20 @@ def ned_links(sf_dir: str):
         .reset_index(drop=True)
 
 
+def ned_decider_cv(sf_dir: str):
+    """Decider-model training job (reference models/decider.py:178-226):
+    GroupKFold ROC-AUC per fold over the labeled candidate partials
+    (rows-only — model training is not SQL-expressible)."""
+    from sbb_ned_ray.stages.training import train_decider_job
+    pages_dir = pages_dir_for_sf(sf_dir)
+    _, scores, n_rows = train_decider_job(pages_dir, PipelineConfig())
+    return pd.DataFrame({
+        "fold": np.arange(len(scores), dtype=np.int64),
+        "roc_auc_e6": [int(s * 1e6 + 0.5) for s in scores],
+        "n_rows": np.int64(n_rows),
+    })
+
+
 def ned_eval_f1(sf_dir: str):
     """Pairwise-F1 scorecard row (rows-only; the e2e quality gate)."""
     import pyarrow.parquet as pq
@@ -1010,6 +1024,7 @@ QUERIES = {
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,
+    "ned_decider_cv": ned_decider_cv,
     "ned_eval_f1": ned_eval_f1,
 }
 

@@ -81,11 +81,55 @@ def _map_unique(series: pd.Series, fn) -> np.ndarray:
     return series.map(mapping).to_numpy()
 
 
-def _decide_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+DECIDER_FEATURES = ["p1_max", "score_mean", "n_pairs", "rank", "proba",
+                    "surf_match", "p1_diff_from_max", "overall_p1_mean",
+                    "n_candidates"]
+
+
+def decider_feature_matrix(g: pd.DataFrame,
+                           surf_match: np.ndarray | None = None
+                           ) -> np.ndarray:
+    """Per-candidate model features, VECTORIZED over many mentions'
+    merged partials (the scalable projection of the reference's
+    case/overall/diff statistics, ``models/decider.py:82-167``; the
+    full quantile feature set lives in :func:`decider_features` for the
+    parity/eval path).  Columns = :data:`DECIDER_FEATURES`."""
+    if surf_match is None:
+        surf_keys = _map_unique(g["surface"], normalized_surface_key)
+        title_keys = _map_unique(
+            g["candidate_title"],
+            lambda t: normalized_surface_key(t.replace("_", " ")))
+        surf_match = (surf_keys == title_keys)
+    grp = g.groupby("mention_key", sort=False)["p1_max"]
+    overall_max = grp.transform("max").to_numpy()
+    overall_mean = grp.transform("mean").to_numpy()
+    n_cands = grp.transform("size").to_numpy()
+    p1 = g["p1_max"].to_numpy()
+    n_pairs = g["n_pairs"].to_numpy().astype(np.float64)
+    return np.column_stack([
+        p1,
+        g["score_sum"].to_numpy() / np.maximum(1.0, n_pairs),
+        n_pairs,
+        g["rank"].to_numpy().astype(np.float64),
+        g["proba"].to_numpy(),
+        surf_match.astype(np.float64),
+        p1 - overall_max,
+        overall_mean,
+        n_cands.astype(np.float64),
+    ])
+
+
+def _decide_partition(df: pd.DataFrame, threshold: float,
+                      model=None, feature_names=None) -> pd.DataFrame:
     """Vectorized decision over MANY mentions' candidate partials at once.
 
     All rows of one mention must be in ``df`` (guaranteed by the
     hash-partition shuffle in :func:`decide_from_partials`).
+
+    ``model``: a fitted sklearn-style classifier (reference RandomForest
+    decider, ``models/decider.py:14-79``); its ``predict_proba`` over
+    :func:`decider_feature_matrix` replaces ``p1_max`` as ``proba_1``.
+    Without one, ``proba_1 = p1_max`` (the stub-calibrated identity).
     """
     empty = pd.DataFrame(columns=[f.name for f in LINK_SCHEMA])
     if df.empty:
@@ -101,12 +145,17 @@ def _decide_partition(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
         rank=("rank", "min"), proba=("proba", "first"),
         p1_max=("p1_max", "max"), score_sum=("score_sum", "sum"),
         n_pairs=("n_pairs", "sum")).reset_index()
-    g["proba_1"] = g["p1_max"]
     surf_keys = _map_unique(g["surface"], normalized_surface_key)
     title_keys = _map_unique(
         g["candidate_title"],
         lambda t: normalized_surface_key(t.replace("_", " ")))
-    keep = (g["proba_1"].to_numpy() >= threshold) | (surf_keys == title_keys)
+    surf_match = (surf_keys == title_keys)
+    if model is not None:
+        X = decider_feature_matrix(g, surf_match)
+        g["proba_1"] = model.predict_proba(X)[:, 1]
+    else:
+        g["proba_1"] = g["p1_max"]
+    keep = (g["proba_1"].to_numpy() >= threshold) | surf_match
     g = g.loc[keep]
     if g.empty:
         return empty
@@ -124,6 +173,28 @@ def _decide_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     (single-group wrapper around the vectorized kernel; kept for unit
     tests / API compatibility)."""
     return _decide_partition(group, threshold)
+
+
+# Worker-process-global decider-model cache: the pickled model artifact
+# is loaded once per worker (path must be reachable from every node —
+# shared storage at cluster scale, /tmp on the single-node harness).
+_MODEL_CACHE: dict[str, dict] = {}
+
+
+def decider_model_kwargs(config: PipelineConfig | None) -> dict:
+    """→ ``{model, feature_names}`` for :func:`_decide_partition` when
+    ``config.decider_model_path`` is set, else ``{}``."""
+    cfg = config or PipelineConfig()
+    path = cfg.decider_model_path
+    if not path:
+        return {}
+    art = _MODEL_CACHE.get(path)
+    if art is None:
+        from sbb_ned_ray.models.decider_model import load_decider
+        art = load_decider(path)
+        _MODEL_CACHE[path] = art
+    return {"model": art["model"],
+            "feature_names": art["feature_names"]}
 
 
 def decide_from_partials(partials_ds, config: PipelineConfig | None = None):
@@ -149,7 +220,8 @@ def decide_from_partials(partials_ds, config: PipelineConfig | None = None):
         return df
 
     def decide_block(df: pd.DataFrame) -> pd.DataFrame:
-        return _decide_partition(df.drop(columns=["_part"]), threshold)
+        return _decide_partition(df.drop(columns=["_part"]), threshold,
+                                 **decider_model_kwargs(cfg))
 
     return (partials_ds
             .map_batches(add_part, batch_format="pandas")

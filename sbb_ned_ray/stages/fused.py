@@ -144,7 +144,11 @@ class FusedPairScorer:
             out = self._call_indexed(cands, mentions)
         else:
             out = self._call_generic(cands, mentions)
-        if self.config.emit_top_k is not None:
+        # the local prune ranks by p1_max — exact only while the decide
+        # uses the same key, so it is bypassed when a decider model will
+        # re-rank downstream
+        if self.config.emit_top_k is not None \
+                and not self.config.decider_model_path:
             out = self._prune_top_k(out, self.config.emit_top_k)
         return out
 
@@ -445,8 +449,13 @@ def ned_task_fn(index_ref, config: PipelineConfig,
         partials = w(batch)
         if not decide_local:
             return partials
-        from sbb_ned_ray.stages.decider import LINK_SCHEMA, _decide_partition
-        links = _decide_partition(partials.to_pandas(), config.threshold)
+        from sbb_ned_ray.stages.decider import (
+            LINK_SCHEMA,
+            _decide_partition,
+            decider_model_kwargs,
+        )
+        links = _decide_partition(partials.to_pandas(), config.threshold,
+                                  **decider_model_kwargs(config))
         return pa.Table.from_pandas(links, preserve_index=False) \
             .cast(LINK_SCHEMA) if len(links) else LINK_SCHEMA.empty_table()
     return fn

@@ -145,6 +145,75 @@ def training_pairs_ds(fixture_dir: str, config: PipelineConfig | None = None):
         concurrency=(1, 8))
 
 
+def train_decider_job(fixture_dir: str,
+                      config: PipelineConfig | None = None,
+                      out_path: str | None = None, n_folds: int = 5,
+                      **forest_kwargs):
+    """Decider-model training job (reference ``models/decider.py:
+    178-226``): run the flagship prefix UNpruned to per-(mention,
+    candidate) score partials, label each candidate against the gold
+    qid, build the vectorized feature matrix, GroupKFold-CV a random
+    forest grouped by mention, fit on all data, and (optionally)
+    persist the artifact.
+
+    Returns ``(model, cv_scores, n_rows)``.  The partials frame is
+    collected on the driver — correct at fixture scale; a corpus-scale
+    training job writes partials to parquet and samples.
+    """
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from sbb_ned_ray.models.decider_model import save_decider, train_decider
+    from sbb_ned_ray.sources.pages import (
+        read_kb_sentences,
+        read_kb_table,
+        read_pages,
+    )
+    from sbb_ned_ray.stages.decider import (
+        DECIDER_FEATURES,
+        decider_feature_matrix,
+    )
+    from sbb_ned_ray.stages.fused import ned_task_fn
+    from sbb_ned_ray.state.alias_index import build_alias_index
+
+    cfg = dataclasses.replace(config or PipelineConfig(),
+                              emit_top_k=None, local_decide=False,
+                              decider_model_path=None)
+    index_ref = ray.put(build_alias_index(
+        read_kb_table(fixture_dir), cfg,
+        sentences=read_kb_sentences(fixture_dir)))
+    pages = read_pages(fixture_dir,
+                       columns=["url", "warc_ts", "html", "lang"],
+                       override_num_blocks=16)
+    partials = pages.map_batches(ned_task_fn(index_ref, cfg),
+                                 batch_format="pyarrow",
+                                 batch_size=cfg.batch_size)
+    df = partials.to_pandas()
+    # merge cross-batch partials exactly like the decide path does
+    g = df.groupby(["mention_key", "candidate_title", "qid"],
+                   sort=False).agg(
+        surface=("surface", "first"), rank=("rank", "min"),
+        proba=("proba", "first"), p1_max=("p1_max", "max"),
+        score_sum=("score_sum", "sum"),
+        n_pairs=("n_pairs", "sum")).reset_index()
+    gm = pq.read_table(f"{fixture_dir}/mentions_gt.parquet")
+    gold = {f"{u}\x1f{m}": q for u, m, q in
+            zip(gm["url"].to_pylist(), gm["mention_id"].to_pylist(),
+                gm["qid"].to_pylist())}
+    g["gold_qid"] = g["mention_key"].map(gold)
+    g = g[g["gold_qid"].notna()]
+    y = (g["qid"] == g["gold_qid"]).to_numpy().astype(np.int8)
+    X = decider_feature_matrix(g)
+    model, scores = train_decider(X, y, g["mention_key"].to_numpy(),
+                                  n_folds=n_folds, **forest_kwargs)
+    if out_path:
+        save_decider(model, DECIDER_FEATURES, scores, out_path)
+    return model, scores, len(g)
+
+
 def split_by_hash(batch: pa.Table, id_col: str = "doc_id",
                   train_buckets: int = 8, n_buckets: int = 10) -> pa.Table:
     """Deterministic md5-hash split: bucket = int(md5(id)[:8], 16) % n;
