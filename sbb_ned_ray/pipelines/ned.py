@@ -85,7 +85,10 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
         pages = pages_ds
     else:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        nblocks = cfg.read_num_blocks or max(16, 4 * ncpu)
+        # 2 blocks per CPU: measured best on the 100k-page profile — at
+        # 4x/CPU the per-task fixed cost (worker-cache hit, arrow
+        # (de)serialization) inflates total CPU-seconds ~15%
+        nblocks = cfg.read_num_blocks or max(16, 2 * ncpu)
         pages = read_pages(fixture_dir,
                            columns=["url", "warc_ts", "html", "lang"],
                            override_num_blocks=nblocks)
@@ -195,7 +198,7 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     index_ref = ray.put(build_alias_index(
         kb, cfg, sentences=read_kb_sentences(fixture_dir)))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = cfg.read_num_blocks or max(16, 4 * ncpu)
+    nblocks = cfg.read_num_blocks or max(16, 2 * ncpu)
     pages = extracted_pages(read_pages(
         fixture_dir, columns=["url", "warc_ts", "html", "lang"],
         override_num_blocks=nblocks))

@@ -20,10 +20,10 @@ from __future__ import annotations
 import pyarrow as pa
 
 from sbb_ned_ray.functions.normalization import (
-    light_stem,
     normalize_chars,
     normalized_surface_key,
 )
+from sbb_ned_ray.functions.stemming import snowball_de
 from sbb_ned_ray.state.alias_index import AliasIndex, normalize_token
 
 VALID_TAGS = {"O", "B-PER", "B-LOC", "B-ORG", "I-PER", "I-LOC", "I-ORG"}
@@ -151,8 +151,10 @@ def parse_ner_sentence(tokens: list[dict]) -> list[dict]:
                 "tok_end": end_idx,
                 "entity_id": f"{surface}-{cur_type}",
                 "gt": sorted(cur_gt),
+                # German Snowball per the reference deployment
+                # (webapp/app.py:334 SnowballStemmer(STEMMER))
                 "stem_key": " ".join(
-                    light_stem(p) for p in
+                    snowball_de(p) for p in
                     normalized_surface_key(surface).split(" ")),
             })
         cur_parts, cur_gt, cur_type = [], set(), None

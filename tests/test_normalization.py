@@ -53,6 +53,61 @@ def test_normalized_surface_key():
     assert normalized_surface_key("Paris Hilton") == "paris hilton"
 
 
+def test_embedder_interface():
+    """AnagramEmbedder conforms to the PartEmbedder surface; the
+    model-backed adapters raise a clean ImportError when their optional
+    dependency is absent (this container has neither gensim nor
+    flair)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sbb_ned_ray.functions.embedders import (
+        AnagramEmbedder,
+        FastTextEmbedder,
+        FlairBertEmbedder,
+        make_embedder,
+    )
+
+    e = make_embedder("anagram")
+    assert isinstance(e, AnagramEmbedder) and e.dim == 36
+    M = e.embed(["paris", "berlin", ""])
+    assert M.shape == (3, 36) and M.dtype == np.float32
+    norms = np.linalg.norm(M, axis=1)
+    assert abs(norms[0] - 1.0) < 1e-5 and norms[2] == 0.0
+    with _pytest.raises(ImportError):
+        FastTextEmbedder("/nonexistent.bin")
+    with _pytest.raises(ImportError):
+        FlairBertEmbedder("bert-base-german-cased")
+
+
+def test_snowball_german():
+    """Published German Snowball algorithm outputs (same as NLTK's
+    SnowballStemmer('german') for these inputs)."""
+    from sbb_ned_ray.functions.stemming import snowball_de, stem_word
+
+    cases = {
+        "häusern": "haus",
+        "bücher": "buch",
+        "katzen": "katz",
+        "laufen": "lauf",
+        "kleider": "kleid",
+        "aufeinander": "aufeinand",
+        "verständnisse": "verstandnis",
+        "bezeichnungen": "bezeichn",
+        "mädchen": "madch",
+        "bäume": "baum",
+        "tage": "tag",
+        "universität": "universitat",
+        "freundlich": "freundlich",
+        "größe": "gross",
+        "rom": "rom",
+    }
+    for w, expect in cases.items():
+        assert snowball_de(w) == expect, (w, snowball_de(w))
+    assert stem_word("häusern", "german") == "haus"
+    assert stem_word("paris", "en") == "pari"   # light-stem fallback
+
+
 def test_light_stem():
     assert light_stem("häusern") == "häus"
     assert light_stem("paris") == "pari"
