@@ -272,7 +272,9 @@ def _stats_block(df: pd.DataFrame, prefix: str) -> dict[str, float]:
 
 
 def decider_features(decision: pd.DataFrame, candidates: pd.DataFrame,
-                     quantiles=QUANTILES, rank_intervalls=RANK_INTERVALLS
+                     quantiles=QUANTILES, rank_intervalls=RANK_INTERVALLS,
+                     min_pairs: float = np.inf, max_pairs: float = np.inf,
+                     wikidata_gt: str | None = None, seed: int = 42
                      ) -> pd.DataFrame:
     """Per-candidate feature rows for one mention.
 
@@ -281,9 +283,19 @@ def decider_features(decision: pd.DataFrame, candidates: pd.DataFrame,
     metadata].  Reproduces the semantics of reference
     ``models/decider.py:82-167``: case/overall/diff stats over numeric
     columns + ``among_top`` cumulative-rank features.
+
+    Training-time augmentation (``decider.py:126-140``): when the GOLD
+    candidate (``wikidata`` column == ``wikidata_gt``) has more than
+    ``max_pairs`` pair rows, its feature row is emitted
+    ``ceil((n − max_pairs)/10) + 1`` times, each over a random subset
+    of ``randint(min_pairs, max_pairs)`` pairs — oversampling the
+    positive class with jittered statistics.  Seeded here
+    (deterministic, resumable) where the reference uses the global
+    RNG; inference passes no gt and gets exactly one row per candidate.
     """
     if decision is None or len(decision) == 0:
         return pd.DataFrame()
+    rng = np.random.default_rng(seed)
     cand = candidates.copy()
     if "surface" in cand.columns:
         cand = cand.drop(columns=["surface"])
@@ -299,10 +311,7 @@ def decider_features(decision: pd.DataFrame, candidates: pd.DataFrame,
     numeric = dec.select_dtypes(exclude=["object"])
     for title, part in dec.groupby("guessed_title", sort=True):
         other = numeric.loc[dec.guessed_title != title]
-        case = _stats_block(part.select_dtypes(exclude=["object"]), "case")
         overall = _stats_block(other, "overall")
-        diff = {("diff" + k[len("case"):]): case[k] - overall["overall" + k[len("case"):]]
-                for k in case}
         occur = (dec.guessed_title == title)
         cum = occur.cumsum() / max(1, occur.sum())
         pos = np.array([p / (len(cum) - 1 if len(cum) > 1 else 1)
@@ -311,6 +320,27 @@ def decider_features(decision: pd.DataFrame, candidates: pd.DataFrame,
         for p in rank_intervalls:
             mask = pos < p
             among[f"among_top_{p}"] = float(cum[mask].max()) if mask.any() else np.nan
-        row = {**case, **overall, **diff, **among, "guessed_title": title}
-        rows.append(row)
+        part_num = part.select_dtypes(exclude=["object"])
+        wikidata = part["wikidata"].iloc[0] \
+            if "wikidata" in part.columns else None
+        repeats = 1
+        if len(part_num) > max_pairs and wikidata is not None \
+                and wikidata == wikidata_gt:
+            repeats = int(np.ceil((len(part_num) - max_pairs) / 10) + 1)
+        for _ in range(repeats):
+            if len(part_num) > max_pairs:
+                take = int(rng.integers(min_pairs, max_pairs))
+                sub = part_num.iloc[rng.permutation(len(part_num))[:take]]
+            else:
+                sub = part_num
+            case = _stats_block(sub, "case")
+            diff = {("diff" + k[len("case"):]):
+                    case[k] - overall["overall" + k[len("case"):]]
+                    for k in case}
+            row = {**case, **overall, **diff, **among,
+                   "guessed_title": title}
+            if wikidata_gt is not None and wikidata is not None:
+                row["label"] = float(wikidata == wikidata_gt)
+                row["wikidata"] = wikidata
+            rows.append(row)
     return pd.DataFrame(rows)

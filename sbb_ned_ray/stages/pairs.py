@@ -48,6 +48,20 @@ PAIR_SCHEMA = pa.schema([
 ])
 
 
+def is_valid_kb_sentence(tokens: list[str]) -> bool:
+    """Sentence-KB validity predicate (reference
+    ``models/sentence_lookup.py:85-96``): redirect stubs — first token
+    ``#redirect`` / ``#weiterleitung`` — are not evidence."""
+    return not (tokens and str(tokens[0]).lower()
+                in ("#redirect", "#weiterleitung"))
+
+
+def is_valid_kb_page(page_title: str) -> bool:
+    """Page validity predicate (reference ``sentence_lookup.py:52``):
+    list pages ("Liste ...") carry no usable entity evidence."""
+    return not str(page_title).startswith("Liste ")
+
+
 def synthesize_evidence(label_toks: list[str], ctx: list[str],
                         n_windows: int = 5, window: int = 6
                         ) -> list[tuple[list[str], int, int]]:
@@ -274,6 +288,9 @@ def attach_evidence_shuffle(cands_ds, sentences_ds,
                                pa.nulls(n, pa.list_(pa.string())))
 
     def sent_rows(t: pa.Table) -> pa.Table:
+        keep = pa.array([is_valid_kb_sentence(x)
+                         for x in t["tokens"].to_pylist()])
+        t = t.filter(keep)
         n = t.num_rows
         out = pa.table({
             "url": pa.nulls(n, pa.string()),

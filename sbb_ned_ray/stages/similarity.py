@@ -96,17 +96,62 @@ def train_centroids(sample: np.ndarray, n_centroids: int, seed: int = 42,
     return cents
 
 
+CENTROIDS_FORMAT_VERSION = 1
+
+
+def load_or_train_centroids(sample: np.ndarray, n_centroids: int,
+                            artifact_dir: str | None = None,
+                            seed: int = 42, iters: int = 8) -> np.ndarray:
+    """Coarse-quantizer artifact: the trained centroid matrix is
+    persisted (``.npy`` + fingerprint manifest keyed by sample content,
+    k-means knobs and format version) so repeated IVF jobs over the
+    same corpus skip retraining — the index-build/serve split of a real
+    ANN deployment (reference Annoy ``build-index``, Makefile:7-8)."""
+    import hashlib
+    import json
+    import os
+
+    if artifact_dir is None:
+        return train_centroids(sample, n_centroids, seed, iters)
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(sample.astype(np.float32)).tobytes())
+    h.update(f"|v{CENTROIDS_FORMAT_VERSION}|{n_centroids}|{seed}|{iters}"
+             .encode())
+    fp = h.hexdigest()[:16]
+    os.makedirs(artifact_dir, exist_ok=True)
+    npy = os.path.join(artifact_dir, "centroids.npy")
+    mf = os.path.join(artifact_dir, "_centroids_manifest.json")
+    if os.path.exists(npy) and os.path.exists(mf):
+        try:
+            with open(mf) as f:
+                if json.load(f).get("fingerprint") == fp:
+                    return np.load(npy)
+        except (json.JSONDecodeError, OSError, ValueError):
+            pass
+    cents = train_centroids(sample, n_centroids, seed, iters)
+    tmp = npy + ".tmp.npy"
+    np.save(tmp, cents)
+    os.replace(tmp, npy)
+    with open(mf, "w") as f:
+        json.dump({"fingerprint": fp, "n_centroids": int(n_centroids),
+                   "dim": int(cents.shape[1])}, f)
+    return cents
+
+
 def ivf_topk(emb: ray.data.Dataset, queries: np.ndarray,
              query_ids: list[int], k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, sample_size: int = 2048, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
+             centroid_artifact_dir: str | None = None,
              ) -> pd.DataFrame:
     """IVF-style approximate top-k: corpus rows scored only when their
-    nearest centroid is among the query's ``nprobe`` closest."""
+    nearest centroid is among the query's ``nprobe`` closest.
+    ``centroid_artifact_dir`` persists/reuses the trained quantizer."""
     sample_rows = emb.limit(sample_size).to_pandas()
     sample = np.array([np.asarray(v, dtype=np.float32)
                        for v in sample_rows[vec_col]])
-    cents = train_centroids(sample, n_centroids, seed)
+    cents = load_or_train_centroids(sample, n_centroids,
+                                    centroid_artifact_dir, seed)
     qm = _unit(np.asarray(queries, dtype=np.float32))
     probe_sets = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
     state = ray.put((qm, cents, probe_sets))

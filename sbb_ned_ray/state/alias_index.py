@@ -98,6 +98,7 @@ class AliasIndex:
         self.sentences: dict[int, list[tuple[list[str], int, int]]] | None \
             = None
         if sentences is not None:
+            from sbb_ned_ray.stages.pairs import is_valid_kb_sentence
             by_eid: dict[int, list] = {}
             order = sorted(
                 zip(sentences["qid"].to_pylist(),
@@ -108,7 +109,7 @@ class AliasIndex:
                 key=lambda r: (r[0], r[1]))
             for qid, _, toks, pos, end in order:
                 eid = self.qid_to_eid.get(qid)
-                if eid is not None:
+                if eid is not None and is_valid_kb_sentence(toks):
                     by_eid.setdefault(eid, []).append(
                         (list(toks), int(pos), int(end)))
             self.sentences = by_eid

@@ -257,6 +257,81 @@ def test_decider_features_semantics():
     assert decider_features(pd.DataFrame(), candidates).empty
 
 
+def test_decider_feature_augmentation_sampling():
+    """Training-time augmentation (reference models/decider.py:126-140):
+    the GOLD candidate with > max_pairs pair rows is oversampled
+    ceil((n - max_pairs)/10) + 1 times over random pair subsets;
+    non-gold candidates get one row; seeded → deterministic."""
+    import numpy as np
+
+    from sbb_ned_ray.stages.decider import decider_features
+
+    rng = np.random.default_rng(0)
+    n_gold = 30
+    decision = pd.DataFrame({
+        "guessed_title": ["G"] * n_gold + ["B"] * 25,
+        "scores": rng.normal(size=n_gold + 25),
+        "wikidata": ["Q1"] * n_gold + ["Q2"] * 25,
+    })
+    candidates = pd.DataFrame({"guessed_title": ["G", "B"],
+                               "proba": [0.6, 0.4]})
+    feats = decider_features(decision, candidates, min_pairs=5,
+                             max_pairs=10, wikidata_gt="Q1")
+    n_g = (feats.guessed_title == "G").sum()
+    n_b = (feats.guessed_title == "B").sum()
+    assert n_g == int(np.ceil((n_gold - 10) / 10) + 1)   # 3 repeats
+    assert n_b == 1
+    assert (feats.loc[feats.guessed_title == "G", "label"] == 1.0).all()
+    assert (feats.loc[feats.guessed_title == "B", "label"] == 0.0).all()
+    # jittered: the repeated gold rows differ in their case stats
+    gmeans = feats.loc[feats.guessed_title == "G", "case_scores_mean"]
+    assert gmeans.nunique() > 1
+    # seeded determinism
+    again = decider_features(decision, candidates, min_pairs=5,
+                             max_pairs=10, wikidata_gt="Q1")
+    pd.testing.assert_frame_equal(feats, again)
+    # inference shape unchanged (no gt, no caps): one row per candidate
+    plain = decider_features(decision.drop(columns=["wikidata"]),
+                             candidates)
+    assert len(plain) == 2 and "label" not in plain.columns
+
+
+def test_centroid_artifact_roundtrip(tmp_path):
+    """IVF coarse-quantizer artifact: second call loads the persisted
+    centroids (no retrain), changed sample/knobs invalidate."""
+    import numpy as np
+
+    from sbb_ned_ray.stages.similarity import load_or_train_centroids
+
+    rng = np.random.default_rng(0)
+    sample = rng.normal(size=(256, 16)).astype(np.float32)
+    d = str(tmp_path / "cent")
+    a = load_or_train_centroids(sample, 8, artifact_dir=d)
+    import os
+    mtime = os.path.getmtime(os.path.join(d, "centroids.npy"))
+    b = load_or_train_centroids(sample, 8, artifact_dir=d)
+    np.testing.assert_array_equal(a, b)
+    assert os.path.getmtime(os.path.join(d, "centroids.npy")) == mtime
+    c = load_or_train_centroids(sample, 9, artifact_dir=d)  # knob change
+    assert c.shape[0] == 9
+
+
+def test_kb_sentence_validity_predicates():
+    """Reference sentence_lookup.py:52,85-96: redirect stubs and list
+    pages are filtered from the evidence KB."""
+    from sbb_ned_ray.stages.pairs import (
+        is_valid_kb_page,
+        is_valid_kb_sentence,
+    )
+
+    assert is_valid_kb_sentence(["anna", "hilton", "war"])
+    assert not is_valid_kb_sentence(["#REDIRECT", "Anna_Hilton"])
+    assert not is_valid_kb_sentence(["#Weiterleitung", "X"])
+    assert is_valid_kb_sentence([])
+    assert is_valid_kb_page("Anna_Hilton")
+    assert not is_valid_kb_page("Liste der Städte")
+
+
 def test_feature_converter_shapes_and_marks(ned_ctx):
     """convert_examples_to_features semantics (data_processor.py:506-601):
     fixed-length input_ids/mask/segment_ids, CLS/SEP placement, entity
