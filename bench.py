@@ -79,10 +79,10 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # best-of-2 (the host shows minutes-scale external load drift; the
+    # best-of-3 (the host shows minutes-scale external load drift; the
     # min is the engine's capability)
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         links = run_ned(pages_dir, PipelineConfig())
         wall = time.time() - t0
