@@ -962,6 +962,26 @@ def ned_links(sf_dir: str):
         .reset_index(drop=True)
 
 
+def ned_links_shuffle_kb(sf_dir: str):
+    """Flagship links via the LARGE-KB co-shuffle path (blocking-key
+    hash joins + salted attach + co-shuffle sentence-KB evidence join —
+    zero broadcast of KB-sized state).  Self-checking: asserts row-level
+    equality with the broadcast flagship before returning (rows-only
+    driver check; the equality assert is the real gate)."""
+    from sbb_ned_ray.pipelines.ned import run_ned, run_ned_shuffle_kb
+
+    pages_dir = pages_dir_for_sf(sf_dir)
+    cfg = PipelineConfig()
+    a = run_ned(pages_dir, cfg)
+    b = run_ned_shuffle_kb(pages_dir, cfg, num_partitions=8,
+                           evidence="shuffle")
+    cols = ["url", "mention_id", "qid", "candidate_title"]
+    aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
+    bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert aa.equals(bb), "shuffle-KB path diverged from broadcast"
+    return bb
+
+
 def ned_decider_cv(sf_dir: str):
     """Decider-model training job (reference models/decider.py:178-226):
     GroupKFold ROC-AUC per fold over the labeled candidate partials
@@ -1024,6 +1044,7 @@ QUERIES = {
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,
+    "ned_links_shuffle_kb": ned_links_shuffle_kb,
     "ned_decider_cv": ned_decider_cv,
     "ned_eval_f1": ned_eval_f1,
 }
