@@ -1,11 +1,26 @@
 """Property-based tests (hypothesis) for the pure kernels every
 pipeline leans on: normalization, windowing, location, hashing,
-union-find."""
+union-find, stemming."""
 
 from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß", min_size=1,
+               max_size=24))
+def test_snowball_de_total_and_folded(word):
+    """snowball_de never crashes, never grows the word (beyond ß→ss),
+    and always returns umlaut/ß-free lowercase output."""
+    from sbb_ned_ray.functions.stemming import snowball_de
+
+    out = snowball_de(word)
+    assert isinstance(out, str)
+    assert len(out) <= len(word) + word.count("ß")   # ß→ss may grow by 1
+    assert not set(out) & set("äöüß")
+    assert out == out.lower()
 
 tokens = st.lists(st.text(alphabet="abcdefgh0123 ¬-ü.", min_size=0,
                           max_size=8), min_size=0, max_size=30)
