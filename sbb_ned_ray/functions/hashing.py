@@ -47,6 +47,39 @@ def _shingle_hashes(shingles: list[str]) -> np.ndarray:
                        dtype=np.uint64)
 
 
+_ROLL_BASE = np.uint64(1099511628211)   # FNV-ish odd multiplier
+_ROLL_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 finalizer constant
+
+
+def byte_ngram_hashes(text: str, n: int = 5) -> np.ndarray:
+    """Vectorized 32-bit hashes of the UNIQUE byte n-gram shingles of
+    ``text`` — the MinHash hot path.  One numpy polynomial rolling hash
+    over the UTF-8 bytes + a splitmix64-style finalizer replaces a
+    per-shingle Python ``blake2b`` loop (~len(text) hashlib calls/doc);
+    deterministic and content-derived like :func:`stable_hash64`, just a
+    different (public, Rabin-Karp/FNV-family) hash function.  Shingles
+    are byte-level with the same ``^…$`` padding as :func:`char_ngrams`
+    (identical on ASCII; multi-byte codepoints shingle by byte — fine
+    for similarity estimation, which only needs a consistent shingle
+    universe)."""
+    data = np.frombuffer(f"^{text}$".encode("utf-8"), dtype=np.uint8)
+    if data.size <= n:
+        return np.array([stable_hash64(data.tobytes()) & 0xFFFFFFFF],
+                        dtype=np.uint64)
+    m = data.size - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(n):  # n (=5) vectorized passes, not a per-shingle loop
+        acc = acc * _ROLL_BASE + data[j:m + j]
+    # splitmix64 finalizer: positional polynomial hashes of similar
+    # windows are correlated; the avalanche decorrelates them
+    acc ^= acc >> np.uint64(30)
+    acc *= np.uint64(0xBF58476D1CE4E5B9)
+    acc ^= acc >> np.uint64(27)
+    acc *= np.uint64(0x94D049BB133111EB)
+    acc ^= acc >> np.uint64(31)
+    return np.unique(acc & _MAX_H)
+
+
 class MinHasher:
     """num_perm universal-hash MinHash over 32-bit shingle hashes.
 
@@ -65,7 +98,15 @@ class MinHasher:
 
     def signature(self, shingles: list[str]) -> np.ndarray:
         """uint64[num_perm] signature; all-max for empty input."""
-        x = _shingle_hashes(shingles)
+        return self.signature_from_hashes(_shingle_hashes(shingles))
+
+    def signature_from_text(self, text: str, n: int = 5) -> np.ndarray:
+        """Signature straight from text via the vectorized byte-n-gram
+        rolling hash (:func:`byte_ngram_hashes`) — the fast path used by
+        the dedup stages; ~20× :meth:`signature` + ``char_ngrams``."""
+        return self.signature_from_hashes(byte_ngram_hashes(text, n))
+
+    def signature_from_hashes(self, x: np.ndarray) -> np.ndarray:
         if x.size == 0:
             return np.full(self.num_perm, _MAX_H, dtype=np.uint64)
         # (num_perm, n_shingles) — small n keeps this cache-friendly

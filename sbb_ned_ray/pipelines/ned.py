@@ -365,24 +365,20 @@ def pairwise_f1(links_df: pd.DataFrame, gt_pairs: pa.Table) -> dict:
     """Pairwise entity-linking F1 on labeled mention pairs at the same
     blocking key (BASELINE.json metric)."""
     gp = gt_pairs.to_pandas()
-    cluster = dict(zip(links_df["mention_key"], links_df["cluster_id"]))
+    cluster = pd.Series(links_df["cluster_id"].to_numpy(),
+                        index=links_df["mention_key"])
 
-    def key(u, m):
-        return f"{u}\x1f{m}"
+    def keys(url_col: str, mid_col: str) -> pd.Series:
+        return gp[url_col].astype(str) + "\x1f" + gp[mid_col].astype(str)
 
-    tp = fp = fn = tn = 0
-    for _, r in gp.iterrows():
-        ca = cluster.get(key(r.url_a, r.mention_id_a))
-        cb = cluster.get(key(r.url_b, r.mention_id_b))
-        pred_same = ca is not None and cb is not None and ca == cb
-        if pred_same and r.same_entity == 1:
-            tp += 1
-        elif pred_same and r.same_entity == 0:
-            fp += 1
-        elif not pred_same and r.same_entity == 1:
-            fn += 1
-        else:
-            tn += 1
+    ca = keys("url_a", "mention_id_a").map(cluster)
+    cb = keys("url_b", "mention_id_b").map(cluster)
+    pred_same = (ca.notna() & cb.notna() & (ca == cb)).to_numpy()
+    gt_same = (gp["same_entity"].to_numpy() == 1)
+    tp = int((pred_same & gt_same).sum())
+    fp = int((pred_same & ~gt_same).sum())
+    fn = int((~pred_same & gt_same).sum())
+    tn = int((~pred_same & ~gt_same).sum())
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (2 * precision * recall / (precision + recall)

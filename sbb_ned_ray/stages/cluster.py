@@ -194,7 +194,12 @@ def pairs_to_clusters(pairs_ds: ray.data.Dataset,
     with its pair list; only the final (node, component) table — one
     row per *duplicated* doc — is collected.
     """
-    ids = pairs_ds.select_columns([id_a, id_b])
+    # materialize ONCE: a Dataset re-executes its whole upstream DAG on
+    # every consumption, so count() followed by to_pandas()/label-prop
+    # would run the (expensive) candidate-pair pipeline twice.  The pair
+    # set is narrow — two id columns — so pinning it is cheap even when
+    # the pair COUNT is large.
+    ids = pairs_ds.select_columns([id_a, id_b]).materialize()
     n_pairs = ids.count()
     if n_pairs <= driver_pair_limit:
         df = ids.to_pandas().drop_duplicates()

@@ -108,7 +108,7 @@ def minhash_signatures(docs: ray.data.Dataset, text_col: str = "text",
         # pool (no startup cliff, scales to every free CPU)
         mh = MinHasher(num_perm=num_perm, seed=seed)
         ids = batch[id_col].to_pylist()
-        sigs = [mh.signature(char_ngrams(t.lower(), ngram)).tolist()
+        sigs = [mh.signature_from_text(t.lower(), ngram).tolist()
                 for t in batch[text_col].to_pylist()]
         return pa.table({
             id_col: pa.array(ids),
@@ -139,7 +139,7 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
         out_band, out_id, out_sig = [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
-            sig = mh.signature(char_ngrams(text.lower(), ngram))
+            sig = mh.signature_from_text(text.lower(), ngram)
             for bk in mh.band_keys(sig, bands):
                 out_band.append(bk)
                 out_id.append(did)
@@ -159,6 +159,8 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
         rows = []
         budget = max_pairs_per_bucket
         for i in range(len(ids)):
+            if budget <= 0:
+                break
             for j in range(i + 1, len(ids)):
                 if budget <= 0:
                     break
@@ -184,11 +186,18 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
 
 def simhash_pairs(docs: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  prefix_bits: int = 16) -> ray.data.Dataset:
+                  prefix_bits: int = 16,
+                  max_pairs_per_bucket: int = 1000) -> ray.data.Dataset:
     """SimHash near-dup candidate pairs as a lazy Dataset: bucket by 4
     rotated 16-bit prefixes (any pair within Hamming ≤ 3 of a 64-bit
     hash shares at least one of 4 disjoint 16-bit blocks exactly —
-    pigeonhole), verify Hamming in-bucket."""
+    pigeonhole), verify Hamming in-bucket.
+
+    ``max_pairs_per_bucket`` is the skew guard (same contract as
+    minhash's): a hot bucket — e.g. boilerplate-heavy crawl pages
+    sharing one 16-bit block — is otherwise an unbounded O(n²) loop
+    inside a single task.  The budget bounds both emitted pairs AND
+    the comparison loop itself."""
     def sim_rows(batch: pa.Table) -> pa.Table:
         out_b, out_id, out_h = [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
@@ -210,11 +219,17 @@ def simhash_pairs(docs: ray.data.Dataset, text_col: str = "text",
         ids = g[id_col].tolist()
         hs = g["simhash"].tolist()
         out = []
+        budget = max_pairs_per_bucket
         for i in range(len(ids)):
+            if budget <= 0:
+                break
             for j in range(i + 1, len(ids)):
+                if budget <= 0:
+                    break
                 d = hamming64(int(hs[i]), int(hs[j]))
                 if d <= max_hamming:
                     out.append((ids[i], ids[j], d))
+                    budget -= 1
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]) \
             if out else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                       "id_b": pd.Series(dtype="int64"),
@@ -254,10 +269,15 @@ def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     cos_threshold: float = 0.95,
                     n_projections: int = 12,
-                    seed: int = 42) -> ray.data.Dataset:
+                    seed: int = 42,
+                    max_pairs_per_bucket: int = 1000) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs as a lazy Dataset:
     sign-random-projection buckets (SimHash for vectors), exact cosine
-    verify within buckets."""
+    verify within buckets.
+
+    ``max_pairs_per_bucket`` caps emitted pairs per SRP bucket (skew
+    guard, same contract as minhash/simhash) so one hot bucket cannot
+    emit an unbounded pair list."""
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
@@ -282,15 +302,17 @@ def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
         norms[norms == 0] = 1.0
         unit = vecs / norms
         cos = unit @ unit.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if cos[i, j] >= cos_threshold:
-                    out.append((ids[i], ids[j], round(float(cos[i, j]), 6)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]) \
-            if out else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                      "id_b": pd.Series(dtype="int64"),
-                                      "cosine": pd.Series(dtype="float64")})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = cos[iu, ju] >= cos_threshold
+        iu, ju = iu[hit][:max_pairs_per_bucket], ju[hit][:max_pairs_per_bucket]
+        if not len(iu):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        id_arr = np.asarray(ids)
+        return pd.DataFrame({
+            "id_a": id_arr[iu], "id_b": id_arr[ju],
+            "cosine": np.round(cos[iu, ju].astype(np.float64), 6)})
 
     return bucketed_map_groups(rows, "bucket", verify)
 
