@@ -263,7 +263,8 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
         sentences_ds = rd.read_parquet(sent_path)
         pairs = attach_evidence_shuffle(
             cands, sentences_ds, cfg,
-            num_partitions=max(16, num_partitions * 4))
+            num_partitions=max(16, num_partitions * 4),
+            index_ref=index_ref)
         scored = score_pairs(pairs, cfg, concurrency=pool, num_cpus=0.5)
         links = decide(scored, cfg)
     else:

@@ -40,6 +40,17 @@ NEAT_COLUMNS = ["No.", "TOKEN", "NE-TAG", "NE-EMB", "ID", "url_id",
 ENTITY_TYPES = ("PER", "LOC", "ORG")
 
 
+def _is_metadata_line(line: str) -> bool:
+    """CLEF metadata lines have the ``# key = value`` shape
+    (``# document_id = …``, ``# segment_iiif_link = …``).  A token row
+    whose TOKEN itself starts with ``#`` — OCR noise ``#``,
+    ``#redirect`` — is NOT metadata: it is tab-separated immediately
+    after the token and carries no ``=`` before the first tab (ADVICE
+    round 2: blanket ``startswith('#')`` silently dropped such tokens
+    from the round trip)."""
+    return line.startswith("# ") and "=" in line.split("\t", 1)[0]
+
+
 def _strip_control(tok: str) -> str:
     return "".join(c for c in str(tok)
                    if unicodedata.category(c) != "Cc")
@@ -74,8 +85,8 @@ def read_clef_tsv(path: str) -> tuple[list[str], pd.DataFrame]:
             if cols is None:
                 cols = line.split("\t")
                 continue
-            if line.startswith("#"):
-                if "document_id" in line and "=" in line:
+            if _is_metadata_line(line):
+                if "document_id" in line:
                     headers.append(line)
                     url = line.split("=", 1)[1].strip()
                     url_id += 1
@@ -144,8 +155,8 @@ def read_neat_tsv(path: str) -> pd.DataFrame:
             if cols is None:
                 cols = line.split("\t")
                 continue
-            if line.startswith("#"):
-                if "document_id" in line and "=" in line:
+            if _is_metadata_line(line):
+                if "document_id" in line:
                     url = line.split("=", 1)[1].strip()
                     url_id += 1
                     sent_no = 0

@@ -199,7 +199,13 @@ def save_block_tables(kb: pa.Table, cfg: PipelineConfig, artifact_dir: str,
     try:
         os.replace(tmp, out)
     except OSError:
-        pass   # concurrent writer won; identical content
+        # only a concurrent writer that already completed the SAME
+        # fingerprint may win; any other rename failure (EXDEV,
+        # permissions) must surface, not produce a half-usable path
+        if not os.path.exists(os.path.join(out, "_BLOCK_TABLES_COMPLETE")):
+            raise
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

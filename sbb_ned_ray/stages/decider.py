@@ -151,6 +151,15 @@ def _decide_partition(df: pd.DataFrame, threshold: float,
         lambda t: normalized_surface_key(t.replace("_", " ")))
     surf_match = (surf_keys == title_keys)
     if model is not None:
+        # the artifact's feature layout must match the matrix we build —
+        # an older/reordered pickle would otherwise silently score
+        # garbage (ADVICE round 2)
+        if feature_names is not None and \
+                list(feature_names) != DECIDER_FEATURES:
+            raise ValueError(
+                "decider model artifact feature layout "
+                f"{list(feature_names)} != expected {DECIDER_FEATURES}; "
+                "retrain the artifact (models/decider_model.py)")
         X = decider_feature_matrix(g, surf_match)
         g["proba_1"] = model.predict_proba(X)[:, 1]
     else:

@@ -244,9 +244,34 @@ class PairBuilder:
              for name in PAIR_SCHEMA.names})
 
 
+# per-worker-process cache for the shuffle-path synthesize fallback:
+# (index_ref key) → (AliasIndex, {eid: evidence}); same pattern as
+# stages/fused._WORKER_CACHE — ray.get once per worker, never per batch
+_FALLBACK_CACHE: dict = {}
+
+
+def _fallback_evidence(index_ref, eid: int):
+    import ray
+    key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
+    entry = _FALLBACK_CACHE.get(key)
+    if entry is None:
+        _FALLBACK_CACHE.clear()   # one live index per worker
+        index = (ray.get(index_ref)
+                 if isinstance(index_ref, ray.ObjectRef) else index_ref)
+        entry = (index, {})
+        _FALLBACK_CACHE[key] = entry
+    index, cache = entry
+    ev = cache.get(eid)
+    if ev is None:
+        ev = evidence_sentences(index, eid)
+        cache[eid] = ev
+    return ev
+
+
 def attach_evidence_shuffle(cands_ds, sentences_ds,
                             config: PipelineConfig | None = None,
-                            num_partitions: int = 16):
+                            num_partitions: int = 16,
+                            index_ref=None):
     """Large-KB evidence join: candidate rows ⋈ sentence-KB rows on
     ``qid`` via a bucketed co-shuffle, emitting PAIR rows ready for the
     pluggable scorer.
@@ -257,11 +282,22 @@ def attach_evidence_shuffle(cands_ds, sentences_ds,
     candidates instead of riding inside the broadcast AliasIndex.  Both
     sides are hash-bucketed on ``qid`` into ``num_partitions`` coarse
     partitions (same key ⇒ same bucket) and merged with one vectorized
-    pandas merge per bucket; the per-candidate pair budget caps
-    ``sent_no < limit`` exactly like :class:`PairBuilder`
-    (``sentence_lookup.py:25-31`` semantics).  Hot-entity skew is
-    bounded by the bucket count; salt ``qid`` like the attach join if a
-    single entity dominates a corpus.
+    pandas merge per bucket; the per-candidate pair budget caps the
+    POSITIONAL rank of each sentence *after* the validity filter —
+    exactly like :class:`PairBuilder`'s ``ev[:limit]``
+    (``sentence_lookup.py:25-31`` semantics) even when ``sent_no`` is
+    non-contiguous or invalid sentences were dropped.  Hot-entity skew
+    is bounded by the bucket count; salt ``qid`` like the attach join
+    if a single entity dominates a corpus.
+
+    Candidates whose entity has NO valid sentence rows are NOT dropped:
+    the join is a left join and unmatched candidates fall back to the
+    broadcast index's evidence (``evidence_sentences`` — real KB rows if
+    the index carries them, else deterministic synthesis), mirroring the
+    broadcast path so ``run_ned`` and ``run_ned_shuffle_kb`` stay
+    link-parity even for sentence-less entities.  ``index_ref`` (a
+    ``ray.put`` AliasIndex) supplies that fallback; if it is ``None``
+    and a candidate misses, the stage raises.
 
     Candidate rows must carry ``sent_tokens_enc`` (\\x00-packed mention
     sentence tokens) and ``span_start``/``span_end``.
@@ -317,33 +353,18 @@ def attach_evidence_shuffle(cands_ds, sentences_ds,
              .to_numpy() % num_partitions).astype("int32")
         return t.append_column("_part", pa.array(h, pa.int32()))
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.loc[df["side"] == 0, CAND_COLS]
-        s = df.loc[df["side"] == 1,
-                   ["qid", "sent_no", "tokens", "ent_pos", "ent_end"]]
-        s = s[s["sent_no"] < limit]
-        m = c.merge(s, on="qid")
-        if m.empty:
-            return pd.DataFrame({
-                "url": pd.Series(dtype="object"),
-                "mention_id": pd.Series(dtype="object"),
-                "surface": pd.Series(dtype="object"),
-                "cand_entity": pd.Series(dtype="int64"),
-                "candidate_title": pd.Series(dtype="object"),
-                "qid": pd.Series(dtype="object"),
-                "rank": pd.Series(dtype="int32"),
-                "proba": pd.Series(dtype="float64"),
-                "pair_no": pd.Series(dtype="int32"),
-                "tok_a": pd.Series(dtype="object"),
-                "pos_a": pd.Series(dtype="int32"),
-                "end_a": pd.Series(dtype="int32"),
-                "tok_b": pd.Series(dtype="object"),
-                "pos_b": pd.Series(dtype="int32"),
-                "end_b": pd.Series(dtype="int32")})
+    EMPTY = {
+        "url": "object", "mention_id": "object", "surface": "object",
+        "cand_entity": "int64", "candidate_title": "object",
+        "qid": "object", "rank": "int32", "proba": "float64",
+        "pair_no": "int32", "tok_a": "object", "pos_a": "int32",
+        "end_a": "int32", "tok_b": "object", "pos_b": "int32",
+        "end_b": "int32"}
+
+    def _decode_tok_a(enc_vals: np.ndarray) -> np.ndarray:
         # decode mention tokens once per unique packed string (explicit
         # cache loop — Series.map(dict) silently drops some matches when
         # the dict values are lists)
-        enc_vals = m["sent_tokens_enc"].to_numpy()
         cache: dict = {}
         tok_a = np.empty(len(enc_vals), dtype=object)
         for i, e in enumerate(enc_vals):
@@ -352,6 +373,9 @@ def attach_evidence_shuffle(cands_ds, sentences_ds,
                 v = e.split("\x00")
                 cache[e] = v
             tok_a[i] = v
+        return tok_a
+
+    def _out_frame(m: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "url": m["url"].to_numpy(),
             "mention_id": m["mention_id"].to_numpy(),
@@ -361,16 +385,68 @@ def attach_evidence_shuffle(cands_ds, sentences_ds,
             "qid": m["qid"].to_numpy(),
             "rank": m["rank"].astype("int32").to_numpy(),
             "proba": m["proba"].astype("float64").to_numpy(),
-            "pair_no": m["sent_no"].astype("int32").to_numpy(),
-            "tok_a": tok_a,
+            "pair_no": m["pair_no"].astype("int32").to_numpy(),
+            "tok_a": _decode_tok_a(m["sent_tokens_enc"].to_numpy()),
             "pos_a": m["span_start"].astype("int32").to_numpy(),
             "end_a": m["span_end"].astype("int32").to_numpy(),
             # arrow list cells arrive as numpy arrays; plain lists
             # convert back to arrow cleanly
-            "tok_b": m["tokens"].map(list).to_numpy(),
+            "tok_b": m["tokens"].map(
+                lambda v: v if isinstance(v, list) else list(v)).to_numpy(),
             "pos_b": m["ent_pos"].astype("int32").to_numpy(),
             "end_b": m["ent_end"].astype("int32").to_numpy(),
         })
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["side"] == 0, CAND_COLS]
+        s = df.loc[df["side"] == 1,
+                   ["qid", "sent_no", "tokens", "ent_pos", "ent_end"]]
+        # positional rank within each qid AFTER the validity filter
+        # (applied upstream in sent_rows), capped like PairBuilder's
+        # ev[:limit] — NOT the raw sent_no, which may be non-contiguous
+        s = s.sort_values("sent_no", kind="stable")
+        s = s.assign(pair_no=s.groupby("qid").cumcount())
+        s = s[s["pair_no"] < limit]
+        m = c.merge(s, on="qid", how="left")
+        miss = m["pair_no"].isna()
+        frames = []
+        hit = m[~miss]
+        if not hit.empty:
+            frames.append(_out_frame(hit))
+        if miss.any():
+            # sentence-less entities: mirror the broadcast fallback
+            # (one left-join miss row per candidate; expand to its
+            # synthesized/broadcast evidence)
+            if index_ref is None:
+                raise ValueError(
+                    "attach_evidence_shuffle: candidates with no valid "
+                    "kb_sentences rows need index_ref= for the "
+                    "evidence fallback (qids: %s)"
+                    % sorted(set(m.loc[miss, "qid"]))[:5])
+            fb = m.loc[miss, CAND_COLS]
+            reps, pair_no, tok_b, pos_b, end_b = [], [], [], [], []
+            for eid in fb["cand_entity"].astype("int64"):
+                ev = _fallback_evidence(index_ref, int(eid))[:limit]
+                reps.append(len(ev))
+                for k, (toks, p, e) in enumerate(ev):
+                    pair_no.append(k)
+                    tok_b.append(list(toks))
+                    pos_b.append(p)
+                    end_b.append(e)
+            fbx = fb.loc[fb.index.repeat(reps)].assign(
+                pair_no=np.asarray(pair_no, dtype="int64"),
+                tokens=pd.Series(tok_b, dtype="object").to_numpy(),
+                ent_pos=np.asarray(pos_b, dtype="int64"),
+                ent_end=np.asarray(end_b, dtype="int64"))
+            if not fbx.empty:
+                frames.append(_out_frame(fbx))
+        if not frames:
+            return pd.DataFrame(
+                {k: pd.Series(dtype=v) for k, v in EMPTY.items()})
+        out = pd.concat(frames, ignore_index=True)
+        # stable dtypes across hit-only / fallback-only / mixed buckets
+        # (block-union schema divergence corrupts downstream groupbys)
+        return out.astype({k: v for k, v in EMPTY.items() if v != "object"})
 
     tagged = cands_ds.map_batches(cand_rows, batch_format="pyarrow") \
         .map_batches(add_part, batch_format="pyarrow") \

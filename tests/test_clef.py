@@ -62,6 +62,38 @@ def test_clef_roundtrip_preserves_content(clef_paths):
     assert la == lb
 
 
+def test_hash_initial_tokens_survive_roundtrip(tmp_path):
+    """ADVICE round 2: a token row whose TOKEN is '#' or starts with
+    '#' ('#redirect', OCR noise) is a TOKEN, not metadata — only
+    ``# key = value`` lines are skipped."""
+    from sbb_ned_ray.sources.clef import (
+        clef_to_neat,
+        read_clef_tsv,
+        read_neat_tsv,
+    )
+
+    cols = ["TOKEN", "NE-COARSE-LIT", "NE-COARSE-METO", "NE-FINE-LIT",
+            "NE-FINE-METO", "NE-FINE-COMP", "NE-NESTED", "NEL-LIT",
+            "NEL-METO", "MISC"]
+    body = [
+        "\t".join(cols),
+        "# document_id = https://example.org/1",
+        "# segment_iiif_link = _",
+        "\t".join(["#"] + ["O"] * 6 + ["-", "-", "-"]),
+        "\t".join(["#redirect"] + ["O"] * 6 + ["-", "-", "-"]),
+        "\t".join(["word"] + ["O"] * 6 + ["-", "-", "EndOfSentence"]),
+    ]
+    src = tmp_path / "hash.tsv"
+    src.write_text("\n".join(body) + "\n", encoding="utf-8")
+    _, df = read_clef_tsv(str(src))
+    assert df["TOKEN"].tolist() == ["#", "#redirect", "word"]
+    assert df["url"].nunique() == 1
+    neat = tmp_path / "hash_neat.tsv"
+    clef_to_neat(str(src), str(neat))
+    ndf = read_neat_tsv(str(neat))
+    assert ndf["TOKEN"].tolist() == ["#", "#redirect", "word"]
+
+
 def test_clef_mentions_match_gold(clef_paths):
     """The full loop (CLEF file → neat → BIO parse) reproduces the gold
     mention spans exactly."""

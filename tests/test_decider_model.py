@@ -108,3 +108,29 @@ def test_flagship_f1_unchanged_with_model(trained_model_path):
     a = base[cols].sort_values(cols[:2]).reset_index(drop=True)
     b = with_model[cols].sort_values(cols[:2]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_decide_partition_rejects_wrong_feature_layout():
+    """ADVICE round 2: a decider pickle trained with a different/older
+    feature layout must fail loudly, not silently score garbage."""
+    import pandas as pd
+
+    from sbb_ned_ray.stages.decider import DECIDER_FEATURES, _decide_partition
+
+    df = pd.DataFrame({
+        "mention_key": ["k"], "candidate_title": ["T"], "qid": ["Q1"],
+        "url": ["u"], "mention_id": ["m0"], "surface": ["T"],
+        "rank": [0], "proba": [0.5], "p1_max": [0.9],
+        "score_sum": [0.9], "n_pairs": [1]})
+
+    class FakeModel:
+        def predict_proba(self, X):
+            return np.tile([0.1, 0.9], (len(X), 1))
+
+    stale = list(reversed(DECIDER_FEATURES))
+    with pytest.raises(ValueError, match="feature layout"):
+        _decide_partition(df, 0.5, model=FakeModel(), feature_names=stale)
+    # matching layout passes through
+    out = _decide_partition(df, 0.5, model=FakeModel(),
+                            feature_names=list(DECIDER_FEATURES))
+    assert len(out) == 1

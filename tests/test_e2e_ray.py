@@ -188,6 +188,59 @@ def test_shuffle_evidence_join_equals_broadcast(tiny_fixture_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_shuffle_evidence_parity_with_sentence_less_entities(
+        tiny_fixture_dir, tmp_path):
+    """ADVICE round 2 (medium): a candidate whose entity has NO valid
+    kb_sentences rows must fall back to synthesized evidence on the
+    shuffle path too — not silently vanish from the inner join.  Also
+    exercises non-contiguous sent_no (positional rank, not raw sent_no,
+    drives the pair budget)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.pipelines.ned import run_ned_shuffle_kb
+
+    fdir = str(tmp_path / "fixture")
+    shutil.copytree(tiny_fixture_dir, fdir)
+    sents = pq.read_table(os.path.join(fdir, "kb_sentences.parquet"))
+    qids = sents["qid"].to_pylist()
+    uniq = sorted(set(qids))
+    dropped = set(uniq[::5])          # every 5th entity loses ALL rows
+    redirect_stub = uniq[1]           # one entity keeps only a stub row
+    keep = pa.array([(q not in dropped) and q != redirect_stub
+                     for q in qids])
+    kept = sents.filter(keep)
+    # non-contiguous sent_no: stretch by 7 (ordering preserved)
+    kept = kept.set_column(
+        kept.schema.get_field_index("sent_no"), "sent_no",
+        pc.cast(pc.multiply(kept["sent_no"], 7), pa.int32()))
+    stub = pa.table({
+        "qid": pa.array([redirect_stub], pa.string()),
+        "sent_no": pa.array([0], pa.int32()),
+        "tokens": pa.array([["#redirect", "elsewhere"]],
+                           pa.list_(pa.string())),
+        "ent_pos": pa.array([0], pa.int32()),
+        "ent_end": pa.array([1], pa.int32()),
+    })
+    pq.write_table(pa.concat_tables([kept, stub]),
+                   os.path.join(fdir, "kb_sentences.parquet"))
+
+    cfg = PipelineConfig()
+    a = run_ned(fdir, cfg)
+    b = run_ned_shuffle_kb(fdir, cfg, evidence="shuffle")
+    cols = ["url", "mention_id", "qid", "candidate_title"]
+    aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
+    bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert aa.equals(bb)
+    # the dropped entities really did link (the fallback mattered)
+    assert dropped & set(a["qid"]), "test fixture lost its teeth"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_junk_html_pages_yield_zero_links_no_crash(tiny_fixture_dir,
                                                    tmp_path):
     """Robustness: non-UTF8 bytes, empty html, tag soup, and huge
