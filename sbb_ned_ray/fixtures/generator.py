@@ -75,6 +75,11 @@ class FixtureSpec:
     hot_page_fraction: float = 0.15    # pages that mention the hot entity
     sentences_per_page: tuple[int, int] = (2, 5)
     n_files: int = 4                   # parquet files for pages (→ Ray blocks)
+    # page_seed != 0 re-seeds the PAGE stream only: two specs differing
+    # only in page_seed/n_pages share an IDENTICAL KB (entities are
+    # drawn from `seed` before any page) — disjoint train/eval corpora
+    # over one knowledge base, the cross-encoder trainer's split
+    page_seed: int = 0
 
     def fingerprint(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True) + \
@@ -262,6 +267,8 @@ def generate_fixture(spec: FixtureSpec):
     mention_pairs_gt."""
     rng = np.random.default_rng(spec.seed)
     ents = _build_entities(spec, rng)
+    if spec.page_seed:
+        rng = np.random.default_rng(spec.seed * 1000003 + spec.page_seed)
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     gt_rows = {k: [] for k in

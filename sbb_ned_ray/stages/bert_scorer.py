@@ -54,7 +54,7 @@ def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray,
 
 def _gelu(x: np.ndarray) -> np.ndarray:
     return 0.5 * x * (1.0 + np.tanh(
-        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * (x * x * x))))
 
 
 class NumpyMiniBert:
@@ -82,6 +82,11 @@ class NumpyMiniBert:
         for _ in range(n_layers):
             self.layers.append({
                 "wq": w(d, d), "wk": w(d, d), "wv": w(d, d), "wo": w(d, d),
+                # learnable per-head token-IDENTITY attention bias
+                # (copy-attention style): scores += lam_h·[id_i == id_j].
+                # Init 0 → plain transformer; training turns it on when
+                # cross-segment lexical matching carries signal.
+                "lam": np.zeros(n_heads, np.float32),
                 "ln1_g": np.ones(d, np.float32),
                 "ln1_b": np.zeros(d, np.float32),
                 "w1": w(d, 4 * d), "b1": np.zeros(4 * d, np.float32),
@@ -103,11 +108,16 @@ class NumpyMiniBert:
         # additive attention mask: pad positions → -inf as keys
         neg = (1.0 - mask.astype(np.float32)) * -1e9   # (n, L)
         att_bias = neg[:, None, None, :]               # (n, 1, 1, L)
+        eq = (ids[:, :, None] == ids[:, None, :]).astype(np.float32) \
+            [:, None, :, :]                            # (n, 1, L, L)
         for ly in self.layers:
             q = (x @ ly["wq"]).reshape(n, L, h, hd).transpose(0, 2, 1, 3)
             k = (x @ ly["wk"]).reshape(n, L, h, hd).transpose(0, 2, 1, 3)
             v = (x @ ly["wv"]).reshape(n, L, h, hd).transpose(0, 2, 1, 3)
+            lam = ly.get("lam")
             scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(hd) + att_bias
+            if lam is not None and np.any(lam):
+                scores = scores + lam[None, :, None, None] * eq
             scores -= scores.max(axis=-1, keepdims=True)
             w_att = np.exp(scores)
             w_att /= w_att.sum(axis=-1, keepdims=True)
@@ -180,6 +190,21 @@ class TorchBertCrossEncoder:
             return logits.cpu().numpy()
 
 
+# per-worker-process cache for the trained-weights artifact (same
+# pattern as the decider-model cache): one np.load per worker, not per
+# actor-batch
+_NUMPY_MODEL_CACHE: dict[str, "NumpyMiniBert"] = {}
+
+
+def _load_numpy_model_cached(path: str) -> "NumpyMiniBert":
+    m = _NUMPY_MODEL_CACHE.get(path)
+    if m is None:
+        from sbb_ned_ray.models.bert_train import load_mini_bert
+        m = load_mini_bert(path)
+        _NUMPY_MODEL_CACHE[path] = m
+    return m
+
+
 class BertPairScorer:
     """Cross-encoder scorer actor: same interface as
     :class:`DeterministicOverlapScorer` (``score_batch`` + ``__call__``
@@ -187,8 +212,11 @@ class BertPairScorer:
 
     Construction picks the backend once per actor (``__init__`` — the
     stateful-stage pattern): torch + checkpoint when
-    ``config.extra["bert_model_path"]`` is set and torch imports, else
-    the deterministic numpy mini model.
+    ``config.extra["bert_model_path"]`` is set and torch imports; else
+    a TRAINED numpy artifact when
+    ``config.extra["bert_numpy_model_path"]`` names one
+    (``models/bert_train.save_mini_bert`` output, loaded once per
+    worker process); else the untrained seeded numpy mini model.
     """
 
     def __init__(self, config: PipelineConfig | None = None, model=None):
@@ -197,9 +225,13 @@ class BertPairScorer:
         if model is not None:
             self.model = model
         else:
-            path = (self.config.extra or {}).get("bert_model_path")
+            extra = self.config.extra or {}
+            path = extra.get("bert_model_path")
+            npz_path = extra.get("bert_numpy_model_path")
             if path and _HAS_TORCH:
                 self.model = TorchBertCrossEncoder(path)
+            elif npz_path:
+                self.model = _load_numpy_model_cached(npz_path)
             else:
                 self.model = NumpyMiniBert(
                     max_len=max(512, self.config.max_seq_len))

@@ -8,13 +8,20 @@ a pair, grow a window symmetrically around both entity spans to fill
 writes segment id 2 over entity tokens).
 
 Here the windowing is :func:`sbb_ned_ray.stages.pairs.build_pair_window`
-(same semantics, unit-tested) and the *vocabulary* is a deterministic
-stub: a BPE-ish regex split (word pieces = leading chunk + ``##``
-continuations of length 4) hashed into a fixed id space — the real
-model's WordPiece vocab drops in behind the same interface, and every
-downstream shape (fixed_size_list<int32, max_seq_len> columns, batch
-sizing, GPU-actor consumption) is identical.  CLS/SEP/PAD use reserved
-ids 101/102/0 as in BERT convention.
+(same semantics, unit-tested) and the *vocabulary* is pluggable:
+
+* a LEARNED WordPiece vocab (:mod:`sbb_ned_ray.functions.wordpiece`,
+  trained from the KB corpus, persisted as a fingerprinted artifact)
+  when ``config.extra["wordpiece_vocab_path"]`` points at one — the
+  shape the trained cross-encoder consumes;
+* else the deterministic hash stub: a BPE-ish regex split (word
+  pieces = leading chunk + ``##`` continuations of length 4) hashed
+  into a fixed id space — ids are stable but carry no learned
+  structure.
+
+Every downstream shape (fixed_size_list<int32, max_seq_len> columns,
+batch sizing, GPU-actor consumption) is identical between the two.
+CLS/SEP/PAD use reserved ids 101/102/0 as in BERT convention.
 """
 
 from __future__ import annotations
@@ -58,15 +65,38 @@ def wordpiece_stub(token: str) -> list[tuple[str, int]]:
 
 
 class FeatureConverter:
-    """pairs batch → fixed-length BERT-style feature columns."""
+    """pairs batch → fixed-length BERT-style feature columns.
+
+    ``vocab``: an explicit :class:`~sbb_ned_ray.functions.wordpiece.
+    WordPieceVocab`; defaults to the artifact named by
+    ``config.extra["wordpiece_vocab_path"]`` (loaded once per worker
+    process), else the hash stub."""
 
     def __init__(self, config: PipelineConfig | None = None,
-                 mark_entities: bool = True):
+                 mark_entities: bool = True, vocab=None):
         self.cfg = config or PipelineConfig()
         self.mark_entities = mark_entities
+        if vocab is None:
+            path = (self.cfg.extra or {}).get("wordpiece_vocab_path")
+            if path:
+                from sbb_ned_ray.functions.wordpiece import load_vocab_cached
+                vocab = load_vocab_cached(path)
+        self._encode = vocab.encode_token if vocab is not None \
+            else wordpiece_stub
+        self.vocab = vocab
 
     def _convert(self, tok_a, pos_a, end_a, tok_b, pos_b, end_b):
         L = self.cfg.max_seq_len
+        # query-side context bound (EmbedWithContext w_size analog,
+        # embeddings/base.py:207-352): multi-mention sentences leak
+        # co-mentioned entities' context into the window otherwise —
+        # the same bound the overlap scorer applies
+        w = self.cfg.scorer_context_window
+        if w is not None:
+            wb = self.cfg.scorer_context_back
+            lo = max(0, pos_a - wb)
+            tok_a = tok_a[lo:end_a + w]
+            pos_a, end_a = pos_a - lo, end_a - lo
         win_a, na, ea, win_b, nb, eb, marks = build_pair_window(
             tok_a, pos_a, end_a, tok_b, pos_b, end_b, max_seq_len=L)
         ids = [CLS_ID]
@@ -74,14 +104,14 @@ class FeatureConverter:
         # wordpiece expansion inherits its word's segment mark
         for i, t in enumerate(win_a):
             seg = 2 if (self.mark_entities and na <= i < ea) else 0
-            for _, pid in wordpiece_stub(t):
+            for _, pid in self._encode(t):
                 ids.append(pid)
                 segs.append(seg)
         ids.append(SEP_ID)
         segs.append(0)
         for i, t in enumerate(win_b):
             seg = 2 if (self.mark_entities and nb <= i < eb) else 1
-            for _, pid in wordpiece_stub(t):
+            for _, pid in self._encode(t):
                 ids.append(pid)
                 segs.append(seg)
         ids.append(SEP_ID)

@@ -23,7 +23,7 @@ from sbb_ned_ray.functions.normalization import (
     normalize_chars,
     normalized_surface_key,
 )
-from sbb_ned_ray.functions.stemming import snowball_de
+from sbb_ned_ray.functions.stemming import stem_word
 from sbb_ned_ray.state.alias_index import AliasIndex, normalize_token
 
 VALID_TAGS = {"O", "B-PER", "B-LOC", "B-ORG", "I-PER", "I-LOC", "I-ORG"}
@@ -126,7 +126,7 @@ def detect_mentions(pages_ds, index_ref, batch_size: int = 256,
 # BIO parsing of NER-tagged input (reference /parse semantics)
 # ---------------------------------------------------------------------------
 
-def parse_ner_sentence(tokens: list[dict]) -> list[dict]:
+def parse_ner_sentence(tokens: list[dict], lang: str = "de") -> list[dict]:
     """Group BIO tags into mentions; semantics of webapp/app.py:227-286.
 
     ``tokens``: [{"word": str, "prediction": str, "gt": str|None}].
@@ -151,10 +151,11 @@ def parse_ner_sentence(tokens: list[dict]) -> list[dict]:
                 "tok_end": end_idx,
                 "entity_id": f"{surface}-{cur_type}",
                 "gt": sorted(cur_gt),
-                # German Snowball per the reference deployment
-                # (webapp/app.py:334 SnowballStemmer(STEMMER))
+                # Snowball in the configured language (reference
+                # webapp/app.py:334 SnowballStemmer(STEMMER) — German
+                # deployment default, English for en-config)
                 "stem_key": " ".join(
-                    snowball_de(p) for p in
+                    stem_word(p, lang) for p in
                     normalized_surface_key(surface).split(" ")),
             })
         cur_parts, cur_gt, cur_type = [], set(), None

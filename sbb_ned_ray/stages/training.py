@@ -49,10 +49,18 @@ MAX_BAD_RANK = 50       # data_processor.py:307
 
 
 class TrainingPairWorker:
-    """pages batch + broadcast gold map → labeled sentence pairs."""
+    """pages batch + broadcast gold map → labeled sentence pairs.
+
+    ``all_candidates=False`` (default) applies the reference's sampling
+    semantics (nbad + pos/neg equalization, ``data_processor.py:
+    205-208,306-308``).  ``all_candidates=True`` keeps EVERY generated
+    candidate labeled against the gold qid — the distribution the
+    ranking-objective cross-encoder trainer needs (at decode time the
+    model scores all candidates, not an equalized sample)."""
 
     def __init__(self, index_ref, gold_ref,
-                 config: PipelineConfig | None = None):
+                 config: PipelineConfig | None = None,
+                 all_candidates: bool = False):
         import ray
         index = (ray.get(index_ref)
                  if isinstance(index_ref, ray.ObjectRef) else index_ref)
@@ -60,6 +68,7 @@ class TrainingPairWorker:
                      if isinstance(gold_ref, ray.ObjectRef) else gold_ref)
         cfg = config or PipelineConfig()
         self.cfg = cfg
+        self.all_candidates = all_candidates
         self.detector = MentionDetector(index)
         self.candidates = CandidateGenerator(index, cfg, include_tokens=True)
         self.pairs = PairBuilder(index, cfg)
@@ -82,6 +91,10 @@ class TrainingPairWorker:
                 continue
             good = g[g["qid"] == gold_qid]
             if good.empty:
+                continue
+            if self.all_candidates:
+                keep_idx.extend(g.index.tolist())
+                labels.extend((g["qid"] == gold_qid).astype(int).tolist())
                 continue
             rank_good = int(good["rank"].iloc[0])
             bad = g[g["qid"] != gold_qid]
@@ -121,7 +134,8 @@ class TrainingPairWorker:
             .cast(TRAIN_PAIR_SCHEMA)
 
 
-def training_pairs_ds(fixture_dir: str, config: PipelineConfig | None = None):
+def training_pairs_ds(fixture_dir: str, config: PipelineConfig | None = None,
+                      all_candidates: bool = False, pages_ds=None):
     """Ray pipeline: pages + gold mentions → labeled training pairs."""
     import pyarrow.parquet as pq
 
@@ -137,10 +151,11 @@ def training_pairs_ds(fixture_dir: str, config: PipelineConfig | None = None):
             zip(gm["url"].to_pylist(), gm["mention_id"].to_pylist(),
                 gm["qid"].to_pylist())}
     gold_ref = ray.put(gold)
-    pages = read_pages(fixture_dir, columns=["url", "html"],
-                       override_num_blocks=16)
+    pages = pages_ds if pages_ds is not None else read_pages(
+        fixture_dir, columns=["url", "html"], override_num_blocks=16)
     return pages.map_batches(
-        TrainingPairWorker, fn_constructor_args=(index_ref, gold_ref, cfg),
+        TrainingPairWorker,
+        fn_constructor_args=(index_ref, gold_ref, cfg, all_candidates),
         batch_format="pyarrow", batch_size=cfg.batch_size,
         concurrency=(1, 8))
 

@@ -105,7 +105,42 @@ def test_snowball_german():
     for w, expect in cases.items():
         assert snowball_de(w) == expect, (w, snowball_de(w))
     assert stem_word("häusern", "german") == "haus"
-    assert stem_word("paris", "en") == "pari"   # light-stem fallback
+
+
+def test_snowball_english_porter2():
+    """Published English Snowball (Porter2) outputs — exceptional forms
+    plus hand-traced regular cases (same as NLTK's
+    SnowballStemmer('english') for these inputs)."""
+    from sbb_ned_ray.functions.stemming import snowball_en, stem_word
+
+    cases = {
+        # exceptional forms (hard-coded in the published algorithm)
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "early": "earli", "only": "onli", "singly": "singl",
+        "news": "news", "sky": "sky", "bias": "bias",
+        "proceed": "proceed", "inning": "inning", "earring": "earring",
+        # step 1a
+        "caresses": "caress", "ponies": "poni", "ties": "tie",
+        "cats": "cat", "kiwis": "kiwi",
+        # step 1b + fixups
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "hoping": "hope", "falling": "fall",
+        # step 1c
+        "crying": "cri", "happy": "happi", "by": "by", "say": "say",
+        # steps 2-5
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valenci": "valenc",
+        "digitizer": "digit", "national": "nation",
+        "generously": "generous", "knightly": "knight",
+        "goodness": "good", "paris": "pari",
+    }
+    for w, expect in cases.items():
+        assert snowball_en(w) == expect, (w, snowball_en(w))
+    assert stem_word("skies", "en") == "sky"
+    assert stem_word("skies", "english") == "sky"
+    assert stem_word("paris", "fr") == "pari"   # light-stem fallback
 
 
 def test_light_stem():

@@ -22,6 +22,20 @@ def test_snowball_de_total_and_folded(word):
     assert not set(out) & set("äöüß")
     assert out == out.lower()
 
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=1,
+               max_size=24))
+def test_snowball_en_total(word):
+    """snowball_en never crashes, never grows the word (beyond the +e
+    restorations which add at most one char), and stays lowercase."""
+    from sbb_ned_ray.functions.stemming import snowball_en
+
+    out = snowball_en(word)
+    assert isinstance(out, str)
+    assert len(out) <= len(word) + 1
+    assert out == out.lower()
+
 tokens = st.lists(st.text(alphabet="abcdefgh0123 ¬-ü.", min_size=0,
                           max_size=8), min_size=0, max_size=30)
 texts = st.text(max_size=200)
