@@ -1,0 +1,81 @@
+"""Hyperparameter evaluation grid — the reference's quality loop.
+
+Reference analog: the CLEF dev/test F1 grids swept over
+``max_dist × max_candidates × threshold``
+(``/root/reference/Makefile.CLEF2022:224-258`` and the evaluation
+notebook cells): the deployment picks its per-language knobs from that
+grid.  Here each grid point runs the flagship Ray pipeline on the
+fixture and scores pairwise F1 against the gold mention pairs; the
+output is the full grid table, best row first.
+
+Scale shape: the KB index is built ONCE and broadcast once
+(``ray.put``); every grid point reuses the same object-store ref (the
+knobs are probe-time parameters, not index-build parameters), so the
+sweep costs one decode per point and zero index rebuilds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import product
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from sbb_ned_ray.config import PipelineConfig
+
+DEFAULT_GRID = {
+    # reference grid shape (Makefile.CLEF2022: DIST 0.x, CAND n, THR t)
+    "max_dist": (0.1, 0.25, 0.4),
+    "max_candidates": (5, 25),
+    "threshold": (0.05, 0.1, 0.5),
+}
+
+
+def ned_eval_grid(fixture_dir: str, config: PipelineConfig | None = None,
+                  grid: dict | None = None) -> pd.DataFrame:
+    """Sweep the decision knobs over the flagship pipeline; one row per
+    grid point with pairwise precision/recall/F1 and link counts,
+    sorted best-F1 first (ties: fewer candidates, lower dist)."""
+    import os
+
+    import ray
+
+    from sbb_ned_ray.pipelines.ned import (
+        build_ned_links,
+        cluster_links,
+        pairwise_f1,
+        top_links,
+    )
+    from sbb_ned_ray.sources.pages import read_kb_sentences, read_kb_table
+    from sbb_ned_ray.state.alias_index import build_alias_index
+
+    cfg = config or PipelineConfig()
+    grid = grid or DEFAULT_GRID
+    index_ref = ray.put(build_alias_index(
+        read_kb_table(fixture_dir), cfg,
+        sentences=read_kb_sentences(fixture_dir)))
+    gt = pq.read_table(
+        os.path.join(fixture_dir, "mention_pairs_gt.parquet"))
+
+    rows = []
+    for md, mc, th in product(grid["max_dist"], grid["max_candidates"],
+                              grid["threshold"]):
+        cfg_i = dataclasses.replace(cfg, max_dist=md, max_candidates=mc,
+                                    threshold=th)
+        links = top_links(build_ned_links(
+            fixture_dir, cfg_i, index_ref=index_ref)).to_pandas()
+        links = cluster_links(links) if not links.empty else links
+        m = (pairwise_f1(links, gt) if not links.empty else
+             {"tp": 0, "fp": 0, "fn": int(gt.num_rows), "tn": 0,
+              "precision": 0.0, "recall": 0.0, "f1": 0.0})
+        rows.append({"max_dist": md, "max_candidates": mc,
+                     "threshold": th, "n_links": int(len(links)),
+                     **{k: m[k] for k in ("tp", "fp", "fn", "tn")},
+                     "precision_e6": int(m["precision"] * 1e6 + 0.5),
+                     "recall_e6": int(m["recall"] * 1e6 + 0.5),
+                     "f1_e6": int(m["f1"] * 1e6 + 0.5)})
+    out = pd.DataFrame(rows).sort_values(
+        ["f1_e6", "max_candidates", "max_dist"],
+        ascending=[False, True, True]).reset_index(drop=True)
+    return out

@@ -1001,6 +1001,21 @@ def ned_eval_f1_bert_trained(sf_dir: str):
     }])
 
 
+def ned_eval_grid(sf_dir: str):
+    """Reference-style hyperparameter grid (Makefile.CLEF2022:224-258):
+    pairwise F1 swept over max_dist x max_candidates x threshold on the
+    sf0.001-scale fixture (rows-only; the grid SHAPE and determinism are
+    the check — one decode per point, one shared broadcast index)."""
+    from sbb_ned_ray.fixtures.generator import (
+        materialize_fixture,
+        spec_for_sf,
+    )
+    from sbb_ned_ray.pipelines.evalgrid import ned_eval_grid as grid_fn
+
+    fixture = materialize_fixture(spec_for_sf("/root/testdata/sf0.001"))
+    return grid_fn(fixture, PipelineConfig())
+
+
 def ned_extract_pages(sf_dir: str):
     from sbb_ned_ray.sources.pages import read_pages
     from sbb_ned_ray.stages.extract import extracted_pages
@@ -1137,6 +1152,7 @@ QUERIES = {
     "ned_links_shuffle_kb": ned_links_shuffle_kb,
     "ned_decider_cv": ned_decider_cv,
     "ned_eval_f1": ned_eval_f1,
+    "ned_eval_grid": ned_eval_grid,
 }
 
 ORACLE_SQL = {

@@ -160,15 +160,20 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
     hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ks, ps = [], []
-        for p in t["part"].to_pylist():
+        ks, ps, fs = [], [], []
+        for p, f in zip(t["part"].to_pylist(), t["freq"].to_pylist()):
             ks.append(f"p:{p}")          # identity key → exact part probe
             ps.append(p)
+            fs.append(f)
             for bk in _band_keys(p, cfg, hasher):
                 ks.append(f"b:{bk}")     # LSH band key → fuzzy probe
                 ps.append(p)
+                fs.append(f)
+        # freq rides along so the part-level matcher can stoplist hot
+        # parts BEFORE the postings expansion (no extra freq join)
         return pa.table({"key": pa.array(ks, pa.string()),
-                         "part": pa.array(ps, pa.string())})
+                         "part": pa.array(ps, pa.string()),
+                         "freq": pa.array(fs, pa.int64())})
 
     bands = freqs.map_batches(band_rows, batch_format="pyarrow")
     return {"postings": postings, "exact": exact, "bands": bands}
@@ -186,7 +191,8 @@ def save_block_tables(kb: pa.Table, cfg: PipelineConfig, artifact_dir: str,
 
     from sbb_ned_ray.state.artifacts import kb_fingerprint
 
-    fp = kb_fingerprint(kb, cfg) + ("-meta" if with_meta else "")
+    # -v2: bands table carries freq (part-level probe path)
+    fp = kb_fingerprint(kb, cfg) + "-v2" + ("-meta" if with_meta else "")
     out = os.path.join(artifact_dir, fp)
     if os.path.exists(os.path.join(out, "_BLOCK_TABLES_COMPLETE")):
         return out
@@ -216,29 +222,22 @@ def load_block_tables(artifact_path: str) -> dict:
             for name in ("postings", "exact", "bands")}
 
 
-def _surface_rows(surfaces_ds, cfg: PipelineConfig,
-                  with_type: bool = False):
-    hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
+def _surface_part_tables(surfaces_ds, cfg: PipelineConfig,
+                         with_type: bool = False):
+    """Distinct surfaces → (surface_parts, key_rows): the per-surface
+    part explode (attach side) and the exact full-surface-key rows."""
 
-    def block_rows(t: pa.Table) -> pa.Table:
-        s_out, p_out, k_out, t_out = [], [], [], []
+    def part_rows(t: pa.Table) -> pa.Table:
+        s_out, p_out, t_out = [], [], []
         types = t["stype"].to_pylist() if with_type else None
         for row_no, s in enumerate(t["surface"].to_pylist()):
             for p in filter_surface(normalize_chars(s)):
                 s_out.append(s)
                 p_out.append(p)
-                k_out.append(f"p:{p}")
                 if with_type:
                     t_out.append(types[row_no])
-                for bk in _band_keys(p, cfg, hasher):
-                    s_out.append(s)
-                    p_out.append(p)
-                    k_out.append(f"b:{bk}")
-                    if with_type:
-                        t_out.append(types[row_no])
         out = pa.table({"surface": pa.array(s_out, pa.string()),
-                        "query_part": pa.array(p_out, pa.string()),
-                        "key": pa.array(k_out, pa.string())})
+                        "query_part": pa.array(p_out, pa.string())})
         if with_type:
             out = out.append_column("stype", pa.array(t_out, pa.string()))
         return out
@@ -259,8 +258,36 @@ def _surface_rows(surfaces_ds, cfg: PipelineConfig,
             out = out.append_column("stype", pa.array(ts, pa.string()))
         return out
 
-    return (surfaces_ds.map_batches(block_rows, batch_format="pyarrow"),
+    return (surfaces_ds.map_batches(part_rows, batch_format="pyarrow"),
             surfaces_ds.map_batches(key_rows, batch_format="pyarrow"))
+
+
+def _match_part_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """One query part's band/identity collisions → stoplisted,
+    distance-filtered, SEARCH_K-capped (query_part, part, dist) matches
+    — ``probe_part`` semantics (``state/alias_index.py:180-210``) at the
+    PART level.  Running this BEFORE the postings expansion is the load-
+    bearing ordering: band collisions scale with KB density, and every
+    collision surviving to the entity join multiplies by the entities
+    per part (measured at sf0.1: a 4x KB grew the surface-level join
+    21x; part-level filtering keeps it at the matched-parts scale)."""
+    cols = ["query_part", "part", "dist"]
+    if g.empty:
+        return pd.DataFrame(columns=cols)
+    qp = g["query_part"].iloc[0]
+    cand = g.drop_duplicates(subset=["part"])[["part", "freq"]]
+    if len(qp) < cfg.min_part_len_for_freq:
+        cand = cand[cand["freq"] <= cfg.max_frequency]
+    if cand.empty:
+        return pd.DataFrame(columns=cols)
+    qv = anagram_vector(qp)
+    sel = sorted(
+        (d, p) for p, d in
+        ((p, angular_distance(qv, anagram_vector(p)))
+         for p in cand["part"]) if d < cfg.max_dist)[:SEARCH_K]
+    return pd.DataFrame({"query_part": qp,
+                         "part": [p for _, p in sel],
+                         "dist": [d for d, _ in sel]})
 
 
 def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
@@ -289,24 +316,14 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
     query_parts = tuple(filter_surface(normalize_chars(surface)))
     meta: dict[int, tuple[int, float, str, str]] = {}
     hits: list[tuple[int, str, float]] = []
+    # rows arrive pre-filtered by _match_part_group (stoplist, distance,
+    # SEARCH_K) with the part distance attached — only the per-entity
+    # min over the surviving parts happens per surface
     for qp, pg in part_rows.groupby("query_part", sort=False):
-        cand = pg.drop_duplicates(subset=["part"])[["part", "freq"]]
-        if len(qp) < cfg.min_part_len_for_freq:
-            cand = cand[cand["freq"] <= cfg.max_frequency]
-        if cand.empty:
-            continue
-        qv = anagram_vector(qp)
-        dists = {p: angular_distance(qv, anagram_vector(p))
-                 for p in cand["part"]}
-        sel = [(d, p) for p, d in dists.items() if d < cfg.max_dist]
-        sel.sort()
-        sel = sel[:SEARCH_K]
-        chosen = {p: d for d, p in sel}
-        sub = pg[pg["part"].isin(chosen)]
         ent_min: dict[int, float] = {}
-        for p, eid in zip(sub["part"], sub["eid"]):
+        for d, eid in zip(pg["dist"], pg["eid"]):
             e = int(eid)
-            d = chosen[p]
+            d = float(d)
             if e not in ent_min or d < ent_min[e]:
                 ent_min[e] = d
         for e, d in sorted(ent_min.items()):
@@ -354,7 +371,7 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
     return out[out_cols]
 
 
-_HIT_COLS = ["surface", "query_part", "part", "freq", "eid", "title",
+_HIT_COLS = ["surface", "query_part", "part", "dist", "eid", "title",
              "qid", "proba", "is_exact"]
 _META_COLS = ["longitude", "latitude", "dateofbirth", "inception"]
 
@@ -408,28 +425,54 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             .groupby("surface").count() \
             .map_batches(lambda t: t.select(["surface"]),
                          batch_format="pyarrow")
-    block_rows, key_rows = _surface_rows(surfaces, cfg, with_type=has_ctx)
+    surface_parts, key_rows = _surface_part_tables(surfaces, cfg,
+                                                   with_type=has_ctx)
 
-    sg_cols = ["surface", "stype"] if has_ctx else ["surface"]
+    # P1: DISTINCT query parts (narrow — parts shared by many surfaces
+    # probe once) → probe keys (identity + LSH bands)
+    def probe_keys(t: pa.Table) -> pa.Table:
+        from sbb_ned_ray.functions.hashing import MinHasher
+        hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
+        ps, ks = [], []
+        for p in t["query_part"].to_pylist():
+            ps.append(p)
+            ks.append(f"p:{p}")
+            for bk in _band_keys(p, cfg, hasher):
+                ps.append(p)
+                ks.append(f"b:{bk}")
+        return pa.table({"query_part": pa.array(ps, pa.string()),
+                         "key": pa.array(ks, pa.string())})
 
-    # J1: fuzzy + exact-part probe in ONE key join, then dedupe the
-    # (surface, query_part, part) matches (multiple shared bands)
-    # materialized: the one DAG cut.  A fully-lazy graph here stacks
-    # 5+ concurrent hash-shuffle operators (3 joins + 2 aggregations);
-    # each reserves executor resources and at small CPU counts the
-    # streaming executor deadlocks.  Cutting after J1 bounds the
-    # concurrent all-to-all count on both sides of the cut; J2/J3 and
-    # the group ranking still pipeline.
-    j1 = block_rows.join(tabs["bands"], join_type="inner",
-                         num_partitions=num_partitions, on=("key",)) \
-        .groupby(sg_cols + ["query_part", "part"]).count() \
-        .map_batches(
-            lambda t: t.select(sg_cols + ["query_part", "part"]),
-            batch_format="pyarrow").materialize()
+    parts = surface_parts \
+        .groupby("query_part").count() \
+        .map_batches(lambda t: t.select(["query_part"]),
+                     batch_format="pyarrow") \
+        .map_batches(probe_keys, batch_format="pyarrow")
 
-    # J2: expand matched parts → entity hit rows (carries freq + metadata)
-    hits = j1.join(tabs["postings"], join_type="inner",
-                   num_partitions=num_partitions, on=("part",)) \
+    # P2: band join at the PART level, then stoplist + anagram-distance
+    # filter + SEARCH_K cap per part (probe_part semantics) BEFORE any
+    # entity expansion.  Materialized: the one DAG cut — the matched
+    # table is tiny (<= distinct parts x SEARCH_K rows) and cutting here
+    # bounds the concurrent all-to-all operator count on each side (a
+    # fully-lazy graph with 5+ hash shuffles deadlocks small nodes).
+    from sbb_ned_ray.stages.dedup import bucketed_map_groups
+    part_matches = bucketed_map_groups(
+        parts.join(tabs["bands"], join_type="inner",
+                   num_partitions=num_partitions, on=("key",)),
+        "query_part", lambda g: _match_part_group(g, cfg),
+        nparts=max(16, num_partitions * 4),
+        skip_singletons=False).materialize()
+
+    # P3: expand matched parts → entity rows, then attach to surfaces on
+    # query_part (both joins now run at post-filter volume)
+    qp_hits = part_matches.join(
+        tabs["postings"], join_type="inner",
+        num_partitions=num_partitions, on=("part",)) \
+        .map_batches(lambda t: t.drop_columns(["freq"]),
+                     batch_format="pyarrow")
+    hits = surface_parts.join(qp_hits, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("query_part",)) \
         .map_batches(lambda t: t.append_column(
             "is_exact",
             pa.array(np.zeros(t.num_rows, dtype=np.int8)))
@@ -441,7 +484,7 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             "surface": t["surface"],
             "query_part": pa.array([None] * t.num_rows, pa.string()),
             "part": pa.array([None] * t.num_rows, pa.string()),
-            "freq": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "dist": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
             "eid": t["eid"],
             "title": t["title"],
             "qid": t["qid"],
@@ -458,7 +501,6 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
                           num_partitions=num_partitions, on=("skey",)) \
         .map_batches(sur_rows, batch_format="pyarrow")
 
-    from sbb_ned_ray.stages.dedup import bucketed_map_groups
     both = hits.union(j_sur)
     if has_ctx:
         import pyarrow.compute as pc
