@@ -68,12 +68,16 @@ def main(argv: list[str] | None = None) -> int:
         from sbb_ned_ray.state.alias_index import build_alias_index
         from sbb_ned_ray.state.artifacts import save_index
         kb = pq.read_table(args.kb)
-        sent_path = os.path.join(os.path.dirname(args.kb),
-                                 "kb_sentences.parquet")
+        kb_dir = os.path.dirname(args.kb)
+        sent_path = os.path.join(kb_dir, "kb_sentences.parquet")
         sentences = pq.read_table(sent_path) \
             if os.path.exists(sent_path) else None
-        fp = save_index(build_alias_index(kb, cfg, sentences=sentences),
-                        kb, args.out, cfg, sentences)
+        rd_path = os.path.join(kb_dir, "redirects.parquet")
+        redirects = pq.read_table(rd_path) \
+            if os.path.exists(rd_path) else None
+        fp = save_index(build_alias_index(kb, cfg, sentences=sentences,
+                                          redirects=redirects),
+                        kb, args.out, cfg, sentences, redirects)
         print(json.dumps({"artifact": args.out, "fingerprint": fp,
                           "entities": kb.num_rows}))
         return 0

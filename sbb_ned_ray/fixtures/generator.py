@@ -205,6 +205,19 @@ def _make_aliases(label: str) -> list[str]:
     return aliases
 
 
+def _build_redirects(ents) -> pa.Table:
+    """Redirects table (rd_from_title → rd_title, underscored — the
+    reference's SQLite redirects db, webapp/app.py:120-129): one
+    redirect-ONLY alternative name per entity.  The source forms never
+    appear in page text or aliases, so the flagship over fixtures with
+    or without this file is IDENTICAL — the redirect path is exercised
+    by its own tests and by the parse_ner input mode."""
+    srcs = [f"Altname_{i:05d}" for i in range(len(ents))]
+    dsts = [e["page_title"] for e in ents]
+    return pa.table({"rd_from_title": pa.array(srcs, pa.string()),
+                     "rd_title": pa.array(dsts, pa.string())})
+
+
 def _page_sentences(spec, rng, ents, page_no):
     """Build one page: list of (tokens, mentions) with
     mentions = list of (tok_start, tok_end, surface, etype, qid)."""
@@ -338,6 +351,7 @@ def generate_fixture(spec: FixtureSpec):
     return {"pages": pages, "kb_entities": kb, "mentions_gt": mentions_gt,
             "mention_pairs_gt": pairs,
             "kb_sentences": _build_kb_sentences(ents),
+            "redirects": _build_redirects(ents),
             "clef_tsv": _build_clef_file(urls, texts, gt_rows)}
 
 
@@ -451,6 +465,14 @@ def materialize_fixture(spec: FixtureSpec, base_dir: str = "/tmp/sbb_ned_ray_fix
     out = os.path.join(base_dir, spec.fingerprint())
     done_marker = os.path.join(out, "_FIXTURE_COMPLETE")
     if os.path.exists(done_marker):
+        # backfill for dirs cached before the redirects table existed:
+        # derived purely from the entity stream (same seed) — no page
+        # regeneration, no fingerprint change
+        rd_path = os.path.join(out, "redirects.parquet")
+        if not os.path.exists(rd_path):
+            ents = _build_entities(spec, np.random.default_rng(spec.seed))
+            pq.write_table(_build_redirects(ents), rd_path + ".tmp")
+            os.replace(rd_path + ".tmp", rd_path)
         return out
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
@@ -469,7 +491,7 @@ def materialize_fixture(spec: FixtureSpec, base_dir: str = "/tmp/sbb_ned_ray_fix
         pq.write_table(sl, os.path.join(tmp, "pages", f"part-{i:04d}.parquet"),
                        row_group_size=rg)
     for name in ("kb_entities", "mentions_gt", "mention_pairs_gt",
-                 "kb_sentences"):
+                 "kb_sentences", "redirects"):
         pq.write_table(tables[name], os.path.join(tmp, f"{name}.parquet"))
     with open(os.path.join(tmp, "clef.tsv"), "w", encoding="utf-8") as f:
         f.write(tables["clef_tsv"])

@@ -29,6 +29,7 @@ import ray
 from sbb_ned_ray.config import PipelineConfig
 from sbb_ned_ray.sources.pages import (
     read_kb_sentences,
+    read_redirects,
     read_kb_table,
     read_pages,
 )
@@ -78,7 +79,8 @@ def build_ned_links(fixture_dir: str, config: PipelineConfig | None = None,
     if index_ref is None:
         kb = kb_table if kb_table is not None else read_kb_table(fixture_dir)
         index_ref = ray.put(build_alias_index(
-            kb, cfg, sentences=read_kb_sentences(fixture_dir)))
+            kb, cfg, sentences=read_kb_sentences(fixture_dir),
+        redirects=read_redirects(fixture_dir)))
     conc = _pool_size(cfg)
 
     if pages_ds is not None:
@@ -196,7 +198,8 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     cfg = config or PipelineConfig()
     kb = read_kb_table(fixture_dir)
     index_ref = ray.put(build_alias_index(
-        kb, cfg, sentences=read_kb_sentences(fixture_dir)))
+        kb, cfg, sentences=read_kb_sentences(fixture_dir),
+        redirects=read_redirects(fixture_dir)))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nblocks = cfg.read_num_blocks or max(16, 2 * ncpu)
     pages = extracted_pages(read_pages(
@@ -232,7 +235,8 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     # decide segment and overrun the executor's all-to-all budget
     ranked = ranked_candidates_via_shuffle(
         mentions, kb, cfg, num_partitions=num_partitions,
-        kb_tables=kb_tables).materialize()
+        kb_tables=kb_tables,
+        redirects=read_redirects(fixture_dir)).materialize()
 
     # pyarrow hash joins cannot carry list<string> payload columns —
     # pack the mention tokens into one \x00-joined string around the
@@ -332,7 +336,8 @@ def run_ned_resumable(fixture_dir: str, out_dir: str,
     index_ref = ray.put(load_or_build_index(
         read_kb_table(fixture_dir),
         artifact_dir=os.path.join(out_dir, "_index"), config=cfg,
-        sentences=read_kb_sentences(fixture_dir)))
+        sentences=read_kb_sentences(fixture_dir),
+        redirects=read_redirects(fixture_dir)))
     parts = ned_partitions(fixture_dir)
     path_of = {pid: path for pid, _, path in parts}
 

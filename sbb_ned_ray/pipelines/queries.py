@@ -868,7 +868,11 @@ def ned_pair_features(sf_dir: str):
 
     cfg = PipelineConfig()
     pages_dir = pages_dir_for_sf(sf_dir)
-    index_ref = ray.put(build_alias_index(read_kb_table(pages_dir), cfg))
+    from sbb_ned_ray.sources.pages import read_redirects
+    from sbb_ned_ray.sources.pages import read_redirects
+    index_ref = ray.put(build_alias_index(
+        read_kb_table(pages_dir), cfg,
+        redirects=read_redirects(pages_dir)))
     conc = (1, 4)
     # bounded deterministic sample: the features are per-pair constant
     # work; 500 pages exercise the full stage chain without a 30s gate
@@ -913,7 +917,8 @@ def ned_links_bert(sf_dir: str):
     pages_dir = pages_dir_for_sf(sf_dir)
     index_ref = ray.put(build_alias_index(
         read_kb_table(pages_dir), cfg,
-        sentences=read_kb_sentences(pages_dir)))
+        sentences=read_kb_sentences(pages_dir),
+        redirects=read_redirects(pages_dir)))
     conc = (1, 4)
     pages = extracted_pages(read_pages(
         pages_dir, columns=["url", "html"],
@@ -1038,7 +1043,10 @@ def ned_mentions(sf_dir: str):
     from sbb_ned_ray.state.alias_index import build_alias_index
     cfg = PipelineConfig()
     pages_dir = pages_dir_for_sf(sf_dir)
-    index_ref = ray.put(build_alias_index(read_kb_table(pages_dir), cfg))
+    from sbb_ned_ray.sources.pages import read_redirects
+    index_ref = ray.put(build_alias_index(
+        read_kb_table(pages_dir), cfg,
+        redirects=read_redirects(pages_dir)))
     pages = extracted_pages(read_pages(pages_dir, columns=["url", "html"]))
     return detect_mentions(pages, index_ref, concurrency=_pool_size(cfg)) \
         .select_columns(["url", "mention_id", "sent_no", "tok_start",

@@ -56,6 +56,17 @@ def read_kb_sentences(fixture_dir: str):
     return pq.read_table(path)
 
 
+def read_redirects(fixture_dir: str):
+    """Driver-side read of the redirects table (rd_from_title →
+    rd_title, underscored titles — reference ``webapp/app.py:120-129``);
+    ``None`` when the KB ships without one (redirect expansion is then
+    a no-op, as in a reference deployment without the redirects db)."""
+    path = os.path.join(fixture_dir, "redirects.parquet")
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path)
+
+
 def read_gt_mentions(fixture_dir: str):
     return pq.read_table(os.path.join(fixture_dir, "mentions_gt.parquet"))
 

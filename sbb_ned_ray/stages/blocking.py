@@ -222,20 +222,58 @@ def load_block_tables(artifact_path: str) -> dict:
             for name in ("postings", "exact", "bands")}
 
 
+_REDIRECT_CACHE: dict[str, dict] = {}
+
+
+def _get_redirects(redirects_ref) -> dict[str, str]:
+    """Worker-global fetch of the broadcast redirect map (normalized
+    source key → target title).  The map is title→title rows — orders of
+    magnitude smaller than the KB this path exists for — so ``ray.put``
+    broadcast is the right shape even when the KB itself co-shuffles."""
+    if redirects_ref is None:
+        return {}
+    key = redirects_ref.hex()
+    d = _REDIRECT_CACHE.get(key)
+    if d is None:
+        d = ray.get(redirects_ref)
+        _REDIRECT_CACHE.clear()
+        _REDIRECT_CACHE[key] = d
+    return d
+
+
 def _surface_part_tables(surfaces_ds, cfg: PipelineConfig,
-                         with_type: bool = False):
+                         with_type: bool = False, redirects_ref=None):
     """Distinct surfaces → (surface_parts, key_rows): the per-surface
-    part explode (attach side) and the exact full-surface-key rows."""
+    part explode (attach side) and the exact full-surface-key rows.
+
+    Redirect expansion mirrors the broadcast path
+    (``candidates.generate_candidates_for_surface``): a redirected
+    surface also emits its TARGET title's parts (fuzzy probe side) and
+    the target's exact key (exact join side), attached to the SAME
+    surface so the group ranker unions the hits."""
 
     def part_rows(t: pa.Table) -> pa.Table:
+        rd = _get_redirects(redirects_ref)
         s_out, p_out, t_out = [], [], []
         types = t["stype"].to_pylist() if with_type else None
+
+        def emit(row_no: int, s: str, p: str):
+            s_out.append(s)
+            p_out.append(p)
+            if with_type:
+                t_out.append(types[row_no])
+
         for row_no, s in enumerate(t["surface"].to_pylist()):
-            for p in filter_surface(normalize_chars(s)):
-                s_out.append(s)
-                p_out.append(p)
-                if with_type:
-                    t_out.append(types[row_no])
+            parts = filter_surface(normalize_chars(s))
+            for p in parts:
+                emit(row_no, s, p)
+            if rd:
+                target = rd.get(" ".join(parts))
+                if target is not None:
+                    for p in filter_surface(
+                            normalize_chars(target.replace("_", " "))):
+                        if p not in parts:
+                            emit(row_no, s, p)
         out = pa.table({"surface": pa.array(s_out, pa.string()),
                         "query_part": pa.array(p_out, pa.string())})
         if with_type:
@@ -243,15 +281,29 @@ def _surface_part_tables(surfaces_ds, cfg: PipelineConfig,
         return out
 
     def key_rows(t: pa.Table) -> pa.Table:
+        rd = _get_redirects(redirects_ref)
         ss, ks, ts = [], [], []
         types = t["stype"].to_pylist() if with_type else None
+
+        def emit(row_no: int, s: str, k: str):
+            ss.append(s)
+            ks.append(k)
+            if with_type:
+                ts.append(types[row_no])
+
         for row_no, s in enumerate(t["surface"].to_pylist()):
             parts = filter_surface(normalize_chars(s))
-            if parts:
-                ss.append(s)
-                ks.append(" ".join(parts))
-                if with_type:
-                    ts.append(types[row_no])
+            if not parts:
+                continue
+            key = " ".join(parts)
+            emit(row_no, s, key)
+            if rd:
+                target = rd.get(key)
+                if target is not None:
+                    t_parts = filter_surface(
+                        normalize_chars(target.replace("_", " ")))
+                    if t_parts:
+                        emit(row_no, s, " ".join(t_parts))
         out = pa.table({"surface": pa.array(ss, pa.string()),
                         "skey": pa.array(ks, pa.string())})
         if with_type:
@@ -379,7 +431,8 @@ _META_COLS = ["longitude", "latitude", "dateofbirth", "inception"]
 def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
                                   cfg: PipelineConfig | None = None,
                                   num_partitions: int = 4,
-                                  kb_tables: dict | None = None):
+                                  kb_tables: dict | None = None,
+                                  redirects: pa.Table | None = None):
     """Distinct mention surfaces → ranked candidates, via blocking-key
     joins + one groupby(surface) aggregation (see module docstring) —
     all streaming: no intermediate materialization, the executor
@@ -425,8 +478,11 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             .groupby("surface").count() \
             .map_batches(lambda t: t.select(["surface"]),
                          batch_format="pyarrow")
-    surface_parts, key_rows = _surface_part_tables(surfaces, cfg,
-                                                   with_type=has_ctx)
+    from sbb_ned_ray.state.alias_index import redirect_map
+    rd = redirect_map(redirects)
+    redirects_ref = ray.put(rd) if rd else None
+    surface_parts, key_rows = _surface_part_tables(
+        surfaces, cfg, with_type=has_ctx, redirects_ref=redirects_ref)
 
     # P1: DISTINCT query parts (narrow — parts shared by many surfaces
     # probe once) → probe keys (identity + LSH bands)

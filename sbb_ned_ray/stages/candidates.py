@@ -129,11 +129,28 @@ def generate_candidates_for_surface(surface: str, index: AliasIndex,
     """Per-mention probe: normalized-surface exact block + per-part
     ANN-style fuzzy hits → ranked candidates (north_star: surface-form
     keys PLUS MinHash-LSH buckets), with the per-job context filters
-    (geo / not-after) applied pre-truncation as in the reference."""
+    (geo / not-after) applied pre-truncation as in the reference.
+
+    Redirect surface expansion (webapp/app.py:338-339): when the
+    normalized surface key is a redirect source, the TARGET title acts
+    as an additional surface — its alias-exact block joins ``exact``
+    and its parts join the fuzzy probe.  The redirect lookup itself is
+    exact-only (the reference resolves by ``.loc``)."""
     parts = filter_surface(normalize_chars(surface))
-    exact = frozenset(index.alias_exact.get(" ".join(parts), ()))
+    key = " ".join(parts)
+    exact = frozenset(index.alias_exact.get(key, ()))
+    probe_parts = list(parts)
+    redirects = getattr(index, "redirects", None)
+    if redirects:
+        target = redirects.get(key)
+        if target is not None:
+            t_parts = filter_surface(
+                normalize_chars(target.replace("_", " ")))
+            exact = exact | frozenset(
+                index.alias_exact.get(" ".join(t_parts), ()))
+            probe_parts += [p for p in t_parts if p not in parts]
     hits: list[tuple[int, str, float]] = []
-    for part in parts:
+    for part in probe_parts:
         ents, dists = index.probe_part(part, config.max_dist)
         for e, d in zip(ents, dists):
             hits.append((int(e), part, float(d)))

@@ -40,6 +40,31 @@ from sbb_ned_ray.functions.normalization import (
 )
 
 
+def surface_key(s: str) -> str:
+    """Canonical normalized key of a surface/title (underscores are
+    separators, as in wiki titles): the alias_exact / redirect key."""
+    return " ".join(filter_surface(normalize_chars(s.replace("_", " "))))
+
+
+def redirect_map(redirects: pa.Table | None) -> dict[str, str]:
+    """redirects table (rd_from_title → rd_title, underscored titles —
+    reference ``webapp/app.py:120-129``) → lookup dict keyed by the
+    normalized surface key of the source form.  One hop; self-loops
+    (source and target normalize to the same key) are dropped — they
+    cannot change a candidate set."""
+    out: dict[str, str] = {}
+    if redirects is None:
+        return out
+    for src, dst in zip(redirects["rd_from_title"].to_pylist(),
+                        redirects["rd_title"].to_pylist()):
+        if src is None or dst is None:
+            continue
+        key = surface_key(src)
+        if key and surface_key(dst) != key:
+            out[key] = dst
+    return out
+
+
 def normalize_token(tok: str) -> str:
     """Per-token canonical form used by both the gazetteer trie and the
     mention detector: char-normalize → lowercase → strip non-word chars,
@@ -52,7 +77,8 @@ def normalize_token(tok: str) -> str:
 
 class AliasIndex:
     def __init__(self, kb: pa.Table, config: PipelineConfig | None = None,
-                 sentences: pa.Table | None = None):
+                 sentences: pa.Table | None = None,
+                 redirects: pa.Table | None = None):
         config = config or PipelineConfig()
         self.config = config
         self.titles = kb["page_title"].to_pylist()
@@ -162,6 +188,34 @@ class AliasIndex:
         self.band_to_parts = {k: np.asarray(v, dtype=np.int64)
                               for k, v in band_to_parts.items()}
 
+        # redirect surface expansion (reference webapp/app.py:338-339:
+        # `normalized.replace(' ','_') in redirects.index` → add rd_title
+        # to the mention's surface set).  Exact-key lookup ONLY — the
+        # reference resolves redirects by .loc, never fuzzily.  The
+        # TARGET title then contributes its alias-exact block and its
+        # parts to the fuzzy probe (candidates.py).
+        self.redirects = redirect_map(redirects)
+        # redirect source forms whose target resolves to known entities
+        # join the gazetteer trie, so the detector recognizes
+        # redirect-only names (the reference gets these from upstream
+        # NER; the gazetteer is our detection stand-in)
+        if redirects is not None:
+            for src, dst in zip(redirects["rd_from_title"].to_pylist(),
+                                redirects["rd_title"].to_pylist()):
+                if src is None or dst is None:
+                    continue
+                eids = self.alias_exact.get(surface_key(dst))
+                if not eids:
+                    continue
+                seq = tuple(normalize_token(t)
+                            for t in src.replace("_", " ").split(" "))
+                seq = tuple(t for t in seq if t)
+                if seq:
+                    token_seqs.setdefault(seq, [])
+                    for eid in eids:
+                        if eid not in token_seqs[seq]:
+                            token_seqs[seq].append(eid)
+
         # gazetteer structures for the mention detector
         self.token_seqs = token_seqs
         self.first_tokens = {seq[0] for seq in token_seqs}
@@ -229,5 +283,6 @@ class AliasIndex:
 
 
 def build_alias_index(kb: pa.Table, config: PipelineConfig | None = None,
-                      sentences: pa.Table | None = None) -> AliasIndex:
-    return AliasIndex(kb, config, sentences=sentences)
+                      sentences: pa.Table | None = None,
+                      redirects: pa.Table | None = None) -> AliasIndex:
+    return AliasIndex(kb, config, sentences=sentences, redirects=redirects)

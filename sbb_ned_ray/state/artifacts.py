@@ -24,7 +24,7 @@ from sbb_ned_ray.state.alias_index import AliasIndex, build_alias_index
 # Bump when AliasIndex layout / anagram alphabet / probe semantics
 # change: a pickled artifact from an older code version must NOT be
 # loaded and probed with mismatched vector dims or bucket keys.
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
 
 
 def _hash_table_buffers(h, table: pa.Table, cols: list[str]) -> None:
@@ -37,7 +37,8 @@ def _hash_table_buffers(h, table: pa.Table, cols: list[str]) -> None:
 
 
 def kb_fingerprint(kb: pa.Table, config: PipelineConfig,
-                   sentences: pa.Table | None = None) -> str:
+                   sentences: pa.Table | None = None,
+                   redirects: pa.Table | None = None) -> str:
     """Content fingerprint of everything the index build reads.
 
     Hashes ALL index-relevant KB columns (not just qids — alias edits,
@@ -59,6 +60,9 @@ def kb_fingerprint(kb: pa.Table, config: PipelineConfig,
     if sentences is not None:
         h.update(f"|sentences:{sentences.num_rows}|".encode())
         _hash_table_buffers(h, sentences, sentences.column_names)
+    if redirects is not None:
+        h.update(f"|redirects:{redirects.num_rows}|".encode())
+        _hash_table_buffers(h, redirects, redirects.column_names)
     h.update(f"v{INDEX_FORMAT_VERSION}|{config.ngram_size}|"
              f"{config.num_perm}|{config.lsh_bands}|{config.seed}"
              .encode())
@@ -67,10 +71,11 @@ def kb_fingerprint(kb: pa.Table, config: PipelineConfig,
 
 def save_index(index: AliasIndex, kb: pa.Table, out_dir: str,
                config: PipelineConfig | None = None,
-               sentences: pa.Table | None = None) -> str:
+               sentences: pa.Table | None = None,
+               redirects: pa.Table | None = None) -> str:
     cfg = config or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
-    fp = kb_fingerprint(kb, cfg, sentences)
+    fp = kb_fingerprint(kb, cfg, sentences, redirects)
     tmp = os.path.join(out_dir, "alias_index.pkl.tmp")
     with open(tmp, "wb") as f:
         pickle.dump(index, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -82,15 +87,17 @@ def save_index(index: AliasIndex, kb: pa.Table, out_dir: str,
 
 def load_or_build_index(kb: pa.Table, artifact_dir: str | None = None,
                         config: PipelineConfig | None = None,
-                        sentences: pa.Table | None = None) -> AliasIndex:
+                        sentences: pa.Table | None = None,
+                        redirects: pa.Table | None = None) -> AliasIndex:
     """Load the index artifact when its manifest matches the KB (and
     sentence-KB) fingerprint; otherwise (re)build and save it."""
     cfg = config or PipelineConfig()
     if artifact_dir is None:
-        return build_alias_index(kb, cfg, sentences=sentences)
+        return build_alias_index(kb, cfg, sentences=sentences,
+                                 redirects=redirects)
     mf = os.path.join(artifact_dir, "_index_manifest.json")
     pkl = os.path.join(artifact_dir, "alias_index.pkl")
-    fp = kb_fingerprint(kb, cfg, sentences)
+    fp = kb_fingerprint(kb, cfg, sentences, redirects)
     if os.path.exists(mf) and os.path.exists(pkl):
         try:
             with open(mf) as f:
@@ -100,6 +107,7 @@ def load_or_build_index(kb: pa.Table, artifact_dir: str | None = None,
                     return pickle.load(f)
         except (json.JSONDecodeError, OSError, pickle.UnpicklingError):
             pass
-    index = build_alias_index(kb, cfg, sentences=sentences)
-    save_index(index, kb, artifact_dir, cfg, sentences)
+    index = build_alias_index(kb, cfg, sentences=sentences,
+                              redirects=redirects)
+    save_index(index, kb, artifact_dir, cfg, sentences, redirects)
     return index
