@@ -729,10 +729,11 @@ def ned_training_pairs(sf_dir: str):
 def media_decode(sf_dir: str):
     """Multimodal plumbing: documents → synthetic binary media rows →
     decode/feature actor stage (deterministic fake decode; schema and
-    batch sizing are the real thing).  No SQL oracle: the decode digest
-    is blake2b over binary payloads — DuckDB ships md5 only and cannot
-    express the per-media-type fake decode; covered rows-only plus unit
-    tests (tests/test_ned_stages.py multimodal cases)."""
+    batch sizing are the real thing).  The fake FEATURE vector (blake2b)
+    stays unit-test-only, but the decode plumbing — id fan-through,
+    media-type tagging, byte counting, and the content-addressable
+    ``payload_md5`` fingerprint — is oracle-checked against DuckDB
+    (md5 over the same UTF-8 payload bytes)."""
     from sbb_ned_ray.stages.multimodal import ImageDecodeStage
 
     def to_media(t: pa.Table) -> pa.Table:
@@ -752,6 +753,16 @@ def media_decode(sf_dir: str):
         .map_batches(ImageDecodeStage, batch_format="pyarrow",
                      batch_size=32, concurrency=(1, 4)) \
         .drop_columns(["feature"])
+
+
+ORACLE_MEDIA_DECODE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+           AS media_type,
+       strlen(text) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
 
 
 def parse_ner_mentions(sf_dir: str):
@@ -1178,6 +1189,7 @@ ORACLE_SQL = {
     "lang_id": ORACLE_LANG_ID,
     "exact_dedup_docs": ORACLE_EXACT_DEDUP,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "media_decode": ORACLE_MEDIA_DECODE,
     "parse_ner_mentions": _oracle_parse_ner(),
     "clef_mentions": _oracle_parse_ner(),
     "ned_mentions": _oracle_ned_mentions(),

@@ -66,14 +66,20 @@ class ImageDecodeStage:
         return v / n if n else v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(m.as_py()) for m in batch["media"]]
+        payloads = [m.as_py() for m in batch["media"]]
+        feats = [self._features(m) for m in payloads]
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32())),
-            "n_bytes": pa.array([len(m.as_py()) for m in batch["media"]],
-                                pa.int64()),
+            "n_bytes": pa.array([len(m) for m in payloads], pa.int64()),
+            # content-addressable fingerprint of the raw payload (the
+            # standard key for media-level exact dedup / caching) — and
+            # SQL-expressible, so the decode plumbing is oracle-checked
+            "payload_md5": pa.array(
+                [hashlib.md5(m).hexdigest() for m in payloads],
+                pa.string()),
         })
 
 

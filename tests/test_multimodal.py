@@ -1,0 +1,74 @@
+"""Multimodal plumbing: decode stage schema/fingerprints, frame
+sampling, and the memory-aware batch wiring."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sbb_ned_ray.stages.multimodal import (
+    FrameSampleStage,
+    ImageDecodeStage,
+    decode_media,
+)
+
+
+def _media_batch() -> pa.Table:
+    payloads = [b"png-bytes-0", b"wav-bytes-1", b""]
+    return pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "media": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["image/png", "audio/wav", "image/png"]),
+        "meta_width": pa.array([64, None, 0], pa.int32()),
+        "meta_height": pa.array([64, None, 0], pa.int32()),
+        "meta_duration_ms": pa.array([None, 3500, None], pa.int32()),
+    })
+
+
+def test_decode_stage_schema_and_fingerprints():
+    out = ImageDecodeStage()(_media_batch())
+    assert out.column_names == ["media_id", "media_type", "feature",
+                                "n_bytes", "payload_md5"]
+    assert out["n_bytes"].to_pylist() == [11, 11, 0]
+    assert out["payload_md5"].to_pylist() == [
+        hashlib.md5(b"png-bytes-0").hexdigest(),
+        hashlib.md5(b"wav-bytes-1").hexdigest(),
+        hashlib.md5(b"").hexdigest(),
+    ]
+    # fake features are deterministic unit vectors (empty payload → 0)
+    f0 = np.array(out["feature"][0].as_py())
+    assert f0.shape == (16,) and abs(np.linalg.norm(f0) - 1.0) < 1e-6
+    again = ImageDecodeStage()(_media_batch())
+    assert out["feature"].to_pylist() == again["feature"].to_pylist()
+
+
+def test_decode_real_path_is_honest():
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)
+
+
+def test_frame_sampling_rows_per_duration():
+    out = FrameSampleStage(every_ms=1000)(_media_batch())
+    # 3500 ms / 1000 → 3 frames for the audio row; 1 frame minimum else
+    per_media = {}
+    for mid in out["media_id"].to_pylist():
+        per_media[mid] = per_media.get(mid, 0) + 1
+    assert per_media == {0: 1, 1: 3, 2: 1}
+    assert out["frame_no"].to_pylist() == [0, 0, 1, 2, 0]
+    # frames are deterministic byte slices of the payload
+    frames = [f.as_py() for f, m in zip(out["frame"], out["media_id"])
+              if m.as_py() == 1]
+    assert b"".join(frames) <= b"wav-bytes-1" or all(frames)
+
+
+def test_decode_media_dataset_wiring(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_media_batch())
+    out = decode_media(ds, batch_size=2).to_pandas()
+    assert len(out) == 3
+    assert set(out.columns) == {"media_id", "media_type", "feature",
+                                "n_bytes", "payload_md5"}
