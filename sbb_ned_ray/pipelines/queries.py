@@ -566,10 +566,96 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
     return ivf_topk(emb, queries, qdf.vec_id.tolist(), k=k)
 
 
+def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
+                   nprobes: tuple = (2, 4, 8, 16)):
+    """Self-checking quality gate for the IVF approximation: recall@k
+    vs the exact brute-force top-k, swept over ``nprobe`` — the curve a
+    real deployment tunes on (reference Annoy exposes the same trade-off
+    through SEARCH_K).  Asserts recall is monotone in nprobe and exact
+    at nprobe = n_centroids (probing every list IS brute force).  The
+    synthetic embeddings are near-isotropic (little cluster structure),
+    so mid-curve recall is intrinsically modest — the point of this
+    query is that the trade-off is MEASURED, not guessed.  No SQL
+    oracle: the quantity under test is the approximation itself."""
+    import pandas as pd
+
+    from sbb_ned_ray.stages.similarity import ivf_topk
+
+    exact = knn_cosine(sf_dir, k=k, n_queries=n_queries)
+    by_q = {int(q): set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    qdf = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]) \
+        .filter(lambda r: r["vec_id"] < n_queries).to_pandas() \
+        .sort_values("vec_id")
+    queries = np.array([np.asarray(v, dtype=np.float64)
+                        for v in qdf.embedding])
+
+    rows = []
+    for nprobe in nprobes:
+        approx = ivf_topk(emb, queries, qdf.vec_id.tolist(), k=k,
+                          nprobe=nprobe)
+        recs = [len(by_q[q] & set(g["vec_id"])) / max(1, len(by_q[q]))
+                for q, g in approx.groupby("query_id")]
+        rows.append((int(nprobe), k,
+                     round(float(np.mean(recs)) if recs else 0.0, 4)))
+    out = pd.DataFrame(rows, columns=["nprobe", "k", "mean_recall_at_k"])
+    r = out["mean_recall_at_k"].to_numpy()
+    assert (np.diff(r) >= -1e-9).all(), f"recall not monotone:\n{out}"
+    assert r[-1] == 1.0, f"nprobe=n_centroids must be exact:\n{out}"
+    return out
+
+
 def minhash_dedup_docs(sf_dir: str):
     from sbb_ned_ray.stages.dedup import minhash_lsh_dedup
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_dedup(ds, jaccard_threshold=0.7)
+
+
+def minhash_lsh_recall(sf_dir: str, sample_docs: int = 256,
+                       jaccard_threshold: float = 0.7, ngram: int = 5):
+    """Self-checking quality gate for the banded-LSH dedup: pair-level
+    recall against EXACT char-n-gram Jaccard ground truth on a bounded
+    deterministic sample (all pairs among the first ``sample_docs``
+    documents — O(1) per corpus, so the check costs the same at any
+    scale).  A ground-truth pair counts as found when the LSH clusters
+    co-assign its documents (transitive closure can only merge more).
+    No SQL oracle; the assert IS the check."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.functions.hashing import char_ngrams
+
+    clusters = minhash_dedup_docs(sf_dir)
+    cid = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["doc_id"], pa.scalar(sample_docs))),
+            batch_format="pyarrow").to_pandas()
+    # same shingle definition as the signer (dedup.minhash_signatures)
+    grams = {int(d): set(char_ngrams(t.lower(), ngram))
+             for d, t in zip(docs["doc_id"], docs["text"])}
+    ids = sorted(grams)
+    n_gt = n_found = 0
+    for i, a in enumerate(ids):
+        ga = grams[a]
+        for b in ids[i + 1:]:
+            gb = grams[b]
+            union = len(ga | gb)
+            if union == 0 or len(ga & gb) / union < jaccard_threshold:
+                continue
+            n_gt += 1
+            if a in cid and b in cid and cid[a] == cid[b]:
+                n_found += 1
+    recall = n_found / n_gt if n_gt else 1.0
+    out = pd.DataFrame([(len(ids), n_gt, n_found, recall)],
+                       columns=["n_sample_docs", "n_gt_pairs",
+                                "n_found", "recall"])
+    assert recall >= 0.9, f"LSH recall collapsed:\n{out}"
+    return out
 
 
 def simhash_dedup_docs(sf_dir: str):
@@ -1151,7 +1237,9 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "knn_cosine": knn_cosine,
     "knn_cosine_ivf": knn_cosine_ivf,
+    "knn_ivf_recall": knn_ivf_recall,
     "minhash_dedup_docs": minhash_dedup_docs,
+    "minhash_lsh_recall": minhash_lsh_recall,
     "simhash_dedup_docs": simhash_dedup_docs,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup": embedding_neardup,

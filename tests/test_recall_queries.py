@@ -1,0 +1,33 @@
+"""Self-checking recall gates for the approximate operators (the
+asserts live inside the queries; these tests wire them to the small
+test tables and pin the strong expectations that hold there)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF}/documents.parquet"),
+    reason="driver testdata not present")
+
+
+def test_minhash_lsh_recall_is_perfect_on_synthetic_dups(ray_session):
+    from sbb_ned_ray.pipelines.queries import minhash_lsh_recall
+
+    out = minhash_lsh_recall(SF)
+    assert out["recall"].iloc[0] == 1.0
+    assert out["n_gt_pairs"].iloc[0] > 0, \
+        "sample must contain ground-truth duplicate pairs"
+
+
+def test_knn_ivf_recall_curve(ray_session):
+    from sbb_ned_ray.pipelines.queries import knn_ivf_recall
+
+    out = knn_ivf_recall(SF, nprobes=(2, 8, 16))
+    # monotone + exact-at-full-probe asserted inside; pin the shape
+    assert list(out["nprobe"]) == [2, 8, 16]
+    assert out["mean_recall_at_k"].iloc[-1] == 1.0
