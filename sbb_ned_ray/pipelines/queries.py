@@ -566,6 +566,45 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
     return ivf_topk(emb, queries, qdf.vec_id.tolist(), k=k)
 
 
+def simhash_recall(sf_dir: str, sample_docs: int = 256,
+                   max_hamming: int = 3):
+    """Self-checking gate for the SimHash pigeonhole bucketing: recall
+    of :func:`simhash_dedup_docs` pairs against EXACT all-pairs Hamming
+    ≤ ``max_hamming`` on a bounded deterministic doc sample.  The 4×16-
+    bit block scheme GUARANTEES any such pair shares a block, so absent
+    a hit on the per-bucket skew cap the recall must be exactly 1.0 —
+    the assert proves the pigeonhole, not just approximates it.  No SQL
+    oracle; the assert IS the check."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.functions.hashing import hamming64, simhash64
+    from sbb_ned_ray.functions.textstats import tokenize_ws
+
+    found = simhash_dedup_docs(sf_dir)
+    found_pairs = set(zip(found["id_a"], found["id_b"]))
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["doc_id"], pa.scalar(sample_docs))),
+            batch_format="pyarrow").to_pandas()
+    hs = {int(d): simhash64(tokenize_ws(t.lower()))
+          for d, t in zip(docs["doc_id"], docs["text"])}
+    ids = sorted(hs)
+    n_gt = n_found = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if hamming64(hs[a], hs[b]) <= max_hamming:
+                n_gt += 1
+                n_found += (a, b) in found_pairs
+    recall = n_found / n_gt if n_gt else 1.0
+    out = pd.DataFrame([(len(ids), n_gt, n_found, recall)],
+                       columns=["n_sample_docs", "n_gt_pairs",
+                                "n_found", "recall"])
+    assert recall == 1.0, f"pigeonhole violated:\n{out}"
+    return out
+
+
 def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
                    nprobes: tuple = (2, 4, 8, 16)):
     """Self-checking quality gate for the IVF approximation: recall@k
@@ -1241,6 +1280,7 @@ QUERIES = {
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_lsh_recall": minhash_lsh_recall,
     "simhash_dedup_docs": simhash_dedup_docs,
+    "simhash_recall": simhash_recall,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup": embedding_neardup,
     "ngram_jaccard_docs": ngram_jaccard_docs,

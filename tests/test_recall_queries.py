@@ -24,6 +24,14 @@ def test_minhash_lsh_recall_is_perfect_on_synthetic_dups(ray_session):
         "sample must contain ground-truth duplicate pairs"
 
 
+def test_simhash_pigeonhole_recall_is_exact(ray_session):
+    from sbb_ned_ray.pipelines.queries import simhash_recall
+
+    out = simhash_recall(SF)
+    assert out["recall"].iloc[0] == 1.0
+    assert out["n_gt_pairs"].iloc[0] > 0
+
+
 def test_knn_ivf_recall_curve(ray_session):
     from sbb_ned_ray.pipelines.queries import knn_ivf_recall
 
