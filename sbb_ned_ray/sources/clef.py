@@ -19,10 +19,12 @@ here:
 * back-conversion lowercases the type suffixes and re-adds the CLEF
   column set with ``# segment_iiif_link`` separators (``:155-197``).
 
-One deliberate stand-in: the reference resequences token numbers with
-the SoMaJo sentence splitter; here sentence boundaries come from the
-``MISC`` column's ``EndOfSentence`` flag (present in HIPE data) —
-deterministic and dependency-free.
+Sentence boundaries come from the ``MISC`` column's ``EndOfSentence``
+flag when present (HIPE data has it); documents WITHOUT flags are
+resequenced by the deterministic rule-based splitter in
+:mod:`sbb_ned_ray.functions.sentence_split` — the role SoMaJo plays in
+the reference (clef_hipe_2020.py:62-65), implemented from the standard
+published boundary heuristics instead of the dependency.
 """
 
 from __future__ import annotations
@@ -65,6 +67,34 @@ def _coarsen(tag: str) -> str:
     return t if t[2:5] in ENTITY_TYPES else "O"
 
 
+def _derive_sentence_bounds(df: pd.DataFrame) -> pd.DataFrame:
+    """Documents with NO ``EndOfSentence`` flag anywhere get sentence
+    boundaries from the rule-based splitter
+    (:mod:`sbb_ned_ray.functions.sentence_split`) — the reference
+    resequences such files with SoMaJo (clef_hipe_2020.py:62-65).
+    Documents that carry flags keep them untouched."""
+    if df.empty:
+        return df
+    from sbb_ned_ray.functions.sentence_split import resequence_token_ids
+
+    if "MISC" not in df.columns:
+        df["MISC"] = "-"
+    df["MISC"] = df["MISC"].fillna("-")
+    out = []
+    for _, part in df.groupby("url_id", sort=False):
+        if not part["MISC"].str.contains("EndOfSentence").any():
+            part = part.copy()
+            sent_nos, token_nos = resequence_token_ids(
+                part["TOKEN"].astype(str).tolist())
+            part["sent_no"] = sent_nos
+            if "token_no" in part.columns:
+                part["token_no"] = token_nos
+            last = part.groupby("sent_no", sort=False).tail(1).index
+            part.loc[last, "MISC"] = "EndOfSentence"
+        out.append(part)
+    return pd.concat(out, ignore_index=True)
+
+
 def read_clef_tsv(path: str) -> tuple[list[str], pd.DataFrame]:
     """Parse a CLEF-HIPE file → (document header lines, token frame).
 
@@ -104,7 +134,7 @@ def read_clef_tsv(path: str) -> tuple[list[str], pd.DataFrame]:
                 token_no = 0
             else:
                 token_no += 1
-    return headers, pd.DataFrame(rows)
+    return headers, _derive_sentence_bounds(pd.DataFrame(rows))
 
 
 def clef_to_neat(clef_path: str, tsv_path: str) -> None:
@@ -168,7 +198,7 @@ def read_neat_tsv(path: str) -> pd.DataFrame:
             rows.append(row)
             if "EndOfSentence" in row.get("MISC", ""):
                 sent_no += 1
-    return pd.DataFrame(rows)
+    return _derive_sentence_bounds(pd.DataFrame(rows))
 
 
 def neat_to_clef(tsv_path: str, out_path: str) -> None:
