@@ -1005,7 +1005,6 @@ def ned_pair_features(sf_dir: str):
     cfg = PipelineConfig()
     pages_dir = pages_dir_for_sf(sf_dir)
     from sbb_ned_ray.sources.pages import read_redirects
-    from sbb_ned_ray.sources.pages import read_redirects
     index_ref = ray.put(build_alias_index(
         read_kb_table(pages_dir), cfg,
         redirects=read_redirects(pages_dir)))
@@ -1039,6 +1038,7 @@ def ned_links_bert(sf_dir: str):
         read_kb_sentences,
         read_kb_table,
         read_pages,
+        read_redirects,
     )
     from sbb_ned_ray.stages.bert_scorer import BertPairScorer
     from sbb_ned_ray.stages.candidates import generate_candidates
