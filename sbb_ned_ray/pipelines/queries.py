@@ -605,6 +605,42 @@ def simhash_recall(sf_dir: str, sample_docs: int = 256,
     return out
 
 
+def embedding_srp_recall(sf_dir: str, cos_threshold: float = 0.45,
+                         n_projections: int = 3, n_tables: int = 16):
+    """Self-checking gate for the banded-SRP embedding near-dup path:
+    pair recall/precision of :func:`sbb_ned_ray.stages.dedup.
+    embedding_dedup` against the EXACT brute-force pairs
+    (:func:`embedding_neardup`).  Bits/tables are calibrated to the
+    synthetic target-cosine range (0.45-0.51 → per-plane collision
+    p ≈ 0.65, recall 1-(1-p³)¹⁶ ≈ 0.99); a near-identical-dup corpus
+    would use more bits and fewer tables (see embedding_pairs
+    docstring).  Precision must be exactly 1.0 — in-bucket verify is
+    the exact cosine at the same threshold.  No SQL oracle; the asserts
+    ARE the check."""
+    import pandas as pd
+
+    from sbb_ned_ray.stages.dedup import embedding_dedup
+
+    gt = embedding_neardup(sf_dir, cos_threshold)
+    gt_pairs = set(zip(gt["id_a"], gt["id_b"]))
+    emb = _read_split(sf_dir, "embeddings", ["vec_id", "embedding"],
+                      nblocks=8)
+    found = embedding_dedup(emb, cos_threshold=cos_threshold,
+                            n_projections=n_projections,
+                            n_tables=n_tables)
+    f_pairs = set(zip(found["id_a"], found["id_b"]))
+    n_hit = len(f_pairs & gt_pairs)
+    recall = n_hit / len(gt_pairs) if gt_pairs else 1.0
+    precision = n_hit / len(f_pairs) if f_pairs else 1.0
+    out = pd.DataFrame([(len(gt_pairs), len(f_pairs), n_hit,
+                         round(recall, 4), round(precision, 4))],
+                       columns=["n_gt_pairs", "n_found", "n_hit",
+                                "recall", "precision"])
+    assert precision == 1.0, f"exact verify must not false-positive:\n{out}"
+    assert recall >= 0.85, f"banded-SRP recall collapsed:\n{out}"
+    return out
+
+
 def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
                    nprobes: tuple = (2, 4, 8, 16)):
     """Self-checking quality gate for the IVF approximation: recall@k
@@ -1283,6 +1319,7 @@ QUERIES = {
     "simhash_recall": simhash_recall,
     "doc_fingerprints": doc_fingerprints,
     "embedding_neardup": embedding_neardup,
+    "embedding_srp_recall": embedding_srp_recall,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "train_test_split_docs": train_test_split_docs,
     "ned_training_pairs": ned_training_pairs,

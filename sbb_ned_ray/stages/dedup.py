@@ -238,13 +238,25 @@ def simhash_pairs(docs: ray.data.Dataset, text_col: str = "text",
     return bucketed_map_groups(rows, "bucket", bucket_verify)
 
 
+def _collect_pairs(pairs_ds: ray.data.Dataset,
+                   value_col: str) -> pd.DataFrame:
+    """to_pandas + dedup/sort for a pair Dataset; a fully-empty result
+    can arrive with no schema at all (every block empty) — restore the
+    contract columns."""
+    pairs = pairs_ds.to_pandas()
+    if "id_a" not in pairs.columns:
+        pairs = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              value_col: pd.Series(dtype="float64")})
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def simhash_dedup(docs: ray.data.Dataset, **kwargs) -> pd.DataFrame:
     """Collected, deduped SimHash pair list (small-result contract; for
     duplicate-heavy corpora use :func:`simhash_clusters` which never
     collects the raw pair list)."""
-    pairs = simhash_pairs(docs, **kwargs).to_pandas()
-    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _collect_pairs(simhash_pairs(docs, **kwargs), "hamming")
 
 
 def simhash_clusters(docs: ray.data.Dataset,
@@ -269,11 +281,19 @@ def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     cos_threshold: float = 0.95,
                     n_projections: int = 12,
+                    n_tables: int = 4,
                     seed: int = 42,
                     max_pairs_per_bucket: int = 1000) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs as a lazy Dataset:
-    sign-random-projection buckets (SimHash for vectors), exact cosine
-    verify within buckets.
+    """Embedding-cosine near-dup pairs as a lazy Dataset: BANDED
+    sign-random-projection buckets (``n_tables`` independent
+    ``n_projections``-bit SRP tables — each vector lands in one bucket
+    per table, a pair is a candidate if ANY table co-buckets it), exact
+    cosine verify within buckets.  Banding is the same recall lever as
+    minhash's ``bands``: per-table collision probability for a pair at
+    angle θ is ``(1-θ/π)^n_projections``, overall recall
+    ``1-(1-p)^n_tables`` — tune bits down / tables up for
+    moderate-cosine targets, bits up / tables down for near-identical
+    dedup (the ``embedding_srp_recall`` query measures the curve).
 
     ``max_pairs_per_bucket`` caps emitted pairs per SRP bucket (skew
     guard, same contract as minhash/simhash) so one hot bucket cannot
@@ -283,19 +303,31 @@ def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
         dim = vecs.shape[1]
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_projections)).astype(np.float32)
+        planes = rng.standard_normal(
+            (dim, n_tables * n_projections)).astype(np.float32)
         signs = (vecs @ planes) > 0
-        keys = np.zeros(len(ids), dtype=np.int64)
-        for b in range(n_projections):
-            keys |= signs[:, b].astype(np.int64) << b
-        return pa.table({"bucket": pa.array(keys, pa.int64()),
-                         id_col: pa.array(ids),
-                         vec_col: batch[vec_col]})
+        out_key, out_idx = [], []
+        for t in range(n_tables):
+            keys = np.zeros(len(ids), dtype=np.int64)
+            for b in range(n_projections):
+                keys |= signs[:, t * n_projections + b].astype(np.int64) << b
+            out_key.append(keys | (np.int64(t) << n_projections))
+            out_idx.append(np.arange(len(ids), dtype=np.int64))
+        take = pa.array(np.concatenate(out_idx), pa.int64())
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+            id_col: batch[id_col].take(take),
+            vec_col: batch[vec_col].take(take)})
 
     rows = emb.map_batches(bucketize, batch_format="pyarrow")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:      # schema probe / singleton bucket
+            return empty
         ids = g[id_col].tolist()
         vecs = np.array([np.asarray(v, dtype=np.float32) for v in g[vec_col]])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -320,9 +352,7 @@ def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
 def embedding_dedup(emb: ray.data.Dataset, **kwargs) -> pd.DataFrame:
     """Collected, deduped embedding near-dup pair list (small-result
     contract; :func:`embedding_clusters` is the unbounded-safe variant)."""
-    pairs = embedding_pairs(emb, **kwargs).to_pandas()
-    return pairs.drop_duplicates(subset=["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _collect_pairs(embedding_pairs(emb, **kwargs), "cosine")
 
 
 def embedding_clusters(emb: ray.data.Dataset,

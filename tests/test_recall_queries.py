@@ -32,6 +32,33 @@ def test_simhash_pigeonhole_recall_is_exact(ray_session):
     assert out["n_gt_pairs"].iloc[0] > 0
 
 
+def test_embedding_srp_recall_banded(ray_session):
+    from sbb_ned_ray.pipelines.queries import embedding_srp_recall
+
+    out = embedding_srp_recall(SF)
+    assert out["recall"].iloc[0] == 1.0
+    assert out["precision"].iloc[0] == 1.0
+    assert out["n_gt_pairs"].iloc[0] > 0
+
+
+def test_embedding_pairs_handles_empty_and_singleton_buckets(ray_session):
+    # regression: the in-bucket verifier crashed (numpy AxisError) on the
+    # empty schema-probe frame bucketed_map_groups feeds it
+    import ray.data
+
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.dedup import embedding_dedup
+
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]],
+                              pa.list_(pa.float64())),
+    })).repartition(3)
+    out = embedding_dedup(emb, cos_threshold=0.99)
+    assert len(out) == 0  # orthogonal vectors → no pairs, no crash
+
+
 def test_knn_ivf_recall_curve(ray_session):
     from sbb_ned_ray.pipelines.queries import knn_ivf_recall
 
