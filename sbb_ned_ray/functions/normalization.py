@@ -25,6 +25,7 @@ is what makes the per-url byte-identical invariant testable).
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 
@@ -55,14 +56,20 @@ def normalize_chars(text: str) -> str:
     return text.translate(_NORM_TRANS)
 
 
+# Unicode category Cc is exactly U+0000-U+001F and U+007F-U+009F — a
+# closed set, so a translate delete-table is equivalent to the per-char
+# category test and ~10x faster (this runs over every page's full text)
+_CC_DELETE = {cp: None
+              for cp in [*range(0x00, 0x20), *range(0x7F, 0xA0)]
+              if chr(cp) not in "\n\t"}
+
+
 def scrub_control_chars(text: str) -> str:
     """Drop unicode Cc-category chars except ``\\n`` / ``\\t``.
 
     Reference: CLEF converter scrub, ``ground_truth/clef_hipe_2020.py:128-132``.
     """
-    return "".join(
-        c for c in text if c in "\n\t" or unicodedata.category(c) != "Cc"
-    )
+    return text.translate(_CC_DELETE)
 
 
 def dehyphenate(parts: list[str]) -> list[str]:
@@ -104,6 +111,19 @@ def surface_parts(surface: str | list[str], split_parts: bool = True,
     return [p for p in parts if p]
 
 
+@functools.lru_cache(maxsize=131072)
+def _filter_surface_str(surface: str, split_parts: bool,
+                        lower_case: bool) -> tuple[str, ...]:
+    """Memoized str-input core of :func:`filter_surface` — surfaces
+    repeat heavily inside a batch (mentions of the same entity, Zipf
+    vocabulary), and this chain is ~40% of the fused-worker UDF when
+    recomputed per call (cProfile, BASELINE round 3)."""
+    parts = surface_parts(surface, split_parts, lower_case)
+    parts = dehyphenate(parts)
+    parts = [_NONWORD_RE.sub("", p) for p in parts]
+    return tuple(p for p in parts if p)
+
+
 def filter_surface(surface: str | list[str], split_parts: bool = True,
                    lower_case: bool = True) -> list[str]:
     """parts → dehyphenate → strip non-word chars → drop empties.
@@ -111,6 +131,8 @@ def filter_surface(surface: str | list[str], split_parts: bool = True,
     Reference ``embeddings/base.py:79-89``. This is the normalized-surface
     blocking-key generator.
     """
+    if isinstance(surface, str):
+        return list(_filter_surface_str(surface, split_parts, lower_case))
     parts = surface_parts(surface, split_parts, lower_case)
     parts = dehyphenate(parts)
     parts = [_NONWORD_RE.sub("", p) for p in parts]
@@ -133,8 +155,10 @@ def light_stem(part: str) -> str:
     return part
 
 
+@functools.lru_cache(maxsize=131072)
 def normalized_surface_key(surface: str) -> str:
-    """Canonical blocking key: char-normalize → filter_surface → join."""
+    """Canonical blocking key: char-normalize → filter_surface → join.
+    Memoized (pure str → str, heavy surface repetition per batch)."""
     return " ".join(filter_surface(normalize_chars(surface)))
 
 

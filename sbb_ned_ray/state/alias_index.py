@@ -26,6 +26,7 @@ alias rows) — the pipeline builder chooses by KB size.
 
 from __future__ import annotations
 
+import functools
 from collections import Counter
 
 import numpy as np
@@ -65,10 +66,12 @@ def redirect_map(redirects: pa.Table | None) -> dict[str, str]:
     return out
 
 
+@functools.lru_cache(maxsize=131072)
 def normalize_token(tok: str) -> str:
     """Per-token canonical form used by both the gazetteer trie and the
     mention detector: char-normalize → lowercase → strip non-word chars,
-    keeping the OCR hyphen mark ``¬`` as its own token."""
+    keeping the OCR hyphen mark ``¬`` as its own token.  Memoized —
+    tokens follow a Zipf vocabulary, so per-batch repetition is heavy."""
     t = normalize_chars(tok).lower()
     if t == "¬":
         return t
