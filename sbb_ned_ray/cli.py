@@ -7,6 +7,8 @@ runs; each owns its Ray session per the driver contract).
     python -m sbb_ned_ray.cli run-shuffle-kb --pages DIR --out DIR
     python -m sbb_ned_ray.cli eval         --pages DIR
     python -m sbb_ned_ray.cli training-pairs --pages DIR --out DIR
+    python -m sbb_ned_ray.cli dedup        --docs X.parquet --out DIR \
+                                           --method {exact,minhash,simhash}
 """
 
 from __future__ import annotations
@@ -57,6 +59,18 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--pages", required=True)
     td.add_argument("--out", required=True, help="model pickle path")
     td.add_argument("--folds", type=int, default=5)
+
+    dd = sub.add_parser("dedup", help="corpus deduplication → clusters "
+                                      "parquet (doc_id, cluster_id)")
+    dd.add_argument("--docs", required=True,
+                    help="parquet file/dir with (doc_id, text) columns")
+    dd.add_argument("--out", required=True, help="clusters output dir")
+    dd.add_argument("--method", choices=("exact", "minhash", "simhash"),
+                    default="minhash")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="Jaccard threshold (minhash)")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="Hamming radius (simhash)")
 
     args = p.parse_args(argv)
     from sbb_ned_ray.config import PipelineConfig
@@ -122,6 +136,27 @@ def main(argv: list[str] | None = None) -> int:
             ds = training_pairs_ds(args.pages, cfg)
             ds.write_parquet(args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "dedup":
+            import ray.data as rd
+
+            from sbb_ned_ray.stages.dedup import (
+                exact_dedup,
+                minhash_lsh_dedup,
+                simhash_clusters,
+            )
+            docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            if args.method == "exact":
+                # (doc_id, content_hash, is_duplicate) → keep cluster shape
+                out = exact_dedup(docs).to_pandas()
+            elif args.method == "minhash":
+                out = minhash_lsh_dedup(
+                    docs, jaccard_threshold=args.threshold)
+            else:
+                out = simhash_clusters(docs, max_hamming=args.max_hamming)
+            os.makedirs(args.out, exist_ok=True)
+            out.to_parquet(os.path.join(args.out, "clusters.parquet"))
+            print(json.dumps({"method": args.method, "rows": int(len(out)),
+                              "out": args.out}))
         elif args.cmd == "train-decider":
             from sbb_ned_ray.stages.training import train_decider_job
             _, scores, n_rows = train_decider_job(

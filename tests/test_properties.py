@@ -118,3 +118,40 @@ def test_union_find_is_valid_partition(edges):
     for node, rep in comp.items():
         assert comp[rep] == rep
         assert rep <= node  # representative is lexicographic min on path
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "0123456789.!?…\"'([«„", min_size=1, max_size=8),
+    min_size=0, max_size=40))
+def test_sentence_split_is_a_partition(tokens):
+    """split_token_sentences never drops, reorders, or alters a token —
+    its output always concatenates back to the input — and every
+    sentence is non-empty."""
+    from sbb_ned_ray.functions.sentence_split import split_token_sentences
+
+    sents = split_token_sentences(tokens)
+    assert sum(sents, []) == tokens
+    assert all(s for s in sents)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöü_ -", min_size=1,
+            max_size=16),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöü_ -", min_size=1,
+            max_size=16)), max_size=20))
+def test_redirect_map_total_and_canonical(rows):
+    """redirect_map never crashes on arbitrary title text, keys are
+    always canonical surface keys, and no entry is a self-loop."""
+    import pyarrow as pa
+
+    from sbb_ned_ray.state.alias_index import redirect_map, surface_key
+
+    t = pa.table({"rd_from_title": pa.array([a for a, _ in rows]),
+                  "rd_title": pa.array([b for _, b in rows])})
+    rd = redirect_map(t)
+    for k, dst in rd.items():
+        assert k == surface_key(k.replace(" ", "_"))
+        assert surface_key(dst) != k
