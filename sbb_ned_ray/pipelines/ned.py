@@ -273,12 +273,13 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
         links = decide(scored, cfg)
     else:
         # batch unit here is CANDIDATE rows (narrow), not pages — use the
-        # scorer batch size; page-sized batches would pay actor-dispatch
-        # overhead per ~256 rows
+        # scorer batch size.  TASK pool with a worker-global scorer cache
+        # (scorer_task_fn), not an actor pool: the autoscaling actor ramp
+        # dominated this stage's wall at sf0.1 (profiled round 3)
+        from sbb_ned_ray.stages.fused import scorer_task_fn
         partials = cands.map_batches(
-            FusedPairScorer, fn_constructor_args=(index_ref, cfg),
-            batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
-            concurrency=pool, num_cpus=0.5)
+            scorer_task_fn(index_ref, cfg),
+            batch_format="pyarrow", batch_size=cfg.scorer_batch_size)
         links = decide_from_partials(partials, cfg)
     top = links.map_batches(
         lambda t: t.filter(pc.equal(t["out_rank"], 0)),

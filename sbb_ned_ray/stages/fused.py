@@ -415,6 +415,30 @@ class NedWorker:
 _WORKER_CACHE: dict = {}
 
 
+def scorer_task_fn(index_ref, config: PipelineConfig):
+    """Picklable per-batch pair-scoring fn for ``map_batches`` TASK
+    execution (worker-global :class:`FusedPairScorer` cache — same
+    rationale as :func:`ned_task_fn`: actor pools pay a startup cliff
+    and autoscaling variance that plain tasks don't).  Used by the
+    shuffle-KB pipeline, whose candidate rows arrive from a join (no
+    ``mentions`` side table → generic scoring path)."""
+    import json
+    ctx_key = json.dumps(config.context, sort_keys=True, default=str) \
+        if config.context else ""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("scorer",
+               index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
+               config, ctx_key)
+        s = _WORKER_CACHE.get(key)
+        if s is None:
+            _WORKER_CACHE.clear()
+            s = FusedPairScorer(index_ref, config)
+            _WORKER_CACHE[key] = s
+        return s(batch)
+    return fn
+
+
 def ned_task_fn(index_ref, config: PipelineConfig,
                 decide_local: bool = False):
     """Build a picklable per-batch fn for ``map_batches`` (task pool).
