@@ -269,7 +269,10 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
             cands, sentences_ds, cfg,
             num_partitions=max(16, num_partitions * 4),
             index_ref=index_ref)
-        scored = score_pairs(pairs, cfg, concurrency=pool, num_cpus=0.5)
+        # task pool, not actors — the default CPU scorer pays the
+        # autoscaling actor ramp otherwise (profiled round 3: 7.2 s →
+        # task-pool parity with the fused path)
+        scored = score_pairs(pairs, cfg, as_tasks=True)
         links = decide(scored, cfg)
     else:
         # batch unit here is CANDIDATE rows (narrow), not pages — use the

@@ -150,10 +150,35 @@ class DeterministicOverlapScorer:
                                    "pos_b", "end_b"])
 
 
+# per-worker-process scorer cache for task-pool execution (same
+# pattern as stages/fused._WORKER_CACHE: state built once per worker,
+# not once per actor — plain tasks reuse already-warm workers and skip
+# the autoscaling actor ramp that dominates short CPU scoring stages)
+_TASK_SCORER_CACHE: dict = {}
+
+
 def score_pairs(pairs_ds, config: PipelineConfig | None = None,
                 scorer_cls=DeterministicOverlapScorer, concurrency=None,
-                batch_size: int | None = None, **ray_remote_kwargs):
+                batch_size: int | None = None, as_tasks: bool = False,
+                **ray_remote_kwargs):
+    """Cross-encoder scoring stage.  ``as_tasks=True`` runs the scorer
+    as a TASK pool with a worker-global instance cache instead of an
+    actor pool — correct only for CPU scorers whose ``__init__`` takes
+    just the config (no GPU slots, no fn_constructor side state); the
+    GPU deployment shape (``num_gpus``) always uses actors."""
     cfg = config or PipelineConfig()
+    if as_tasks and not ray_remote_kwargs.get("num_gpus"):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = (scorer_cls, cfg)
+            s = _TASK_SCORER_CACHE.get(key)
+            if s is None:
+                _TASK_SCORER_CACHE.clear()
+                s = scorer_cls(cfg)
+                _TASK_SCORER_CACHE[key] = s
+            return s(batch)
+        return pairs_ds.map_batches(
+            fn, batch_format="pyarrow",
+            batch_size=batch_size or cfg.scorer_batch_size)
     kwargs = dict(ray_remote_kwargs)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
