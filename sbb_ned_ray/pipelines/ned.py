@@ -215,8 +215,7 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     # and its actor pools would deadlock a small node
     mentions = detect_mentions(pages, index_ref,
                                batch_size=cfg.batch_size,
-                               concurrency=pool,
-                               num_cpus=0.5).materialize()
+                               as_tasks=True).materialize()
     has_ctx = cfg.context is not None
     kb_tables = None
     if block_artifact_dir is not None:

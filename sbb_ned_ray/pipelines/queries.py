@@ -1220,7 +1220,7 @@ def ned_mentions(sf_dir: str):
         read_kb_table(pages_dir), cfg,
         redirects=read_redirects(pages_dir)))
     pages = extracted_pages(read_pages(pages_dir, columns=["url", "html"]))
-    return detect_mentions(pages, index_ref, concurrency=_pool_size(cfg)) \
+    return detect_mentions(pages, index_ref, as_tasks=True) \
         .select_columns(["url", "mention_id", "sent_no", "tok_start",
                          "tok_end"])
 

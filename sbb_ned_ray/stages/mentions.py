@@ -112,8 +112,31 @@ class MentionDetector:
              for name in MENTION_SCHEMA.names})
 
 
+# per-worker-process detector cache for task-pool execution (the
+# stages/fused._WORKER_CACHE pattern: broadcast index unpickled once
+# per worker; plain tasks skip the autoscaling actor ramp)
+_TASK_DETECTOR_CACHE: dict = {}
+
+
 def detect_mentions(pages_ds, index_ref, batch_size: int = 256,
-                    concurrency=None, **ray_remote_kwargs):
+                    concurrency=None, as_tasks: bool = False,
+                    **ray_remote_kwargs):
+    """Mention-detection stage.  ``as_tasks=True`` runs the detector as
+    a TASK pool with a worker-global instance keyed by the broadcast
+    index ref — preferred on CPU-only deployments where the stage
+    shares the node with concurrent join/aggregate exchanges."""
+    if as_tasks:
+        def fn(batch: pa.Table) -> pa.Table:
+            key = (index_ref.hex()
+                   if hasattr(index_ref, "hex") else id(index_ref))
+            d = _TASK_DETECTOR_CACHE.get(key)
+            if d is None:
+                _TASK_DETECTOR_CACHE.clear()
+                d = MentionDetector(index_ref)
+                _TASK_DETECTOR_CACHE[key] = d
+            return d(batch)
+        return pages_ds.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size)
     kwargs = dict(ray_remote_kwargs)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency

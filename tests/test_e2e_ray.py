@@ -279,3 +279,54 @@ def test_junk_html_pages_yield_zero_links_no_crash(tiny_fixture_dir,
         str(tmp_path), cfg, kb_table=kb,
         pages_ds=rd.read_parquet(str(pdir)))).to_pandas()
     assert len(links) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_task_pool_stages_equal_actor_pools(tiny_fixture_dir):
+    """detect_mentions/score_pairs with ``as_tasks=True`` (worker-global
+    instance cache, no actor ramp) must be row-identical to the
+    actor-pool execution of the same stage callables."""
+    import ray
+
+    from sbb_ned_ray.pipelines.ned import extracted_pages
+    from sbb_ned_ray.sources.pages import read_kb_table, read_pages
+    from sbb_ned_ray.stages.candidates import generate_candidates
+    from sbb_ned_ray.stages.mentions import detect_mentions
+    from sbb_ned_ray.stages.pairs import build_pairs
+    from sbb_ned_ray.stages.scorer import score_pairs
+    from sbb_ned_ray.state.alias_index import build_alias_index
+
+    cfg = PipelineConfig()
+    index_ref = ray.put(build_alias_index(read_kb_table(tiny_fixture_dir),
+                                          cfg))
+    pages = extracted_pages(read_pages(tiny_fixture_dir,
+                                       columns=["url", "html"]))
+
+    def mentions(as_tasks):
+        kw = {} if as_tasks else {"concurrency": 2, "num_cpus": 0.5}
+        return detect_mentions(pages, index_ref, as_tasks=as_tasks, **kw) \
+            .to_pandas().sort_values(["url", "mention_id"]) \
+            .reset_index(drop=True)
+
+    ma, mt = mentions(False), mentions(True)
+    cols = ["url", "mention_id", "sent_no", "tok_start", "tok_end",
+            "surface"]
+    assert ma[cols].equals(mt[cols])
+
+    pairs = build_pairs(
+        generate_candidates(detect_mentions(pages, index_ref,
+                                            as_tasks=True),
+                            index_ref, cfg, concurrency=2, num_cpus=0.5),
+        index_ref, cfg, concurrency=2, num_cpus=0.5).materialize()
+
+    def scored(as_tasks):
+        kw = {} if as_tasks else {"concurrency": 2, "num_cpus": 0.5}
+        return score_pairs(pairs, cfg, as_tasks=as_tasks, **kw) \
+            .to_pandas() \
+            .sort_values(["url", "mention_id", "qid", "pair_no"]) \
+            .reset_index(drop=True)
+
+    sa, st = scored(False), scored(True)
+    assert len(sa) > 0
+    assert sa[["url", "mention_id", "qid", "p1", "score"]].equals(
+        st[["url", "mention_id", "qid", "p1", "score"]])
