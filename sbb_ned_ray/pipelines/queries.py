@@ -202,6 +202,169 @@ GROUP BY n_name
 """
 
 
+def q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation where the ordering customer
+    and the supplying supplier share a nation, one region + one order
+    year.  Dimension tables (region/nation/customer/supplier) are tiny
+    → broadcast sorted-key lookup arrays; the LARGE-LARGE lineitem ⋈
+    orders equi-join runs as Ray Data's native hash join (all other
+    relational queries here use broadcast/semi-join shapes — this one
+    exercises the generic shuffle join on purpose)."""
+    nat = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    reg = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    eu_keys = set(reg.loc[reg.r_name == "EUROPE", "r_regionkey"])
+    eu = nat[nat.n_regionkey.isin(eu_keys)]
+    nk2name = dict(zip(eu.n_nationkey.astype(int), eu.n_name))
+
+    def lookup_ref(table: str, key: str, val: str):
+        df = rd.read_parquet(_t(sf_dir, table),
+                             columns=[key, val]).to_pandas()
+        df = df[df[val].isin(nk2name)].sort_values(key)
+        return ray.put((df[key].to_numpy(np.int64),
+                        df[val].to_numpy(np.int64)))
+
+    c_ref = lookup_ref("customer", "c_custkey", "c_nationkey")
+    s_ref = lookup_ref("supplier", "s_suppkey", "s_nationkey")
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def _probe(keys_sorted, vals, x):
+        """sorted-array lookup: nation of each key in x, -1 on miss."""
+        pos = np.searchsorted(keys_sorted, x)
+        pos = np.clip(pos, 0, len(keys_sorted) - 1)
+        hit = len(keys_sorted) > 0
+        ok = keys_sorted[pos] == x if hit else np.zeros(len(x), bool)
+        out = np.where(ok, vals[pos] if hit else -1, -1)
+        return out
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(c_ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        nat_of = _probe(ck, cn, t["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = nat_of >= 0
+        return pa.table({
+            "o_orderkey": pc.array_filter(t["o_orderkey"],
+                                          pa.array(keep)),
+            "cust_nat": pa.array(nat_of[keep], pa.int64())})
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(sel_orders, batch_format="pyarrow")
+    li = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"], nblocks=16)
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def revenue(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(s_ref)
+        s_nat = _probe(sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = pa.array(s_nat == t["cust_nat"].to_numpy(zero_copy_only=False))
+        t = t.filter(keep)
+        price_e2 = _e(t["l_extendedprice"], 100.0)
+        disc_e2 = _e(t["l_discount"], 100.0)
+        rev = pc.multiply(price_e2,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
+        return pa.table({"cust_nat": t["cust_nat"], "revenue_e4": rev})
+
+    agg = joined.map_batches(revenue, batch_format="pyarrow") \
+        .groupby("cust_nat") \
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4")).to_pandas()
+    agg["n_name"] = agg.cust_nat.map(nk2name)
+    return agg[["n_name", "revenue_e4"]].sort_values("n_name") \
+        .reset_index(drop=True)
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT)
+           AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def docs_blocklist_anti(sf_dir: str, num_buckets: int = 32):
+    """Blocklist filtering — the training-data op of dropping EVERY
+    copy of a blocklisted document (vs exact_dedup's keep-first).  The
+    blocklist (content hashes occurring ≥2×) is computed distributed
+    (per-batch partial counts → narrow groupby), then removed with a
+    bucketed co-shuffle ANTI-JOIN: docs and blocklist rows hash into
+    the same key buckets, and one vectorized ``isin`` per bucket drops
+    the hits.  A small curated blocklist would instead broadcast into
+    an ``is_in`` filter (the q3 pattern); the co-shuffle is the scale
+    shape for blocklists that are themselves large (e.g. a full
+    prior-crawl fingerprint set).  Size ``num_buckets`` so a bucket's
+    docs fit one worker.  (Ray Data's native ``left_anti`` join is the
+    obvious alternative, but sparse right sides leave empty hash
+    partitions that crash the pyarrow join in this Ray version.)"""
+    from sbb_ned_ray.stages.dedup import add_content_hash
+
+    def hashed(t: pa.Table) -> pa.Table:
+        return add_content_hash(t).select(["doc_id", "content_hash"])
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(hashed, batch_format="pyarrow")
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = t.select(["content_hash"]).to_pandas()
+        g = df.value_counts().reset_index()
+        g.columns = ["content_hash", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def as_marker(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(np.full(len(t), -1, np.int64)),
+            "content_hash": t["content_hash"]})
+
+    blocklist = docs.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(Sum("n", alias_name="n")) \
+        .filter(expr="n >= 2") \
+        .map_batches(as_marker, batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (pd.util.hash_pandas_object(df["content_hash"],
+                                               index=False)
+                    .to_numpy() % num_buckets).astype(np.int32)
+        return df
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+        bl = df.loc[df.doc_id < 0, "content_hash"]
+        keep = df[(df.doc_id >= 0) & ~df.content_hash.isin(set(bl))]
+        return keep[["doc_id"]]
+
+    kept = docs.union(blocklist) \
+        .map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(anti, batch_format="pandas")
+    out = kept.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_BLOCKLIST_ANTI = """
+SELECT doc_id FROM documents
+WHERE md5(text) IN (SELECT md5(text) FROM documents
+                    GROUP BY md5(text) HAVING COUNT(*) = 1)
+ORDER BY doc_id
+"""
+
+
 def distinct_segments(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
@@ -1300,6 +1463,8 @@ QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
     "orders_per_nation": orders_per_nation,
+    "q5_region_revenue": q5_region_revenue,
+    "docs_blocklist_anti": docs_blocklist_anti,
     "distinct_segments": distinct_segments,
     "events_windowed": events_windowed,
     "top_events_per_user": top_events_per_user,
@@ -1343,6 +1508,8 @@ ORACLE_SQL = {
     "q1_pricing": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
     "orders_per_nation": ORACLE_ORDERS_PER_NATION,
+    "q5_region_revenue": ORACLE_Q5,
+    "docs_blocklist_anti": ORACLE_BLOCKLIST_ANTI,
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,

@@ -66,3 +66,23 @@ def test_knn_ivf_recall_curve(ray_session):
     # monotone + exact-at-full-probe asserted inside; pin the shape
     assert list(out["nprobe"]) == [2, 8, 16]
     assert out["mean_recall_at_k"].iloc[-1] == 1.0
+
+
+def test_blocklist_anti_join_drops_every_copy(ray_session, tmp_path):
+    """docs_blocklist_anti must drop ALL copies of a duplicated text
+    (vs exact_dedup's keep-first) and keep singletons — exercised with
+    synthetic dups because the sf0.01 table has none."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.pipelines.queries import docs_blocklist_anti
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "ddd"],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = docs_blocklist_anti(str(tmp_path))
+    assert out.doc_id.tolist() == [3, 5]
