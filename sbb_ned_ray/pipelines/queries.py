@@ -435,6 +435,74 @@ QUALIFY rnk <= 3
 """
 
 
+def doc_top_tokens(sf_dir: str, k: int = 100):
+    """Corpus vocabulary count (the wordcount of training-data prep):
+    per-batch partial token counts (one numpy unique per batch — no
+    per-row loop) → narrow (token, n) groupby sum → global top-k.
+    The shuffle moves ONE row per distinct token per batch, not one
+    per occurrence."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = np.array(" ".join(texts).split(" ")) if texts \
+            else np.array([], dtype=str)
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
+
+
+ORACLE_DOC_TOP_TOKENS = """
+SELECT tok AS token, COUNT(*) AS n
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
+def docs_sample_per_lang(sf_dir: str, k: int = 20):
+    """Deterministic stratified downsample — the per-language budget
+    cap of corpus curation: keep the k docs per lang with the smallest
+    md5(doc_id) (a seedless, order-free 'random' draw both engines can
+    compute).  Per-batch partial top-k first, so the groupby moves at
+    most k rows per lang per batch."""
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in df.doc_id]
+        return df.sort_values(["h", "doc_id"]).groupby("lang").head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return g[["lang", "doc_id"]].sort_values("doc_id")
+
+    return ds.map_batches(partial_topk, batch_format="pandas") \
+        .groupby("lang").map_groups(final_topk, batch_format="pandas") \
+        .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+ORACLE_DOCS_SAMPLE_PER_LANG = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rnk
+  FROM documents) WHERE rnk <= 20
+ORDER BY lang, doc_id
+"""
+
+
 def events_asof_join(sf_dir: str):
     """AS-OF join (custom operator — Ray Data has no native asof): for
     each 'click' event, the most recent strictly-earlier 'purchase' by
@@ -1465,6 +1533,8 @@ QUERIES = {
     "orders_per_nation": orders_per_nation,
     "q5_region_revenue": q5_region_revenue,
     "docs_blocklist_anti": docs_blocklist_anti,
+    "doc_top_tokens": doc_top_tokens,
+    "docs_sample_per_lang": docs_sample_per_lang,
     "distinct_segments": distinct_segments,
     "events_windowed": events_windowed,
     "top_events_per_user": top_events_per_user,
@@ -1510,6 +1580,8 @@ ORACLE_SQL = {
     "orders_per_nation": ORACLE_ORDERS_PER_NATION,
     "q5_region_revenue": ORACLE_Q5,
     "docs_blocklist_anti": ORACLE_BLOCKLIST_ANTI,
+    "doc_top_tokens": ORACLE_DOC_TOP_TOKENS,
+    "docs_sample_per_lang": ORACLE_DOCS_SAMPLE_PER_LANG,
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,
