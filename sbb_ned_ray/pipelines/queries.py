@@ -503,6 +503,49 @@ ORDER BY lang, doc_id
 """
 
 
+def docs_len_quantiles(sf_dir: str):
+    """Exact grouped quantiles (p50/p90 doc length per language) — the
+    length-distribution probe of corpus curation.  Group cardinality is
+    tiny (languages) while groups are huge, so the scale shape is
+    per-batch partial HISTOGRAMS (value_counts over the narrow length
+    column) → groupby-sum → quantile read-off from the merged
+    histogram; no per-group sort, no full-column materialization."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.value_counts(["lang", "n_chars"]).reset_index()
+        g.columns = ["lang", "n_chars", "cnt"]
+        return g
+
+    hist = ds.map_batches(partial_hist, batch_format="pandas") \
+        .groupby(["lang", "n_chars"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+
+    def q_disc(g: pd.DataFrame, q: float) -> int:
+        # percentile_disc: smallest value with cum-count ≥ ceil(q*N)
+        g = g.sort_values("n_chars")
+        cum = g.cnt.cumsum()
+        need = int(np.ceil(q * int(g.cnt.sum())))
+        return int(g.n_chars.to_numpy()[np.searchsorted(cum.to_numpy(),
+                                                        need)])
+
+    rows = [{"lang": lang, "p50": q_disc(g, 0.5), "p90": q_disc(g, 0.9)}
+            for lang, g in hist.groupby("lang")]
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    return out.astype({"p50": "int64", "p90": "int64"})
+
+
+ORACLE_DOCS_LEN_QUANTILES = """
+SELECT lang,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+           AS p50,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+           AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def events_asof_join(sf_dir: str):
     """AS-OF join (custom operator — Ray Data has no native asof): for
     each 'click' event, the most recent strictly-earlier 'purchase' by
@@ -1535,6 +1578,7 @@ QUERIES = {
     "docs_blocklist_anti": docs_blocklist_anti,
     "doc_top_tokens": doc_top_tokens,
     "docs_sample_per_lang": docs_sample_per_lang,
+    "docs_len_quantiles": docs_len_quantiles,
     "distinct_segments": distinct_segments,
     "events_windowed": events_windowed,
     "top_events_per_user": top_events_per_user,
@@ -1582,6 +1626,7 @@ ORACLE_SQL = {
     "docs_blocklist_anti": ORACLE_BLOCKLIST_ANTI,
     "doc_top_tokens": ORACLE_DOC_TOP_TOKENS,
     "docs_sample_per_lang": ORACLE_DOCS_SAMPLE_PER_LANG,
+    "docs_len_quantiles": ORACLE_DOCS_LEN_QUANTILES,
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,
