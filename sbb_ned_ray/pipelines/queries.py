@@ -546,6 +546,41 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def events_json_extract(sf_dir: str):
+    """Semi-structured extraction: pull the ``k`` field out of the JSON
+    ``props`` column and aggregate it per event type.  The parse is a
+    single vectorized Arrow ``extract_regex`` kernel per batch — no
+    Python-level json.loads loop — followed by a pre-aggregated narrow
+    groupby (one partial row per type per batch)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pa.table({"event_type": t["event_type"], "k": k}).to_pandas()
+        g = df.groupby("event_type", sort=False)["k"].agg(["sum", "count"])
+        g = g.reset_index()
+        g.columns = ["event_type", "sum_k", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("sum_k", alias_name="sum_k"),
+                   Sum("n", alias_name="n")).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"sum_k": "int64", "n": "int64"})
+
+
+ORACLE_EVENTS_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_asof_join(sf_dir: str):
     """AS-OF join (custom operator — Ray Data has no native asof): for
     each 'click' event, the most recent strictly-earlier 'purchase' by
@@ -1579,6 +1614,7 @@ QUERIES = {
     "doc_top_tokens": doc_top_tokens,
     "docs_sample_per_lang": docs_sample_per_lang,
     "docs_len_quantiles": docs_len_quantiles,
+    "events_json_extract": events_json_extract,
     "distinct_segments": distinct_segments,
     "events_windowed": events_windowed,
     "top_events_per_user": top_events_per_user,
@@ -1627,6 +1663,7 @@ ORACLE_SQL = {
     "doc_top_tokens": ORACLE_DOC_TOP_TOKENS,
     "docs_sample_per_lang": ORACLE_DOCS_SAMPLE_PER_LANG,
     "docs_len_quantiles": ORACLE_DOCS_LEN_QUANTILES,
+    "events_json_extract": ORACLE_EVENTS_JSON_EXTRACT,
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "events_windowed": ORACLE_EVENTS_WINDOWED,
     "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,
