@@ -1222,7 +1222,8 @@ def media_decode(sf_dir: str):
         .map_batches(to_media, batch_format="pyarrow") \
         .map_batches(ImageDecodeStage, batch_format="pyarrow",
                      batch_size=32, concurrency=(1, 4)) \
-        .drop_columns(["feature"])
+        .select_columns(["media_id", "media_type", "n_bytes",
+                         "payload_md5"])
 
 
 ORACLE_MEDIA_DECODE = """
@@ -1232,6 +1233,58 @@ SELECT doc_id AS media_id,
        strlen(text) AS n_bytes,
        md5(text) AS payload_md5
 FROM documents
+"""
+
+
+def media_decode_ppm(sf_dir: str):
+    """REAL image decode, oracle-checked on the pixels: deterministic
+    P6/PPM images are synthesized from an arithmetic rule
+    (pixel[y,x,c] = (id·31 + y·7 + x·3 + c·11) mod 256, size keyed off
+    the id), ENCODED to real netpbm payloads, and the decode stage
+    recovers width/height/mean brightness from the BYTES — while the
+    oracle recomputes the same statistics from the rule in SQL.  A
+    wrong header parse, stride, or channel order mismatches the hash."""
+    from sbb_ned_ray.stages.multimodal import ImageDecodeStage, encode_ppm
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 8 + i % 5, 6 + i % 3
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(3), indexing="ij")
+            arr = ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+            payloads.append(encode_ppm(arr))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/x-portable-pixmap"] * len(ids),
+                                   pa.string()),
+        })
+
+    out = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(to_ppm, batch_format="pyarrow") \
+        .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4)) \
+        .select_columns(["media_id", "meta_width", "meta_height",
+                         "mean_px_e2"]).to_pandas()
+    out.columns = ["media_id", "width", "height", "mean_px_e2"]
+    out = out.astype({"width": "int64", "height": "int64"})
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_DECODE_PPM = """
+SELECT d.doc_id AS media_id,
+       CAST(8 + d.doc_id % 5 AS BIGINT) AS width,
+       CAST(6 + d.doc_id % 3 AS BIGINT) AS height,
+       CAST(FLOOR(AVG(CAST((d.doc_id*31 + y.y*7 + x.x*3 + c.c*11) % 256
+                           AS DOUBLE))*100 + 0.5) AS BIGINT) AS mean_px_e2
+FROM documents d
+JOIN generate_series(0, 7) y(y) ON y.y < 6 + d.doc_id % 3
+JOIN generate_series(0, 11) x(x) ON x.x < 8 + d.doc_id % 5
+JOIN generate_series(0, 2) c(c) ON TRUE
+GROUP BY d.doc_id
+ORDER BY media_id
 """
 
 
@@ -1639,6 +1692,7 @@ QUERIES = {
     "train_test_split_docs": train_test_split_docs,
     "ned_training_pairs": ned_training_pairs,
     "media_decode": media_decode,
+    "media_decode_ppm": media_decode_ppm,
     "parse_ner_mentions": parse_ner_mentions,
     "clef_mentions": clef_mentions,
     "ned_pair_features": ned_pair_features,
@@ -1676,6 +1730,7 @@ ORACLE_SQL = {
     "exact_dedup_docs": ORACLE_EXACT_DEDUP,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "media_decode": ORACLE_MEDIA_DECODE,
+    "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
     "parse_ner_mentions": _oracle_parse_ner(),
     "clef_mentions": _oracle_parse_ner(),
     "ned_mentions": _oracle_ned_mentions(),

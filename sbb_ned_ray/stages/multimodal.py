@@ -1,10 +1,17 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The decode/feature kernels themselves are STUBBED (no image/audio libs
-in this container — each raises ``NotImplementedError`` unless the
-optional lib imports, or uses the deterministic fake), but the Ray-side
-plumbing is real and tested: schema, actor-pool signature, batch
-sizing for large binary rows, output layout.
+Decode support is two-tier:
+
+* **netpbm P6 (PPM) images decode for REAL** — the format is a
+  published three-token ASCII header + raw RGB bytes, parseable with
+  numpy alone (no image libs needed).  ``decode_ppm`` / ``encode_ppm``
+  / ``resize_nearest`` below are full implementations, and the decode
+  stage sniffs the ``P6`` magic and emits true width/height/pixel
+  statistics for such payloads (oracle-checked end-to-end in
+  ``media_decode_ppm``).
+* Formats that need external codecs (PNG/JPEG/WAV…) fall back to a
+  deterministic blake2b pseudo-feature (documented stub — PIL is not
+  in this container), with the Ray-side plumbing identical.
 
 Pattern: media rows are (id, media:binary, media_type, width/height/
 duration metadata).  Batches must stay SMALL (binary payloads ×
@@ -18,6 +25,56 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# Real PPM (netpbm P6) codec — pure numpy
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 payload."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 payload → (h, w, 3) uint8.  Handles comment lines and
+    arbitrary whitespace in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 ppm payload")
+    # header = magic + 3 ASCII ints separated by whitespace/comments,
+    # terminated by ONE whitespace byte before the raster
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if i < n and payload[i:i + 1] == b"#":      # comment to EOL
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1                                          # the single separator
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbour resize to (size, size, 3) — pure index math."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return arr[ys][:, xs]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -40,9 +97,12 @@ def _try_import_pil():
 class ImageDecodeStage:
     """Actor-pool stage: binary image → (decoded meta, feature vector).
 
-    Real decode requires PIL — absent here, so ``fake=True`` (default)
-    derives a deterministic 16-d "feature" from the payload bytes; the
-    schema/plumbing is identical either way.
+    P6/PPM payloads (sniffed by magic) decode for REAL — true
+    width/height and pixel statistics from :func:`decode_ppm` +
+    :func:`resize_nearest`.  Other formats need codecs absent from
+    this container (PIL import-guarded), so they take the
+    deterministic blake2b pseudo-feature path; the schema and plumbing
+    are identical either way.  Decoded meta is -1 on the fake path.
     """
 
     FEATURE_DIM = 16
@@ -53,27 +113,54 @@ class ImageDecodeStage:
         self.resize_to = resize_to
         if not fake and self.pil is None:
             raise NotImplementedError(
-                "real image decode needs PIL, which is not available in "
-                "this container; use fake=True (deterministic stub)")
+                "real non-PPM image decode needs PIL, which is not "
+                "available in this container; PPM payloads always "
+                "decode for real")
 
     def _features(self, payload: bytes) -> np.ndarray:
-        if not self.fake and self.pil is not None:
-            raise NotImplementedError("real decode path not wired yet")
-        # deterministic fake: 16 bytes of blake2b → unit vector
+        # deterministic fake for non-decodable formats: 16 bytes of
+        # blake2b → unit vector
         h = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
         v = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
         n = float(np.linalg.norm(v))
         return v / n if n else v
 
+    def _real_features(self, arr: np.ndarray) -> np.ndarray:
+        """16-d real feature: mean R/G/B (scaled to [0,1]) + 13-bin
+        grayscale histogram over the resized image."""
+        small = resize_nearest(arr, self.resize_to).astype(np.float32)
+        rgb = small.mean(axis=(0, 1)) / 255.0
+        gray = small.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=13, range=(0.0, 256.0))
+        hist = hist.astype(np.float32) / max(1, gray.size)
+        return np.concatenate([rgb.astype(np.float32), hist])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = [m.as_py() for m in batch["media"]]
-        feats = [self._features(m) for m in payloads]
+        feats, widths, heights, means_e2 = [], [], [], []
+        for m in payloads:
+            if m[:2] == b"P6":
+                arr = decode_ppm(m)
+                feats.append(self._real_features(arr))
+                heights.append(arr.shape[0])
+                widths.append(arr.shape[1])
+                means_e2.append(
+                    int(np.floor(float(arr.mean()) * 100 + 0.5)))
+            else:
+                feats.append(self._features(m))
+                widths.append(-1)
+                heights.append(-1)
+                means_e2.append(-1)
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32())),
             "n_bytes": pa.array([len(m) for m in payloads], pa.int64()),
+            # true decoded geometry / brightness for P6, -1 otherwise
+            "meta_width": pa.array(widths, pa.int32()),
+            "meta_height": pa.array(heights, pa.int32()),
+            "mean_px_e2": pa.array(means_e2, pa.int64()),
             # content-addressable fingerprint of the raw payload (the
             # standard key for media-level exact dedup / caching) — and
             # SQL-expressible, so the decode plumbing is oracle-checked

@@ -31,7 +31,10 @@ def _media_batch() -> pa.Table:
 def test_decode_stage_schema_and_fingerprints():
     out = ImageDecodeStage()(_media_batch())
     assert out.column_names == ["media_id", "media_type", "feature",
-                                "n_bytes", "payload_md5"]
+                                "n_bytes", "meta_width", "meta_height",
+                                "mean_px_e2", "payload_md5"]
+    # non-PPM payloads take the fake path: decoded meta is -1
+    assert out["meta_width"].to_pylist() == [-1, -1, -1]
     assert out["n_bytes"].to_pylist() == [11, 11, 0]
     assert out["payload_md5"].to_pylist() == [
         hashlib.md5(b"png-bytes-0").hexdigest(),
@@ -71,4 +74,47 @@ def test_decode_media_dataset_wiring(ray_session):
     out = decode_media(ds, batch_size=2).to_pandas()
     assert len(out) == 3
     assert set(out.columns) == {"media_id", "media_type", "feature",
-                                "n_bytes", "payload_md5"}
+                                "n_bytes", "meta_width", "meta_height",
+                                "mean_px_e2", "payload_md5"}
+
+
+def test_ppm_roundtrip_and_resize():
+    from sbb_ned_ray.stages.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # spec allows comments + arbitrary whitespace in the header
+    hdr = b"P6 # a comment\n# another\n 9\t6\n255\n"
+    assert np.array_equal(
+        decode_ppm(hdr + arr.tobytes()), arr)
+    small = resize_nearest(arr, 4)
+    assert small.shape == (4, 4, 3)
+    # nearest-neighbour: every output pixel is some input pixel
+    flat_in = {tuple(p) for p in arr.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+
+def test_ppm_payloads_decode_for_real():
+    from sbb_ned_ray.stages.multimodal import ImageDecodeStage, encode_ppm
+
+    arr = np.full((5, 7, 3), 10, dtype=np.uint8)
+    arr[:, :, 0] = 250                       # red-heavy image
+    batch = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media": pa.array([encode_ppm(arr)], pa.binary()),
+        "media_type": pa.array(["image/x-portable-pixmap"]),
+    })
+    out = ImageDecodeStage()(batch)
+    assert out["meta_width"].to_pylist() == [7]
+    assert out["meta_height"].to_pylist() == [5]
+    assert out["mean_px_e2"].to_pylist() == [9000]   # (250+10+10)/3 = 90
+    feat = np.array(out["feature"][0].as_py())
+    assert feat.shape == (16,)
+    # real feature: mean R channel dominates G/B
+    assert feat[0] > feat[1] and feat[0] > feat[2]
+    assert abs(feat[0] - 250 / 255) < 1e-6
