@@ -196,6 +196,12 @@ def anagram_matrix(parts: list[str]) -> np.ndarray:
 
 
 def angular_distance(a: np.ndarray, b: np.ndarray) -> float:
-    """Annoy-style angular distance = sqrt(2·(1−cos)) between unit vectors."""
-    cos = float(np.clip(np.dot(a, b), -1.0, 1.0))
+    """Annoy-style angular distance = sqrt(2·(1−cos)) between unit vectors.
+
+    The dot product accumulates in float64 regardless of input dtype so the
+    result matches the batched float64 matmul in AliasIndex.probe_part bit
+    for bit (sqrt near 0 amplifies float32 accumulation jitter ~1e-4).
+    """
+    cos = float(np.clip(np.dot(a.astype(np.float64), b.astype(np.float64)),
+                        -1.0, 1.0))
     return float(np.sqrt(max(0.0, 2.0 * (1.0 - cos))))

@@ -261,7 +261,11 @@ class AliasIndex:
                 return np.zeros(0, dtype=np.int64), np.zeros(0)
         from sbb_ned_ray.functions.normalization import anagram_vector
         v = anagram_vector(part)
-        cos = self.part_vectors[pids] @ v
+        # accumulate in float64 so the result is bitwise identical to the
+        # per-pair angular_distance() used on the co-shuffle path (float32
+        # accumulation order differs between matmul and vector dot, and the
+        # sqrt near 0 amplifies that eps into ~1e-4 dist jitter)
+        cos = self.part_vectors[pids].astype(np.float64) @ v.astype(np.float64)
         dists = np.sqrt(np.maximum(0.0, 2.0 * (1.0 - np.clip(cos, -1.0, 1.0))))
         keep = dists < max_dist
         pids, dists = pids[keep], dists[keep]
