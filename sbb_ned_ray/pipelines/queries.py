@@ -1556,6 +1556,8 @@ def ned_eval_grid(sf_dir: str):
 
 
 def ned_extract_pages(sf_dir: str):
+    """html → text extraction (oracle-exact: byte-identical to the
+    fixture's ``text`` column, the BASELINE.json input-hint invariant)."""
     from sbb_ned_ray.sources.pages import read_pages
     from sbb_ned_ray.stages.extract import extracted_pages
     pages_dir = pages_dir_for_sf(sf_dir)
@@ -1598,7 +1600,45 @@ def _oracle_ned_mentions(sf_dir: str = "/root/testdata/sf0.01") -> str:
             f"FROM read_parquet('{path}')")
 
 
+def _oracle_ned_extract_pages(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The BASELINE.json byte-identical invariant as a DuckDB oracle:
+    extract_text(html) must reproduce the fixture's ``text`` column
+    exactly, so the oracle simply reads that column."""
+    import os as _os
+
+    from sbb_ned_ray.fixtures.generator import spec_for_sf
+    path = _os.path.join("/tmp/sbb_ned_ray_fixtures",
+                         spec_for_sf(sf_dir).fingerprint(),
+                         "pages", "*.parquet")
+    return f"SELECT url, text FROM read_parquet('{path}')"
+
+
+def _oracle_ned_links(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Flagship end-to-end oracle: with the deterministic fixture every
+    gold mention links to its gold qid (pairwise F1 = 1.0), the linked
+    title is that qid's KB page, and ``cluster_id`` is the union-find
+    representative ``'m:' + min(mention_key)`` over the qid's mention
+    set (``cluster_links`` degree-1 fast path; mention_key =
+    ``url + chr(31) + mention_id``)."""
+    import os as _os
+
+    from sbb_ned_ray.fixtures.generator import spec_for_sf
+    d = _os.path.join("/tmp/sbb_ned_ray_fixtures",
+                      spec_for_sf(sf_dir).fingerprint())
+    return f"""
+SELECT m.url, m.mention_id, m.surface,
+       k.page_title AS candidate_title, m.qid,
+       'm:' || MIN(m.url || chr(31) || m.mention_id)
+           OVER (PARTITION BY m.qid) AS cluster_id
+FROM read_parquet('{d}/mentions_gt.parquet') m
+JOIN read_parquet('{d}/kb_entities.parquet') k USING (qid)
+"""
+
+
 def ned_links(sf_dir: str):
+    """Flagship NED links (oracle-exact: every gold mention must link
+    to its gold qid/KB title with the deterministic cluster_id — see
+    :func:`_oracle_ned_links`)."""
     from sbb_ned_ray.pipelines.ned import run_ned
     pages_dir = pages_dir_for_sf(sf_dir)
     df = run_ned(pages_dir, PipelineConfig())
@@ -1734,6 +1774,8 @@ ORACLE_SQL = {
     "parse_ner_mentions": _oracle_parse_ner(),
     "clef_mentions": _oracle_parse_ner(),
     "ned_mentions": _oracle_ned_mentions(),
+    "ned_extract_pages": _oracle_ned_extract_pages(),
+    "ned_links": _oracle_ned_links(),
     "knn_cosine": ORACLE_KNN,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,
