@@ -365,6 +365,137 @@ ORDER BY doc_id
 """
 
 
+def pii_redact_docs(sf_dir: str):
+    """PII redaction over the documents table (emails / phones / IPv4 →
+    typed placeholders, with per-category match counts).  The synthetic
+    corpus carries no PII, so deterministic PII is injected from doc_id
+    by the SAME integer/string expression in Ray and the SQL oracle;
+    the redaction regexes are shared RE2 strings, so pyarrow and DuckDB
+    produce bit-identical output."""
+    from sbb_ned_ray.stages.textprep import redact_batch
+
+    def with_pii(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        sid = i.astype(str)
+        email = (" reach user" + sid + "@web.example.org") \
+            .where(i % 3 < 2, "")
+        phone = (" call 555-" + (1000 + i % 9000).astype(str)) \
+            .where(i % 4 == 0, "")
+        ip = (" from 192.168." + (i % 256).astype(str) + "."
+              + ((i * 7) % 256).astype(str)).where(i % 5 == 0, "")
+        return pd.DataFrame({"doc_id": i,
+                             "text": df["text"] + email + phone + ip})
+
+    return _read_split(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(with_pii, batch_format="pandas") \
+        .map_batches(redact_batch, batch_format="pyarrow")
+
+
+def _oracle_pii() -> str:
+    from sbb_ned_ray.stages.textprep import EMAIL_RE, IPV4_RE, PHONE_RE
+    return """
+WITH pii AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 < 2
+            THEN ' reach user' || doc_id || '@web.example.org'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call 555-' || (1000 + doc_id % 9000) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 192.168.' || (doc_id % 256) || '.'
+                 || ((doc_id * 7) % 256) ELSE '' END
+    AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+      text, '{E}', '<EMAIL>', 'g'), '{I}', '<IP>', 'g'),
+      '{P}', '<PHONE>', 'g') AS redacted,
+  len(regexp_extract_all(text, '{E}')) AS n_email,
+  len(regexp_extract_all(text, '{P}')) AS n_phone,
+  len(regexp_extract_all(text, '{I}')) AS n_ip
+FROM pii
+""".replace("{E}", EMAIL_RE).replace("{P}", PHONE_RE).replace("{I}", IPV4_RE)
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality stats per document (duplicate-
+    token / top-token / top-bigram fractions as exact e6 integers)."""
+    from sbb_ned_ray.stages.textprep import repetition_batch
+    return _read_split(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(repetition_batch, batch_format="pyarrow")
+
+
+ORACLE_DOC_REPETITION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i FROM w),
+tok AS (SELECT doc_id, len(toks) AS n, toks[i] AS tok,
+               CASE WHEN i < len(toks)
+                    THEN toks[i] || ' ' || toks[i + 1] END AS bg
+        FROM pos),
+tc AS (SELECT doc_id, ANY_VALUE(n) AS n, tok, COUNT(*) AS cnt
+       FROM tok GROUP BY doc_id, tok),
+ta AS (SELECT doc_id, ANY_VALUE(n) AS n, COUNT(*) AS distinct_tokens,
+              MAX(cnt) AS top
+       FROM tc GROUP BY doc_id),
+bc AS (SELECT doc_id, bg, COUNT(*) AS bcnt FROM tok
+       WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+ba AS (SELECT doc_id, MAX(bcnt) AS topb FROM bc GROUP BY doc_id)
+SELECT ta.doc_id, n AS n_tokens, distinct_tokens,
+  CAST(FLOOR((1.0 - distinct_tokens / (n * 1.0)) * 1000000.0 + 0.5)
+       AS BIGINT) AS dup_frac_e6,
+  CAST(FLOOR(top * 1000000.0 / n + 0.5) AS BIGINT) AS top_token_frac_e6,
+  CAST(FLOOR(COALESCE(topb, 0) * 1000000.0 / GREATEST(n - 1, 1) + 0.5)
+       AS BIGINT) AS top_bigram_frac_e6
+FROM ta LEFT JOIN ba USING (doc_id)
+"""
+
+
+def doc_chunks(sf_dir: str):
+    """Fixed-window chunking with overlap (chunk_size=32, stride=24) —
+    the pack-into-model-windows flat-map; rows out ≈ 4× rows in."""
+    from sbb_ned_ray.stages.textprep import chunk_batch
+    return _read_split(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(chunk_batch, batch_format="pyarrow")
+
+
+ORACLE_DOC_CHUNKS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS s FROM w)
+SELECT doc_id, s // 24 AS chunk_no,
+       LEAST(32, n - s) AS n_tokens,
+       array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+FROM c
+"""
+
+
+def docs_decontaminate(sf_dir: str):
+    """Test-set decontamination: train docs (source <> 'src0') sharing
+    any 13-token n-gram with the held-out source 'src0' docs — a
+    bucketed co-shuffle semi-join on gram hashes (stages/textprep)."""
+    from sbb_ned_ray.stages.textprep import decontaminate_ids
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text", "source"])
+    train = docs.filter(expr="source != 'src0'")
+    test = docs.filter(expr="source == 'src0'")
+    return decontaminate_ids(train, test, n=13)
+
+
+ORACLE_DOCS_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+pos AS (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - 12)) AS i FROM w),
+g AS (SELECT doc_id, source,
+             array_to_string(toks[i : i + 12], ' ') AS gram FROM pos)
+SELECT DISTINCT doc_id FROM g
+WHERE source <> 'src0'
+  AND gram IN (SELECT gram FROM g WHERE source = 'src0')
+ORDER BY doc_id
+"""
+
+
 def distinct_segments(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
@@ -1704,6 +1835,10 @@ QUERIES = {
     "orders_per_nation": orders_per_nation,
     "q5_region_revenue": q5_region_revenue,
     "docs_blocklist_anti": docs_blocklist_anti,
+    "pii_redact_docs": pii_redact_docs,
+    "doc_repetition": doc_repetition,
+    "doc_chunks": doc_chunks,
+    "docs_decontaminate": docs_decontaminate,
     "doc_top_tokens": doc_top_tokens,
     "docs_sample_per_lang": docs_sample_per_lang,
     "docs_len_quantiles": docs_len_quantiles,
@@ -1754,6 +1889,10 @@ ORACLE_SQL = {
     "orders_per_nation": ORACLE_ORDERS_PER_NATION,
     "q5_region_revenue": ORACLE_Q5,
     "docs_blocklist_anti": ORACLE_BLOCKLIST_ANTI,
+    "pii_redact_docs": _oracle_pii(),
+    "doc_repetition": ORACLE_DOC_REPETITION,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "doc_top_tokens": ORACLE_DOC_TOP_TOKENS,
     "docs_sample_per_lang": ORACLE_DOCS_SAMPLE_PER_LANG,
     "docs_len_quantiles": ORACLE_DOCS_LEN_QUANTILES,

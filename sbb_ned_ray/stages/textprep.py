@@ -1,0 +1,166 @@
+"""Stage: training-corpus preparation operators — PII redaction,
+fixed-window chunking, repetition quality stats, and test-set
+decontamination.
+
+These are the remaining "what a 100 TB training-data pipeline needs"
+operators beyond dedup/quality/lang-id (`stages/analysis`,
+`stages/dedup`): scrub personally identifiable substrings before
+training, split documents into model-window chunks, measure
+repetitiveness (the Gopher repetition-fraction family), and drop
+training documents that leak evaluation content (n-gram overlap
+decontamination).  Every operator is a `map_batches` transform or a
+bucketed co-shuffle join with an exact DuckDB oracle twin
+(`pipelines/queries.py`); both engines run RE2 regexes, so redaction
+is bit-identical across Ray and the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from sbb_ned_ray.functions.hashing import stable_hash64
+
+# RE2 syntax, shared verbatim with the DuckDB oracles (both engines
+# compile RE2 — identical match semantics by construction).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII redaction: count then replace emails / phone numbers / IPv4
+    addresses with typed placeholder tokens.  Pure `pyarrow.compute`
+    (zero-copy Arrow in, vectorized RE2 kernels, Arrow out) — the shape
+    that streams at corpus scale.  Emails are replaced first so the
+    IPv4 pass cannot fire inside a numeric mail domain."""
+    text = batch[text_col]
+    n_email = pc.count_substring_regex(text, EMAIL_RE)
+    n_phone = pc.count_substring_regex(text, PHONE_RE)
+    n_ip = pc.count_substring_regex(text, IPV4_RE)
+    red = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    red = pc.replace_substring_regex(red, IPV4_RE, "<IP>")
+    red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "redacted": red,
+        "n_email": pc.cast(n_email, pa.int64()),
+        "n_phone": pc.cast(n_phone, pa.int64()),
+        "n_ip": pc.cast(n_ip, pa.int64()),
+    })
+
+
+def chunk_batch(batch: pa.Table, chunk_size: int = 32,
+                stride: int = 24, text_col: str = "text") -> pa.Table:
+    """Fixed-window chunking with overlap: one output row per token
+    window ``[s, s+chunk_size)`` for ``s = 0, stride, 2·stride, … < n``
+    (the training-corpus "pack documents into model windows" op).  A
+    flat-map: rows out ≈ rows in × n/stride, streaming block by block."""
+    doc_ids, chunk_nos, texts_out, n_toks = [], [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(),
+                         batch[text_col].to_pylist()):
+        toks = text.split(" ")
+        for no, s in enumerate(range(0, len(toks), stride)):
+            w = toks[s:s + chunk_size]
+            doc_ids.append(did)
+            chunk_nos.append(no)
+            texts_out.append(" ".join(w))
+            n_toks.append(len(w))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, batch["doc_id"].type),
+        "chunk_no": pa.array(chunk_nos, pa.int64()),
+        "n_tokens": pa.array(n_toks, pa.int64()),
+        "chunk_text": pa.array(texts_out, pa.string()),
+    })
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition quality stats per document (the Gopher repetition
+    filters, Rae et al. 2021 §A1.1): duplicate-token fraction, top-token
+    fraction, top-bigram fraction.  Fractions are emitted as exact e6
+    integers via ``floor(x·1e6 + 0.5)`` — the identical float expression
+    runs in the DuckDB oracle, so the hash compare is bit-stable."""
+    doc_ids = batch["doc_id"]
+    n_l, d_l, dup_l, top_l, topb_l = [], [], [], [], []
+    for text in batch[text_col].to_pylist():
+        toks = text.split(" ")
+        n = len(toks)
+        c = Counter(toks)
+        distinct = len(c)
+        top = max(c.values())
+        topb = max(Counter(zip(toks, toks[1:])).values()) if n > 1 else 0
+        n_l.append(n)
+        d_l.append(distinct)
+        dup_l.append(math.floor((1.0 - distinct / n) * 1000000.0 + 0.5))
+        top_l.append(math.floor(top * 1000000.0 / n + 0.5))
+        topb_l.append(math.floor(topb * 1000000.0 / max(n - 1, 1) + 0.5))
+    return pa.table({
+        "doc_id": doc_ids,
+        "n_tokens": pa.array(n_l, pa.int64()),
+        "distinct_tokens": pa.array(d_l, pa.int64()),
+        "dup_frac_e6": pa.array(dup_l, pa.int64()),
+        "top_token_frac_e6": pa.array(top_l, pa.int64()),
+        "top_bigram_frac_e6": pa.array(topb_l, pa.int64()),
+    })
+
+
+def _gram_rows(batch: pa.Table, n: int, marker: bool,
+               text_col: str = "text") -> pa.Table:
+    """(doc_id, gram_hash) rows for every word n-gram; test-set rows
+    carry ``doc_id = -1`` so both sides union into one co-shuffle."""
+    doc_ids, hashes = [], []
+    for did, text in zip(batch["doc_id"].to_pylist(),
+                         batch[text_col].to_pylist()):
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            doc_ids.append(-1 if marker else did)
+            hashes.append(stable_hash64(" ".join(toks[i:i + n])))
+    # stable_hash64 is unsigned 64-bit; reinterpret as signed for Arrow
+    h = np.asarray(hashes, np.uint64).view(np.int64) if hashes else \
+        np.zeros(0, np.int64)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "gram_hash": pa.array(h, pa.int64()),
+    })
+
+
+def decontaminate_ids(train: ray.data.Dataset, test: ray.data.Dataset,
+                      n: int = 13, num_buckets: int = 32) -> pd.DataFrame:
+    """Training-set decontamination: train doc_ids sharing ANY word
+    n-gram with the held-out set (the published 13-gram eval-leakage
+    rule, cf. GPT-3 appx C / Gopher §A2).  Both sides flat-map to
+    (doc_id, gram_hash) rows, union, hash-bucket on the gram, and one
+    vectorized ``isin`` per bucket emits the contaminated ids — a
+    bucketed co-shuffle SEMI-join, never materializing either gram set
+    on the driver.  Size ``num_buckets`` so a bucket fits one worker."""
+    train_rows = train.map_batches(
+        lambda b: _gram_rows(b, n, marker=False), batch_format="pyarrow")
+    test_rows = test.map_batches(
+        lambda b: _gram_rows(b, n, marker=True), batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["gram_hash"].to_numpy(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+        test_set = set(df.loc[df.doc_id < 0, "gram_hash"])
+        hit = df[(df.doc_id >= 0) & df.gram_hash.isin(test_set)]
+        return hit[["doc_id"]].drop_duplicates()
+
+    out = train_rows.union(test_rows) \
+        .map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(semi, batch_format="pandas") \
+        .to_pandas()
+    return out.drop_duplicates().sort_values("doc_id") \
+        .reset_index(drop=True)

@@ -1,0 +1,83 @@
+"""Unit tests for the training-corpus preparation stage
+(sbb_ned_ray/stages/textprep.py): PII redaction, chunking, repetition
+stats, decontamination."""
+
+import math
+
+import pyarrow as pa
+
+import ray.data
+
+from sbb_ned_ray.stages.textprep import (
+    chunk_batch,
+    decontaminate_ids,
+    redact_batch,
+    repetition_batch,
+)
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_redact_batch_replaces_and_counts():
+    t = redact_batch(_docs([
+        "mail a.b-c@ex-ample.org or x@y.io now",
+        "call 555-0199 or 555-12345 from 10.0.0.7",
+        "clean text, no pii at all",
+    ]))
+    out = t.to_pylist()
+    assert out[0]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[0]["n_email"] == 2 and out[0]["n_phone"] == 0
+    # 555-12345: \b\d{3}-\d{4}\b does not match (trailing digit)
+    assert out[1]["redacted"] == "call <PHONE> or 555-12345 from <IP>"
+    assert out[1]["n_phone"] == 1 and out[1]["n_ip"] == 1
+    assert out[2]["redacted"] == out[2]["redacted"] == \
+        "clean text, no pii at all"
+    assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_ip"] == 0
+
+
+def test_redact_email_before_ip_ordering():
+    # mail domain embedding an IPv4-looking quad: the email pass must
+    # consume the whole address so the IPv4 pass cannot mangle it
+    # (ip-first would yield "x@<IP>.co")
+    r = redact_batch(_docs(["x@9.8.7.6.co end"])).to_pylist()[0]
+    assert r["redacted"] == "<EMAIL> end"
+    assert r["n_email"] == 1 and r["n_ip"] == 1   # counts are pre-replace
+
+
+def test_chunk_batch_windows_and_overlap():
+    toks = [f"w{i}" for i in range(10)]
+    t = chunk_batch(_docs([" ".join(toks)]), chunk_size=4, stride=3)
+    rows = t.to_pylist()
+    assert [r["chunk_no"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w3 w4 w5 w6"     # overlap of 1
+    assert rows[3]["chunk_text"] == "w9"              # last partial
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+
+
+def test_repetition_batch_fractions():
+    t = repetition_batch(_docs(["a a b", "x"]))
+    r0, r1 = t.to_pylist()
+    assert (r0["n_tokens"], r0["distinct_tokens"]) == (3, 2)
+    assert r0["dup_frac_e6"] == math.floor((1 - 2 / 3) * 1e6 + 0.5)
+    assert r0["top_token_frac_e6"] == math.floor(2 * 1e6 / 3 + 0.5)
+    assert r0["top_bigram_frac_e6"] == 500000        # "a a" once of 2
+    # single-token doc: no bigrams, zero dup
+    assert (r1["dup_frac_e6"], r1["top_token_frac_e6"],
+            r1["top_bigram_frac_e6"]) == (0, 1000000, 0)
+
+
+def test_decontaminate_ids(ray_session):
+    shared = " ".join(f"s{i}" for i in range(13))
+    train = ray.data.from_arrow(_docs(
+        ["clean " + " ".join(f"a{i}" for i in range(15)),
+         "leaky prefix " + shared + " suffix",
+         "tiny doc"], ids=[10, 11, 12]))
+    test = ray.data.from_arrow(_docs(
+        ["held out " + shared + " tail"], ids=[99]))
+    out = decontaminate_ids(train, test, n=13, num_buckets=4)
+    assert out["doc_id"].tolist() == [11]
