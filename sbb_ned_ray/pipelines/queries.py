@@ -856,6 +856,87 @@ GROUP BY user_id
 """
 
 
+def events_rolling_avg(sf_dir: str):
+    """Rolling window FRAME per key (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): moving average of ``value`` per user in event order.
+    The frame family is distinct from sessionize's LAG shape — it needs
+    the ordered neighborhood, not just the previous row.  Distributed
+    shape: shuffle on user_id, per-group vectorized sliding windows
+    (``np.lib.stride_tricks``); the sum runs left-to-right over ≤4
+    float64 exactly like the SQL frame AVG, so the e6 encoding is
+    FP-exact."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy(np.float64)
+        pad = np.concatenate([np.full(3, np.nan), v])
+        win = np.lib.stride_tricks.sliding_window_view(pad, 4)
+        cnt = (~np.isnan(win)).sum(axis=1)
+        s = np.where(np.isnan(win), 0.0, win).cumsum(axis=1)[:, -1]
+        avg = s / cnt
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "avg4_e6": np.floor(avg * 1000000.0 + 0.5).astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+ORACLE_EVENTS_ROLLING = """
+SELECT event_id, user_id,
+       CAST(FLOOR(AVG(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5)
+            AS BIGINT) AS avg4_e6
+FROM events
+"""
+
+
+def customer_order_counts(sf_dir: str, num_buckets: int = 16):
+    """LEFT OUTER join preserving zero-count rows: every customer with
+    their order count.  Distributed shape: orders pre-aggregate to a
+    narrow (custkey, n) table FIRST (the combiner), then a bucketed
+    co-shuffle left-merge against the customer keys fills absent
+    customers with 0 — no row-level orders data crosses the join."""
+    counts = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"]) \
+        .groupby("o_custkey").aggregate(Count(alias_name="n_orders")) \
+        .map_batches(lambda t: t.rename_columns(["c_custkey", "n_orders"]),
+                     batch_format="pyarrow")
+    custs = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if "n_orders" not in df.columns:
+            df["n_orders"] = np.int64(-1)          # customer marker
+        df["_b"] = (df["c_custkey"].to_numpy(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def left_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c_custkey": pd.array([], dtype="int64"),
+                                 "n_orders": pd.array([], dtype="int64")})
+        cust = df.loc[df.n_orders < 0, ["c_custkey"]]
+        cnt = df.loc[df.n_orders >= 0, ["c_custkey", "n_orders"]]
+        out = cust.merge(cnt, on="c_custkey", how="left")
+        out["n_orders"] = out["n_orders"].fillna(0).astype(np.int64)
+        return out
+
+    return custs.union(counts) \
+        .map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(left_merge, batch_format="pandas")
+
+
+ORACLE_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -1849,6 +1930,8 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "sessionize_users": sessionize_users,
+    "events_rolling_avg": events_rolling_avg,
+    "customer_order_counts": customer_order_counts,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
@@ -1903,6 +1986,8 @@ ORACLE_SQL = {
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE,
     "sessionize_users": ORACLE_SESSIONIZE,
+    "events_rolling_avg": ORACLE_EVENTS_ROLLING,
+    "customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
     "doc_token_counts": ORACLE_DOC_TOKEN_COUNTS,
     "doc_quality": ORACLE_DOC_QUALITY,
     "lang_id": ORACLE_LANG_ID,
