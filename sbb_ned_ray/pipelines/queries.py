@@ -1500,6 +1500,55 @@ ORDER BY media_id
 """
 
 
+def media_decode_wav(sf_dir: str):
+    """REAL audio decode, oracle-checked on the samples: deterministic
+    PCM waveforms (sample[t] = (id·13 + t·7) mod 2003 − 1001, length and
+    rate keyed off the id) are ENCODED to real RIFF/WAVE payloads, and
+    the decode stage recovers rate / sample count / duration / amplitude
+    stats from the BYTES while the oracle recomputes them from the rule
+    in SQL.  A wrong chunk walk, sample width, or endianness mismatches
+    the hash."""
+    from sbb_ned_ray.stages.multimodal import AudioDecodeStage, encode_wav
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            n = 50 + i % 40
+            rate = 8000 + (i % 3) * 4000
+            tt = np.arange(n, dtype=np.int64)
+            s = ((i * 13 + tt * 7) % 2003 - 1001).astype(np.int16)
+            payloads.append(encode_wav(s, rate))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+        })
+
+    out = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(to_wav, batch_format="pyarrow") \
+        .map_batches(AudioDecodeStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4)).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_DECODE_WAV = """
+SELECT d.doc_id AS media_id,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS rate,
+       CAST(50 + d.doc_id % 40 AS BIGINT) AS n_samples,
+       CAST((50 + d.doc_id % 40) * 1000
+            // (8000 + (d.doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+       CAST(FLOOR(AVG(CAST(ABS((d.doc_id*13 + t.t*7) % 2003 - 1001)
+                           AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+           AS mean_abs_e2,
+       CAST(MAX(ABS((d.doc_id*13 + t.t*7) % 2003 - 1001)) AS BIGINT)
+           AS peak
+FROM documents d
+JOIN generate_series(0, 89) t(t) ON t.t < 50 + d.doc_id % 40
+GROUP BY d.doc_id
+ORDER BY media_id
+"""
+
+
 def parse_ner_mentions(sf_dir: str):
     """BIO-tag parsing of NER-tagged token streams (reference /parse,
     webapp/app.py:227-286) over a deterministic NER fixture derived from
@@ -1951,6 +2000,7 @@ QUERIES = {
     "ned_training_pairs": ned_training_pairs,
     "media_decode": media_decode,
     "media_decode_ppm": media_decode_ppm,
+    "media_decode_wav": media_decode_wav,
     "parse_ner_mentions": parse_ner_mentions,
     "clef_mentions": clef_mentions,
     "ned_pair_features": ned_pair_features,
@@ -1995,6 +2045,7 @@ ORACLE_SQL = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "media_decode": ORACLE_MEDIA_DECODE,
     "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
+    "media_decode_wav": ORACLE_MEDIA_DECODE_WAV,
     "parse_ner_mentions": _oracle_parse_ner(),
     "clef_mentions": _oracle_parse_ner(),
     "ned_mentions": _oracle_ned_mentions(),

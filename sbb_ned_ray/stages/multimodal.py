@@ -76,6 +76,52 @@ def resize_nearest(arr: np.ndarray, size: int) -> np.ndarray:
     xs = (np.arange(size) * w // size).clip(0, w - 1)
     return arr[ys][:, xs]
 
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF PCM mono 16-bit) codec — pure numpy + struct, same tier
+# as the PPM codec: the published container format needs no audio libs
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM payload."""
+    import struct
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM payload → (int16 mono samples, sample rate).
+    Walks the chunk list per the RIFF spec (tolerates extra chunks like
+    LIST/INFO); only PCM mono 16-bit is supported."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    rate, bits, channels, data = None, None, None, None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported, got fmt {audio_fmt}")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)                   # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if (channels, bits) != (1, 16):
+        raise ValueError(f"only mono 16-bit supported, got "
+                         f"{channels}ch/{bits}bit")
+    return np.frombuffer(data, dtype="<i2"), rate
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("media", pa.binary()),
@@ -167,6 +213,45 @@ class ImageDecodeStage:
             "payload_md5": pa.array(
                 [hashlib.md5(m).hexdigest() for m in payloads],
                 pa.string()),
+        })
+
+
+class AudioDecodeStage:
+    """Actor-pool stage: binary audio → decoded PCM statistics.
+
+    RIFF/WAVE payloads (sniffed by magic) decode for REAL via
+    :func:`decode_wav` — true sample rate, sample count, duration and
+    amplitude statistics from the bytes (oracle-checked end-to-end in
+    ``media_decode_wav``).  Non-RIFF payloads emit -1 meta, mirroring
+    ImageDecodeStage's honest fallback."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, counts, durs, mean_abs, peaks = [], [], [], [], []
+        for m in batch["media"].to_pylist():
+            if m[:4] == b"RIFF":
+                s, rate = decode_wav(m)
+                a = np.abs(s.astype(np.int64))
+                rates.append(rate)
+                counts.append(len(s))
+                durs.append(len(s) * 1000 // rate)
+                # exact e2 encoding: integer sum / count in float64,
+                # identical to the SQL AVG-over-BIGINT expression
+                mean_abs.append(int(np.floor(
+                    float(a.sum()) / max(len(s), 1) * 100 + 0.5)))
+                peaks.append(int(a.max()) if len(s) else 0)
+            else:
+                rates.append(-1)
+                counts.append(-1)
+                durs.append(-1)
+                mean_abs.append(-1)
+                peaks.append(-1)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "rate": pa.array(rates, pa.int64()),
+            "n_samples": pa.array(counts, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "mean_abs_e2": pa.array(mean_abs, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
         })
 
 

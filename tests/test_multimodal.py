@@ -118,3 +118,42 @@ def test_ppm_payloads_decode_for_real():
     # real feature: mean R channel dominates G/B
     assert feat[0] > feat[1] and feat[0] > feat[2]
     assert abs(feat[0] - 250 / 255) < 1e-6
+
+
+def test_wav_roundtrip():
+    from sbb_ned_ray.stages.multimodal import decode_wav, encode_wav
+    s = ((np.arange(77) * 7 + 13) % 2003 - 1001).astype(np.int16)
+    payload = encode_wav(s, 12000)
+    out, rate = decode_wav(payload)
+    assert rate == 12000
+    assert np.array_equal(out, s)
+
+
+def test_wav_chunk_walk_tolerates_extra_chunks():
+    import struct
+
+    from sbb_ned_ray.stages.multimodal import decode_wav, encode_wav
+    s = np.array([1, -2, 3], np.int16)
+    p = encode_wav(s, 8000)
+    # splice a LIST chunk (odd size → word-aligned pad) between fmt and data
+    fmt_end = p.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = p[:fmt_end] + extra + p[fmt_end:]
+    out, rate = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+def test_audio_decode_stage_stats_and_fallback():
+    from sbb_ned_ray.stages.multimodal import AudioDecodeStage, encode_wav
+    s = np.array([100, -200, 300], np.int16)
+    batch = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "media": pa.array([encode_wav(s, 8000), b"not audio"], pa.binary()),
+    })
+    rows = AudioDecodeStage()(batch).to_pylist()
+    assert rows[0]["rate"] == 8000 and rows[0]["n_samples"] == 3
+    assert rows[0]["duration_ms"] == 3 * 1000 // 8000
+    assert rows[0]["mean_abs_e2"] == 20000            # mean(|100,200,300|)=200
+    assert rows[0]["peak"] == 300
+    assert all(rows[1][k] == -1 for k in
+               ("rate", "n_samples", "duration_ms", "mean_abs_e2", "peak"))
