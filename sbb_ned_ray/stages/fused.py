@@ -48,6 +48,9 @@ from sbb_ned_ray.stages.mentions import MentionDetector
 from sbb_ned_ray.stages.pairs import evidence_sentences, locate_entity
 from sbb_ned_ray.state.alias_index import normalize_token
 
+# byte-wise popcount lookup for uint64-word bitmask overlaps
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 PARTIAL_SCHEMA = pa.schema([
     ("mention_key", pa.string()),
     ("candidate_title", pa.string()),
@@ -86,6 +89,7 @@ class FusedPairScorer:
         # compact per-entity evidence (indexed fast path)
         self._tok_id: dict[str, int] = {}
         self._ev_small_cache: dict[int, tuple] = {}
+        self._ev_np_cache: dict[int, tuple] = {}
 
     def _evidence_masks(self, eid: int) -> list[tuple[int, str]]:
         ev = self._ev_cache.get(eid)
@@ -180,8 +184,174 @@ class FusedPairScorer:
             self._ev_small_cache[eid] = ev
         return ev
 
+    def _ev_np(self, eid: int):
+        """Numpy view of :meth:`_evidence_small` for the vectorized
+        scorer: (ctx tids, ctx bit positions, window masks as uint64
+        WORDS (n_win × n_words — local bit counts can exceed 64),
+        span key, n_words).  Cached per entity."""
+        ev = self._ev_np_cache.get(eid)
+        if ev is None:
+            ctx_bits, win_masks, key_b = self._evidence_small(eid)
+            c = len(ctx_bits)
+            tids = np.fromiter((t for t, _ in ctx_bits), np.int64, c)
+            bits = np.fromiter((b for _, b in ctx_bits), np.int64, c)
+            nwords = (int(bits.max()) // 64 + 1) if c else 1
+            wm = np.zeros((len(win_masks), nwords), np.uint64)
+            for j, m in enumerate(win_masks):
+                for w in range(nwords):
+                    wm[j, w] = (m >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+            ev = (tids, bits, wm, key_b, nwords)
+            self._ev_np_cache[eid] = ev
+        return ev
+
     def _call_indexed(self, cands: pa.Table, mentions: pa.Table) -> pa.Table:
         """Fast path: candidate rows carry ``mention_row`` (index into
+        the mentions batch) and arrive grouped per mention.  Scoring is
+        fully vectorized over the batch: per-entity evidence pools are
+        gathered into flat arrays, mention-token membership is one
+        searchsorted over (run, tid) keys, matched masks scatter-OR into
+        a (rows × words) uint64 matrix, window overlaps are one AND +
+        popcount-LUT pass, and per-row max/sum use ``ufunc.reduceat``.
+        Bit-exact with :meth:`_call_indexed_ref` (asserted in
+        tests/test_ned_stages.py)."""
+        n = cands.num_rows
+        eids = cands["cand_entity"].to_numpy(zero_copy_only=False)
+        mrow = cands["mention_row"].to_numpy(zero_copy_only=False)
+        uniq, eid_inv = np.unique(eids, return_inverse=True)
+        pool = [self._ev_np(int(e)) for e in uniq]
+        m_urls = mentions["url"].to_pylist()
+        m_mids = mentions["mention_id"].to_pylist()
+        m_surfs = mentions["surface"].to_pylist()
+        m_toks = mentions["sent_tokens"].to_pylist()
+        m_has_spans = "span_start" in mentions.column_names
+        if m_has_spans:
+            m_sp0 = mentions["span_start"].to_pylist()
+            m_sp1 = mentions["span_end"].to_pylist()
+        tok_id_get = self._tok_id.get
+        m_entry: dict[int, tuple[np.ndarray, str]] = {}
+        # contiguous runs of one mention
+        bounds = np.flatnonzero(np.diff(mrow)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        run_lens = ends - starts
+        n_runs = len(starts)
+        key_per_run = []
+        key_a_run = np.empty(n_runs, dtype=object)
+        mk_parts = []                       # (run << 32 | tid) per run
+        for r_no, a in enumerate(starts):
+            r = int(mrow[a])
+            ent = m_entry.get(r)
+            if ent is None:
+                ta = m_toks[r]
+                pos_a, end_a = (m_sp0[r], m_sp1[r]) if m_has_spans \
+                    else self._locate(ta, m_surfs[r])
+                ids = set()
+                for t in set(self._window_a(ta, pos_a, end_a)):
+                    tid = tok_id_get(t)
+                    if tid is not None:
+                        ids.add(tid)
+                ent = (np.fromiter(ids, np.int64, len(ids)),
+                       normalized_surface_key(" ".join(ta[pos_a:end_a])))
+                m_entry[r] = ent
+            tids_r, key_a = ent
+            key_a_run[r_no] = key_a
+            if len(tids_r):
+                mk_parts.append((np.int64(r_no) << np.int64(32)) | tids_r)
+            key_per_run.append(f"{m_urls[r]}\x1f{m_mids[r]}")
+        mk = np.sort(np.concatenate(mk_parts)) if mk_parts \
+            else np.zeros(0, np.int64)
+        run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), run_lens)
+
+        # --- entity pools → flat batch arrays -------------------------
+        nw = max(p[4] for p in pool)
+        ctx_lens = np.fromiter((len(p[0]) for p in pool), np.int64,
+                               len(pool))
+        ctx_off = np.concatenate(([0], np.cumsum(ctx_lens)))
+        ct = (np.concatenate([p[0] for p in pool]) if ctx_off[-1]
+              else np.zeros(0, np.int64))
+        cb = (np.concatenate([p[1] for p in pool]) if ctx_off[-1]
+              else np.zeros(0, np.int64))
+        win_lens = np.fromiter((p[2].shape[0] for p in pool), np.int64,
+                               len(pool))
+        win_off = np.concatenate(([0], np.cumsum(win_lens)))
+        ew = np.zeros((int(win_off[-1]), nw), np.uint64)
+        for k, p in enumerate(pool):
+            ew[win_off[k]:win_off[k + 1], :p[4]] = p[2]
+        key_b_pool = np.array([p[3] for p in pool], dtype=object)
+
+        # --- matched-context masks: membership + scatter-OR -----------
+        def _flat_gather(off_starts, lens):
+            """Per-row gather indices into an entity pool array:
+            ``off_starts[k]``/``lens[k]`` delimit entity k's pool rows."""
+            row_len = lens[eid_inv]
+            tot = int(row_len.sum())
+            seg0 = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+            within = np.arange(tot, dtype=np.int64) \
+                - np.repeat(seg0, row_len)
+            return (np.repeat(off_starts[eid_inv], row_len) + within,
+                    row_len, seg0)
+
+        gi, row_ctx_len, _ = _flat_gather(ctx_off[:-1], ctx_lens)
+        row_flat = np.repeat(np.arange(n, dtype=np.int64), row_ctx_len)
+        keys_flat = (run_of_row[row_flat] << np.int64(32)) | ct[gi]
+        if len(mk):
+            ss = np.searchsorted(mk, keys_flat)
+            ssc = np.minimum(ss, len(mk) - 1)
+            member = mk[ssc] == keys_flat
+        else:
+            member = np.zeros(len(keys_flat), bool)
+        matched = np.zeros((n, nw), np.uint64)
+        if member.any():
+            bsel = cb[gi[member]]
+            np.bitwise_or.at(
+                matched,
+                (row_flat[member], bsel >> 6),
+                np.left_shift(np.uint64(1), (bsel & 63).astype(np.uint64)))
+
+        # --- window scoring: AND + popcount LUT + reduceat -------------
+        wgi, row_win_len, seg0w = _flat_gather(win_off[:-1], win_lens)
+        tot_win = len(wgi)
+        key_match = (key_a_run[run_of_row] == key_b_pool[eid_inv]) \
+            & (key_a_run[run_of_row] != "")
+        base = -2.0 + 0.25 * key_match.astype(np.float64)
+        raw_max = np.full(n, -np.inf)
+        raw_sum = np.zeros(n)
+        if tot_win:
+            anded = ew[wgi] & matched[np.repeat(
+                np.arange(n, dtype=np.int64), row_win_len)]
+            cnt = _POPCNT8[anded.view(np.uint8)].sum(axis=1,
+                                                     dtype=np.int64)
+            s = 4.0 * np.minimum(cnt, 3) \
+                + np.repeat(base, row_win_len)
+            nonempty = row_win_len > 0
+            offs = seg0w[nonempty]
+            # empty rows occupy zero width, so consecutive non-empty
+            # offsets delimit exactly one row's windows
+            raw_max[nonempty] = np.maximum.reduceat(s, offs)
+            raw_sum[nonempty] = np.add.reduceat(s, offs)
+        n_pairs = row_win_len
+        keys = pa.array(np.repeat(np.array(key_per_run, dtype=object),
+                                  run_lens), pa.string())
+        p1_max = 1.0 / (1.0 + np.exp(-raw_max))
+        return pa.table({
+            "mention_key": keys,
+            "candidate_title": cands["candidate_title"].combine_chunks(),
+            "url": cands["url"].combine_chunks(),
+            "mention_id": cands["mention_id"].combine_chunks(),
+            "surface": cands["surface"].combine_chunks(),
+            "qid": cands["qid"].combine_chunks(),
+            "rank": cands["rank"].combine_chunks(),
+            "proba": cands["proba"].combine_chunks(),
+            "p1_max": pa.array(p1_max, pa.float64()),
+            "score_sum": pa.array(raw_sum, pa.float64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+        }).cast(PARTIAL_SCHEMA)
+
+    def _call_indexed_ref(self, cands: pa.Table,
+                          mentions: pa.Table) -> pa.Table:
+        """Reference (row-loop) implementation of the indexed scorer,
+        kept for the bit-exactness test of the vectorized
+        :meth:`_call_indexed`.  Semantics: candidate rows carry ``mention_row`` (index into
         the mentions batch) and arrive grouped per mention — string
         columns pass through as Arrow, mention state is computed once
         per mention, and per-window scoring uses compact per-entity

@@ -369,3 +369,23 @@ def test_feature_converter_shapes_and_marks(ned_ctx):
     # token columns dropped, metadata kept
     assert "tok_a" not in feats.column_names
     assert "candidate_title" in feats.column_names
+
+
+def test_vectorized_indexed_scorer_bit_exact(ned_ctx):
+    """The batch-vectorized _call_indexed (flat pools + searchsorted
+    membership + popcount LUT + reduceat) must be BIT-exact with the
+    row-loop reference implementation on a real fixture batch."""
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.fused import FusedPairScorer
+
+    found = _detect(ned_ctx)
+    mentions = pa.Table.from_pandas(found, preserve_index=False)
+    cands = CandidateGenerator(ned_ctx["index"], ned_ctx["cfg"],
+                               include_tokens=False)(mentions)
+    assert "mention_row" in cands.column_names
+    s = FusedPairScorer(ned_ctx["index"], ned_ctx["cfg"])
+    out_new = s._call_indexed(cands, mentions)
+    out_ref = s._call_indexed_ref(cands, mentions)
+    assert out_new.equals(out_ref)
+    assert out_new.num_rows > 0
