@@ -856,6 +856,87 @@ GROUP BY user_id
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: per-user event counts spread
+    into one column per event type.  Distributed shape: per-batch
+    crosstab partials (the combiner — rows shrink from events to
+    users×batches BEFORE the exchange), then one narrow groupby-sum."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        piv = pd.crosstab(df["user_id"], df["event_type"])
+        for c in _EVENT_TYPES:
+            if c not in piv.columns:
+                piv[c] = 0
+        piv = piv[list(_EVENT_TYPES)].reset_index()
+        piv.columns = ["user_id"] + [f"n_{c}" for c in _EVENT_TYPES]
+        return pa.Table.from_pandas(piv, preserve_index=False)
+
+    agg = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in _EVENT_TYPES]
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(*agg)
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def cheapest_supplier_per_nation(sf_dir: str):
+    """Per-group argmin WITH payload (the TPC-H Q2 kernel): the supplier
+    with the minimum account balance per nation, deterministic tie-break
+    on suppkey, carrying the winner's name through.  Distributed shape:
+    per-batch argmin partials (one candidate row per nation per batch),
+    a tiny groupby reduction, and a broadcast join for the 25-row
+    nation names."""
+    sup = rd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_name", "s_nationkey",
+                                   "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["s_nationkey", "s_acctbal", "s_suppkey"])
+        return df.groupby("s_nationkey", sort=False).head(1)
+
+    best = sup.map_batches(partial, batch_format="pandas") \
+        .groupby("s_nationkey") \
+        .map_groups(partial, batch_format="pandas").to_pandas()
+    nations = pd.read_parquet(_t(sf_dir, "nation"),
+                              columns=["n_nationkey", "n_name"])
+    out = best.merge(nations, left_on="s_nationkey",
+                     right_on="n_nationkey")
+    out["acctbal_e2"] = np.floor(
+        out["s_acctbal"] * 100 + 0.5).astype(np.int64)
+    return out[["n_name", "s_suppkey", "s_name", "acctbal_e2"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH m AS (SELECT s_nationkey, MIN(s_acctbal) AS mn
+           FROM supplier GROUP BY s_nationkey),
+w AS (SELECT s.s_nationkey, MIN(s.s_suppkey) AS s_suppkey
+      FROM supplier s
+      JOIN m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.mn
+      GROUP BY s.s_nationkey)
+SELECT n.n_name, w.s_suppkey, s.s_name,
+       CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_e2
+FROM w
+JOIN supplier s USING (s_suppkey)
+JOIN nation n ON n.n_nationkey = w.s_nationkey
+ORDER BY n.n_name
+"""
+
+
 def events_rolling_avg(sf_dir: str):
     """Rolling window FRAME per key (ROWS BETWEEN 3 PRECEDING AND
     CURRENT ROW): moving average of ``value`` per user in event order.
@@ -1981,6 +2062,8 @@ QUERIES = {
     "sessionize_users": sessionize_users,
     "events_rolling_avg": events_rolling_avg,
     "customer_order_counts": customer_order_counts,
+    "events_pivot": events_pivot,
+    "cheapest_supplier_per_nation": cheapest_supplier_per_nation,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
@@ -2038,6 +2121,8 @@ ORACLE_SQL = {
     "sessionize_users": ORACLE_SESSIONIZE,
     "events_rolling_avg": ORACLE_EVENTS_ROLLING,
     "customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
+    "cheapest_supplier_per_nation": ORACLE_CHEAPEST_SUPPLIER,
     "doc_token_counts": ORACLE_DOC_TOKEN_COUNTS,
     "doc_quality": ORACLE_DOC_QUALITY,
     "lang_id": ORACLE_LANG_ID,
