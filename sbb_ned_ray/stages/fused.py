@@ -261,7 +261,50 @@ class FusedPairScorer:
         mk = np.sort(np.concatenate(mk_parts)) if mk_parts \
             else np.zeros(0, np.int64)
         run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), run_lens)
+        raw_max, raw_sum, n_pairs = self._score_rows(
+            eid_inv, pool, run_of_row, mk, key_a_run, n)
+        keys = pa.array(np.repeat(np.array(key_per_run, dtype=object),
+                                  run_lens), pa.string())
+        p1_max = 1.0 / (1.0 + np.exp(-raw_max))
+        return pa.table({
+            "mention_key": keys,
+            "candidate_title": cands["candidate_title"].combine_chunks(),
+            "url": cands["url"].combine_chunks(),
+            "mention_id": cands["mention_id"].combine_chunks(),
+            "surface": cands["surface"].combine_chunks(),
+            "qid": cands["qid"].combine_chunks(),
+            "rank": cands["rank"].combine_chunks(),
+            "proba": cands["proba"].combine_chunks(),
+            "p1_max": pa.array(p1_max, pa.float64()),
+            "score_sum": pa.array(raw_sum, pa.float64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+        }).cast(PARTIAL_SCHEMA)
 
+    def _mention_tids(self, ta: list[str], surface: str,
+                      span: tuple[int, int] | None
+                      ) -> tuple[np.ndarray, str]:
+        """(mention window token-ids as int64 array, normalized span
+        key) against the compact evidence vocabulary ``_tok_id`` —
+        call only AFTER the batch's entities are interned."""
+        pos_a, end_a = span if span is not None \
+            else self._locate(ta, surface)
+        ids = set()
+        get = self._tok_id.get
+        for t in set(self._window_a(ta, pos_a, end_a)):
+            tid = get(t)
+            if tid is not None:
+                ids.add(tid)
+        return (np.fromiter(ids, np.int64, len(ids)),
+                normalized_surface_key(" ".join(ta[pos_a:end_a])))
+
+    def _score_rows(self, eid_inv: np.ndarray, pool: list,
+                    run_of_row: np.ndarray, mk: np.ndarray,
+                    key_a_run: np.ndarray, n: int):
+        """Vectorized core shared by the indexed and generic paths:
+        given per-row entity pool indices, per-row run (mention) ids,
+        the sorted (run≪32|tid) mention-token key set and per-run span
+        keys, produce (raw_max, raw_sum, n_pairs) for all rows in one
+        numpy pass (see :meth:`_call_indexed` docstring)."""
         # --- entity pools → flat batch arrays -------------------------
         nw = max(p[4] for p in pool)
         ctx_lens = np.fromiter((len(p[0]) for p in pool), np.int64,
@@ -329,23 +372,7 @@ class FusedPairScorer:
             # offsets delimit exactly one row's windows
             raw_max[nonempty] = np.maximum.reduceat(s, offs)
             raw_sum[nonempty] = np.add.reduceat(s, offs)
-        n_pairs = row_win_len
-        keys = pa.array(np.repeat(np.array(key_per_run, dtype=object),
-                                  run_lens), pa.string())
-        p1_max = 1.0 / (1.0 + np.exp(-raw_max))
-        return pa.table({
-            "mention_key": keys,
-            "candidate_title": cands["candidate_title"].combine_chunks(),
-            "url": cands["url"].combine_chunks(),
-            "mention_id": cands["mention_id"].combine_chunks(),
-            "surface": cands["surface"].combine_chunks(),
-            "qid": cands["qid"].combine_chunks(),
-            "rank": cands["rank"].combine_chunks(),
-            "proba": cands["proba"].combine_chunks(),
-            "p1_max": pa.array(p1_max, pa.float64()),
-            "score_sum": pa.array(raw_sum, pa.float64()),
-            "n_pairs": pa.array(n_pairs, pa.int64()),
-        }).cast(PARTIAL_SCHEMA)
+        return raw_max, raw_sum, row_win_len
 
     def _call_indexed_ref(self, cands: pa.Table,
                           mentions: pa.Table) -> pa.Table:
@@ -433,6 +460,101 @@ class FusedPairScorer:
 
     def _call_generic(self, cands: pa.Table,
                       mentions: pa.Table | None) -> pa.Table:
+        """Generic path (shuffle-KB joins: rows NOT grouped per mention,
+        no ``mention_row`` column) — same vectorized core as
+        :meth:`_call_indexed`, with runs recovered by factorizing
+        (url, mention_id).  Bit-exact with :meth:`_call_generic_ref`
+        up to the evidence-vocabulary scheme (both compute the same
+        window-overlap counts; asserted in tests/test_ned_stages.py)."""
+        import pandas as pd
+        n = cands.num_rows
+        eids = cands["cand_entity"].to_numpy(zero_copy_only=False)
+        uniq, eid_inv = np.unique(eids, return_inverse=True)
+        # pass 1: intern the batch's evidence vocabulary
+        pool = [self._ev_np(int(e)) for e in uniq]
+        urls = cands["url"].to_pylist()
+        mids = cands["mention_id"].to_pylist()
+        row_keys = np.array([f"{u}\x1f{m}" for u, m in zip(urls, mids)],
+                            dtype=object)
+        run_of_row, uniq_keys = pd.factorize(row_keys)
+        run_of_row = run_of_row.astype(np.int64)
+        n_runs = len(uniq_keys)
+        first_rows = np.zeros(n_runs, np.int64)
+        # factorize codes are first-occurrence ordered; recover one
+        # representative row per run
+        seen_order = np.unique(run_of_row, return_index=True)[1]
+        first_rows[np.unique(run_of_row)] = seen_order
+        # mention tokens: from the mentions side table when given, else
+        # from the candidates' token columns (possibly \x00-packed —
+        # pyarrow hash joins reject list payloads)
+        if mentions is not None:
+            m_entry: dict = {}
+            m_spans = ("span_start" in mentions.column_names)
+            m_sp = (list(zip(mentions["span_start"].to_pylist(),
+                             mentions["span_end"].to_pylist()))
+                    if m_spans else None)
+            for r_no, (u, mid, surf, ta) in enumerate(zip(
+                    mentions["url"].to_pylist(),
+                    mentions["mention_id"].to_pylist(),
+                    mentions["surface"].to_pylist(),
+                    mentions["sent_tokens"].to_pylist())):
+                m_entry[f"{u}\x1f{mid}"] = self._mention_tids(
+                    ta, surf, m_sp[r_no] if m_sp else None)
+
+            def run_entry(r_no: int):
+                return m_entry[uniq_keys[r_no]]
+        else:
+            surfs = cands["surface"].to_pylist()
+            if "sent_tokens" in cands.column_names:
+                _toks = cands["sent_tokens"].to_pylist()
+
+                def get_toks(i: int) -> list[str]:
+                    return _toks[i]
+            else:
+                _enc = cands["sent_tokens_enc"].to_pylist()
+
+                def get_toks(i: int) -> list[str]:
+                    return _enc[i].split("\x00")
+            c_spans = ("span_start" in cands.column_names)
+            c_sp = (list(zip(cands["span_start"].to_pylist(),
+                             cands["span_end"].to_pylist()))
+                    if c_spans else None)
+
+            def run_entry(r_no: int):
+                i = int(first_rows[r_no])
+                return self._mention_tids(
+                    get_toks(i), surfs[i], c_sp[i] if c_sp else None)
+
+        key_a_run = np.empty(n_runs, dtype=object)
+        mk_parts = []
+        for r_no in range(n_runs):
+            tids_r, key_a = run_entry(r_no)
+            key_a_run[r_no] = key_a
+            if len(tids_r):
+                mk_parts.append((np.int64(r_no) << np.int64(32)) | tids_r)
+        mk = np.sort(np.concatenate(mk_parts)) if mk_parts \
+            else np.zeros(0, np.int64)
+        raw_max, raw_sum, n_pairs = self._score_rows(
+            eid_inv, pool, run_of_row, mk, key_a_run, n)
+        p1_max = 1.0 / (1.0 + np.exp(-raw_max))
+        return pa.table({
+            "mention_key": pa.array(row_keys, pa.string()),
+            "candidate_title": cands["candidate_title"].combine_chunks(),
+            "url": cands["url"].combine_chunks(),
+            "mention_id": cands["mention_id"].combine_chunks(),
+            "surface": cands["surface"].combine_chunks(),
+            "qid": cands["qid"].combine_chunks(),
+            "rank": cands["rank"].combine_chunks(),
+            "proba": cands["proba"].combine_chunks(),
+            "p1_max": pa.array(p1_max, pa.float64()),
+            "score_sum": pa.array(raw_sum, pa.float64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+        }).cast(PARTIAL_SCHEMA)
+
+    def _call_generic_ref(self, cands: pa.Table,
+                          mentions: pa.Table | None) -> pa.Table:
+        """Reference (row-loop) generic scorer, kept for the equality
+        test of the vectorized :meth:`_call_generic`."""
         n = cands.num_rows
         names = ("url", "mention_id", "surface", "cand_entity",
                  "candidate_title", "qid", "rank", "proba")

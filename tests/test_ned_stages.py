@@ -389,3 +389,36 @@ def test_vectorized_indexed_scorer_bit_exact(ned_ctx):
     out_ref = s._call_indexed_ref(cands, mentions)
     assert out_new.equals(out_ref)
     assert out_new.num_rows > 0
+
+
+def test_vectorized_generic_scorer_equals_ref(ned_ctx):
+    """The vectorized _call_generic (runs recovered by factorizing
+    (url, mention_id)) must equal the row-loop reference on join-shaped
+    candidate rows (sent_tokens carried, no mention_row), in both the
+    with-mentions and tokens-from-candidates variants — including rows
+    arriving in non-grouped order."""
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.fused import FusedPairScorer
+
+    found = _detect(ned_ctx)
+    mentions = pa.Table.from_pandas(found, preserve_index=False)
+    cands = CandidateGenerator(ned_ctx["index"], ned_ctx["cfg"],
+                               include_tokens=True)(mentions)
+    if "mention_row" in cands.column_names:
+        cands = cands.drop_columns(["mention_row"])
+    # scramble row order so runs are NOT contiguous
+    import numpy as np
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(cands.num_rows)
+    cands = cands.take(pa.array(perm))
+    for m_side in (None, mentions):
+        s = FusedPairScorer(ned_ctx["index"], ned_ctx["cfg"])
+        out_new = s._call_generic(cands, m_side)
+        s2 = FusedPairScorer(ned_ctx["index"], ned_ctx["cfg"])
+        out_ref = s2._call_generic_ref(cands, m_side)
+        assert out_new.num_rows == out_ref.num_rows > 0
+        a = out_new.to_pandas()
+        b = out_ref.to_pandas()
+        for c in a.columns:
+            assert a[c].equals(b[c]), (c, m_side is None)
