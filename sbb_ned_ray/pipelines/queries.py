@@ -2040,6 +2040,301 @@ def ned_eval_f1(sf_dir: str):
     }])
 
 
+# ---------------------------------------------------------------------------
+# Sketches + semi-join prefilters + remaining relational shapes
+# (round 3: HLL / Misra-Gries / Bloom — the O(blocks x sketch) answers
+# a 100 TB corpus needs where exact shuffles are unaffordable — plus
+# ROLLUP, EXCEPT, correlated-scalar-subquery and ordered string_agg.)
+# ---------------------------------------------------------------------------
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group, shuffle-lean: per-batch pair
+    dedup -> narrow two-level groupby (`stages/sketches.py`)."""
+    from sbb_ned_ray.stages.sketches import exact_count_distinct_per_group
+    ds = _read_split(sf_dir, "events", ["event_type", "user_id"])
+    return exact_count_distinct_per_group(ds, "event_type", "user_id")
+
+
+ORACLE_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def distinct_users_hll(sf_dir: str):
+    """SELF-CHECKING (approximate, no SQL twin): HyperLogLog distinct
+    user estimate vs the exact distributed count; asserts the estimate
+    is within 5 sigma (sigma = 1.04/sqrt(2^p)).  Driver traffic is one
+    4 KiB register array per block regardless of input size."""
+    from sbb_ned_ray.stages.sketches import hll_count_distinct
+    ds = _read_split(sf_dir, "events", ["user_id"])
+    out = hll_count_distinct(ds, "user_id", p=12)
+    exact = len(ds.unique("user_id"))
+    rel = abs(out["estimate"] - exact) / max(exact, 1)
+    assert rel < 5 * 1.04 / np.sqrt(2 ** 12), (out["estimate"], exact)
+    return pa.table({"exact": pa.array([exact], pa.int64()),
+                     "hll_estimate": pa.array([int(round(out["estimate"]))],
+                                              pa.int64()),
+                     "rel_err_e6": pa.array([int(rel * 1e6 + 0.5)],
+                                            pa.int64())})
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 64):
+    """SELF-CHECKING (approximate, no SQL twin): Misra-Gries top-token
+    sketch over the document corpus, verified against the exact
+    distributed wordcount: every token with true frequency > n/(k+1)
+    must be present and every estimate must satisfy
+    est <= true <= est + max_undercount."""
+    from sbb_ned_ray.stages.sketches import heavy_hitters
+    ds = _read_split(sf_dir, "documents", ["text"])
+    out = heavy_hitters(ds, "text", k=k, explode_tokens=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = np.array(" ".join(texts).split(" ")) if texts \
+            else np.array([], dtype=str)
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    exact = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    true = dict(zip(exact["token"], exact["n"]))
+    thresh = out["n"] / (k + 1)
+    est = dict(zip(out["top"]["item"], out["top"]["est"]))
+    for tok, cnt in true.items():
+        if cnt > thresh:
+            assert tok in est, (tok, cnt, thresh)
+    for tok, e in est.items():
+        t = int(true.get(tok, 0))
+        assert e <= t <= e + out["max_undercount"], (tok, e, t)
+    top = out["top"].rename(columns={"item": "token", "est": "est_count"})
+    top["max_undercount"] = np.int64(out["max_undercount"])
+    return top
+
+
+def orders_bloom_semijoin(sf_dir: str):
+    """Semi-join with a broadcast Bloom prefilter (exact result):
+    orders of high-balance customers, aggregated per priority.  The
+    Bloom stage drops ~90% of probe rows batch-side with NO shuffle of
+    the big table; the survivors are re-checked exactly (sketches.py
+    docstring covers the >memory build-side variant)."""
+    from sbb_ned_ray.stages.sketches import bloom_semijoin
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal"])
+    build = np.sort(np.concatenate(
+        [t["c_custkey"].to_numpy()
+         for t in cust.filter(expr="c_acctbal > 9000")
+         .select_columns(["c_custkey"])
+         .iter_batches(batch_format="pyarrow", batch_size=None)] or
+        [np.zeros(0, np.int64)]))
+    orders = _read_split(sf_dir, "orders",
+                         ["o_custkey", "o_orderpriority", "o_totalprice"])
+    kept = bloom_semijoin(orders, "o_custkey", build)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "price_e2": _e(t["o_totalprice"], 1e2),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return kept.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("one", alias_name="n_orders"),
+                   Sum("price_e2", alias_name="sum_price_e2"))
+
+
+ORACLE_ORDERS_BLOOM_SEMIJOIN = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_e2
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderpriority
+"""
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): one narrow finest-level
+    groupby does the only shuffle; the coarser levels are derived from
+    that (tiny) result on the driver — the standard way to avoid
+    re-scanning the fact table per grouping set.  Rolled-up columns
+    carry the '*' marker (COALESCE'd identically in the SQL twin)."""
+    orders = _read_split(sf_dir, "orders",
+                         ["o_orderpriority", "o_orderstatus",
+                          "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"priority": t["o_orderpriority"],
+                       "status": t["o_orderstatus"],
+                       "price_e2": _e(t["o_totalprice"], 1e2)}).to_pandas()
+        g = df.groupby(["priority", "status"], sort=False) \
+            .agg(n_orders=("price_e2", "size"),
+                 sum_price_e2=("price_e2", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["priority", "status"]) \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_price_e2", alias_name="sum_price_e2")) \
+        .to_pandas()
+    mid = fine.groupby("priority", as_index=False)[
+        ["n_orders", "sum_price_e2"]].sum()
+    mid["status"] = "*"
+    top = pd.DataFrame([{"priority": "*", "status": "*",
+                         "n_orders": fine["n_orders"].sum(),
+                         "sum_price_e2": fine["sum_price_e2"].sum()}])
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_price_e2"] = out["sum_price_e2"].astype(np.int64)
+    return out[["priority", "status", "n_orders", "sum_price_e2"]]
+
+
+ORACLE_ORDERS_ROLLUP = """
+SELECT COALESCE(o_orderpriority, '*') AS priority,
+       COALESCE(o_orderstatus, '*') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_e2
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def users_view_no_purchase(sf_dir: str):
+    """Set difference (EXCEPT shape) without materializing either set:
+    per-batch (user, flag) partials -> one narrow groupby taking Max of
+    each flag -> filter view & !purchase (over high-value events so the
+    difference is non-trivial on the fixture).  The shuffle moves at
+    most one row per user per batch."""
+    ds = _read_split(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["value"], 95.0))
+        df = pa.table({"user_id": t["user_id"],
+                       "is_view": pc.cast(
+                           pc.equal(t["event_type"], "view"), pa.int64()),
+                       "is_purchase": pc.cast(
+                           pc.equal(t["event_type"], "purchase"),
+                           pa.int64())}).to_pandas()
+        g = df.groupby("user_id", sort=False).agg(
+            is_view=("is_view", "max"),
+            is_purchase=("is_purchase", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    flags = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id") \
+        .aggregate(Max("is_view", alias_name="is_view"),
+                   Max("is_purchase", alias_name="is_purchase"))
+    return flags.filter(expr="is_view == 1 and is_purchase == 0") \
+        .select_columns(["user_id"])
+
+
+ORACLE_USERS_VIEW_NO_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'view' AND value > 95
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """Correlated scalar subquery (TPC-H Q17 kernel): lineitems whose
+    quantity is below half their part's average quantity.  The per-part
+    average is computed as a narrow (sum, count) groupby and compared
+    in EXACT integer arithmetic (2*qty*cnt < sum, quantities pre-scaled
+    e2) so both engines agree bit-for-bit; the per-part table is
+    broadcast (2k parts here; at KB scale this becomes the bucketed
+    co-shuffle join of `stages/blocking.py`)."""
+    li = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def part_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"l_partkey": t["l_partkey"],
+                       "qty_e2": _e(t["l_quantity"], 1e2)}).to_pandas()
+        g = df.groupby("l_partkey", sort=False).agg(
+            sum_qty_e2=("qty_e2", "sum"),
+            n=("qty_e2", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = li.map_batches(part_partial, batch_format="pyarrow") \
+        .groupby("l_partkey") \
+        .aggregate(Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+                   Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("l_partkey")
+    ref = ray.put((stats["l_partkey"].to_numpy(np.int64),
+                   stats["sum_qty_e2"].to_numpy(np.int64),
+                   stats["n"].to_numpy(np.int64)))
+
+    def sel(t: pa.Table) -> pa.Table:
+        keys, sums, cnts = ray.get(ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)
+        qty_e2 = _e(t["l_quantity"], 1e2).to_numpy(zero_copy_only=False)
+        keep = 2 * qty_e2 * cnts[pos] < sums[pos]
+        price_e2 = _e(t["l_extendedprice"], 1e2) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sum_price_e2": pa.array([int(price_e2[keep].sum())],
+                                     pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = li.map_batches(sel, batch_format="pyarrow") \
+        .aggregate(Sum("sum_price_e2"), Sum("n_rows"))
+    return pa.table({
+        "sum_price_e2": pa.array([int(agg["sum(sum_price_e2)"])],
+                                 pa.int64()),
+        "n_rows": pa.array([int(agg["sum(n_rows)"])], pa.int64())})
+
+
+ORACLE_Q17 = """
+WITH s AS (SELECT l_partkey,
+                  SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                      AS sum_qty_e2,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_e2,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+WHERE 2 * CAST(FLOOR(l.l_quantity*100 + 0.5) AS BIGINT) * s.n
+      < s.sum_qty_e2
+"""
+
+
+def nation_top_customer_names(sf_dir: str):
+    """Ordered string aggregation: per nation, the comma-joined names
+    of its top-3 customers by (acctbal desc, name) — groupby.map_groups
+    with a per-group sort, the list-agg shape SQL writes as
+    string_agg(... ORDER BY ...)."""
+    ds = _read_split(sf_dir, "customer",
+                     ["c_nationkey", "c_name", "c_acctbal"], nblocks=8)
+
+    def topnames(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_name"],
+                          ascending=[False, True]).head(3)
+        return pd.DataFrame([{
+            "c_nationkey": int(g["c_nationkey"].iloc[0]),
+            "top_names": ",".join(g["c_name"])}])
+
+    return ds.groupby("c_nationkey").map_groups(
+        topnames, batch_format="pandas")
+
+
+ORACLE_NATION_TOP_CUSTOMER_NAMES = """
+SELECT c_nationkey,
+       STRING_AGG(c_name, ',' ORDER BY c_acctbal DESC, c_name)
+           AS top_names
+FROM (SELECT c_nationkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_name) AS rn
+      FROM customer)
+WHERE rn <= 3
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2097,6 +2392,14 @@ QUERIES = {
     "ned_decider_cv": ned_decider_cv,
     "ned_eval_f1": ned_eval_f1,
     "ned_eval_grid": ned_eval_grid,
+    "distinct_users_per_type": distinct_users_per_type,
+    "distinct_users_hll": distinct_users_hll,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "orders_bloom_semijoin": orders_bloom_semijoin,
+    "orders_rollup": orders_rollup,
+    "users_view_no_purchase": users_view_no_purchase,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "nation_top_customer_names": nation_top_customer_names,
 }
 
 ORACLE_SQL = {
@@ -2140,4 +2443,10 @@ ORACLE_SQL = {
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,
     "train_test_split_docs": ORACLE_TRAIN_TEST_SPLIT,
+    "distinct_users_per_type": ORACLE_DISTINCT_USERS_PER_TYPE,
+    "orders_bloom_semijoin": ORACLE_ORDERS_BLOOM_SEMIJOIN,
+    "orders_rollup": ORACLE_ORDERS_ROLLUP,
+    "users_view_no_purchase": ORACLE_USERS_VIEW_NO_PURCHASE,
+    "q17_small_quantity_revenue": ORACLE_Q17,
+    "nation_top_customer_names": ORACLE_NATION_TOP_CUSTOMER_NAMES,
 }

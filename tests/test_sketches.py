@@ -1,0 +1,148 @@
+"""Sketch layer: HLL accuracy/merge, Misra-Gries guarantees, Bloom
+filter no-false-negatives + FPP, and the Ray-distributed wrappers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sbb_ned_ray.stages.sketches import (
+    BloomFilter, exact_count_distinct_per_group, heavy_hitters,
+    hll_count_distinct, hll_estimate, hll_merge, hll_partial, mg_merge,
+    mg_partial,
+)
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_accuracy_across_cardinalities():
+    rng = np.random.default_rng(7)
+    p = 12
+    for true_n in (50, 500, 5_000, 200_000):
+        vals = rng.integers(0, 2**62, size=true_n * 3) % (10**12)
+        vals = np.unique(vals)[:true_n]
+        assert len(vals) == true_n
+        est = hll_estimate(hll_partial(vals, p=p))
+        rel = abs(est - true_n) / true_n
+        # sigma = 1.04/sqrt(4096) ~= 1.6%; allow 5 sigma (small-range
+        # linear counting is far tighter than that)
+        assert rel < 0.082, (true_n, est)
+
+
+def test_hll_merge_equals_union():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 10**9, 30_000)
+    b = rng.integers(0, 10**9, 30_000)
+    merged = hll_merge([hll_partial(a), hll_partial(b)])
+    whole = hll_partial(np.concatenate([a, b]))
+    assert np.array_equal(merged, whole)
+
+
+def test_hll_string_values():
+    vals = np.array([f"user-{i}" for i in range(20_000)], dtype=object)
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est - 20_000) / 20_000 < 0.082
+
+
+# ----------------------------------------------------------- Misra-Gries
+
+def test_mg_guarantees_zipf():
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.3, size=100_000) % 5000
+    k = 32
+    # split into uneven "batches" and merge, as the distributed path does
+    cuts = np.sort(rng.integers(0, len(vals), 6))
+    batches = np.split(vals, cuts)
+    summaries = [mg_partial(b, k) for b in batches if len(b)]
+    top, decr, n = mg_merge(summaries, k)
+    assert n == len(vals)
+    true = pd.Series(vals).value_counts()
+    est = dict(zip(top["item"], top["est"]))
+    # 1) every item above the MG threshold is present
+    thresh = n / (k + 1)
+    for item, cnt in true.items():
+        if cnt > thresh:
+            assert item in est, (item, cnt, thresh)
+    # 2) est <= true <= est + decr for everything returned
+    assert decr <= thresh + 1
+    for item, e in est.items():
+        t = int(true.get(item, 0))
+        assert e <= t <= e + decr, (item, e, t, decr)
+
+
+# ----------------------------------------------------------- Bloom
+
+def test_bloom_no_false_negatives_and_fpp():
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 2**60, 20_000))
+    bf = BloomFilter(keys, bits_per_key=10)
+    assert bf.contains(keys).all()
+    probe = np.unique(rng.integers(2**60, 2**61, 50_000))
+    fpp = bf.contains(probe).mean()
+    assert fpp < 0.03, fpp  # ~1% nominal at 10 bits/key, 7 hashes
+
+
+def test_bloom_strings_and_empty():
+    keys = np.array(["alpha", "beta", "gamma"], dtype=object)
+    bf = BloomFilter(keys)
+    assert bf.contains(keys).all()
+    assert bf.contains(np.zeros(0, dtype=object)).shape == (0,)
+    assert BloomFilter(np.zeros(0, np.int64)).contains(keys).sum() == 0
+
+
+# ----------------------------------------------------------- Ray wrappers
+
+@pytest.fixture(scope="module")
+def user_ds(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(42)
+    n = 40_000
+    users = rng.integers(0, 3_000, n)
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    t = pa.table({"user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(types, pa.string())})
+    return rd.from_arrow(t).repartition(8), users, types
+
+
+def test_hll_count_distinct_ray(user_ds):
+    ds, users, _ = user_ds
+    true_n = len(np.unique(users))
+    out = hll_count_distinct(ds, "user_id", p=12)
+    assert abs(out["estimate"] - true_n) / true_n < 0.082
+
+
+def test_exact_count_distinct_per_group_ray(user_ds):
+    ds, users, types = user_ds
+    out = exact_count_distinct_per_group(ds, "event_type", "user_id") \
+        .to_pandas().set_index("event_type")["n_distinct"]
+    truth = pd.DataFrame({"t": types, "u": users}) \
+        .groupby("t")["u"].nunique()
+    for t in truth.index:
+        assert int(out[t]) == int(truth[t])
+
+
+def test_heavy_hitters_ray(user_ds):
+    ds, users, _ = user_ds
+    k = 48
+    out = heavy_hitters(ds, "user_id", k=k)
+    assert out["n"] == len(users)
+    true = pd.Series(users).value_counts()
+    est = {int(i): e for i, e in zip(out["top"]["item"], out["top"]["est"])}
+    thresh = out["n"] / (k + 1)
+    for item, cnt in true.items():
+        if cnt > thresh:
+            assert int(item) in est
+    for item, e in est.items():
+        t = int(true.get(item, 0))
+        assert e <= t <= e + out["max_undercount"]
+
+
+def test_bloom_semijoin_exact_ray(user_ds):
+    import ray.data as rd
+    from sbb_ned_ray.stages.sketches import bloom_semijoin
+    ds, users, _ = user_ds
+    build = np.unique(users)[:200]  # selective build side
+    got = bloom_semijoin(ds, "user_id", build).to_pandas()
+    want = int(np.isin(users, build).sum())
+    assert len(got) == want
+    assert np.isin(got["user_id"].to_numpy(), build).all()
