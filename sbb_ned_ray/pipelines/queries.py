@@ -2335,6 +2335,51 @@ GROUP BY c_nationkey
 """
 
 
+def pages_per_host(sf_dir: str):
+    """Web-corpus host profile: canonical host + registrable domain of
+    every page URL, counted per host.  Host extraction over the batch
+    is pure pyarrow kernels (split + lowercase — no Python loop); the
+    full :func:`~sbb_ned_ray.functions.urltools.canonicalize_url`
+    parser (escapes, dot-segments, tracking params) is unit-tested on
+    golden vectors and applied where whole-URL keys are needed."""
+    from sbb_ned_ray.functions.urltools import registrable_domain
+    pages = pages_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{pages}/pages", columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        auth = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        host = pc.utf8_lower(
+            pc.list_element(pc.split_pattern(auth, ":"), 0))
+        df = pa.table({"host": host}).to_pandas()
+        g = df.groupby("host", sort=False).size() \
+            .rename("n_pages").reset_index()
+        g["domain"] = [registrable_domain(h) for h in g["host"]]
+        return pa.Table.from_pandas(g[["host", "domain", "n_pages"]],
+                                    preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["host", "domain"]) \
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+
+
+def _oracle_pages_per_host(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import os as _os
+
+    from sbb_ned_ray.fixtures.generator import spec_for_sf
+    path = _os.path.join("/tmp/sbb_ned_ray_fixtures",
+                         spec_for_sf(sf_dir).fingerprint(),
+                         "pages", "*.parquet")
+    # fixture hosts are single-label ('siteN.example'), so the eTLD+1
+    # equals the host; the multi-label cases are unit-tested
+    return f"""
+SELECT LOWER(SPLIT_PART(SPLIT_PART(url, '/', 3), ':', 1)) AS host,
+       LOWER(SPLIT_PART(SPLIT_PART(url, '/', 3), ':', 1)) AS domain,
+       COUNT(*) AS n_pages
+FROM read_parquet('{path}')
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2400,6 +2445,7 @@ QUERIES = {
     "users_view_no_purchase": users_view_no_purchase,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "nation_top_customer_names": nation_top_customer_names,
+    "pages_per_host": pages_per_host,
 }
 
 ORACLE_SQL = {
@@ -2449,4 +2495,5 @@ ORACLE_SQL = {
     "users_view_no_purchase": ORACLE_USERS_VIEW_NO_PURCHASE,
     "q17_small_quantity_revenue": ORACLE_Q17,
     "nation_top_customer_names": ORACLE_NATION_TOP_CUSTOMER_NAMES,
+    "pages_per_host": _oracle_pages_per_host(),
 }
