@@ -2380,6 +2380,78 @@ GROUP BY 1, 2
 """
 
 
+def events_value_quantiles_sketch(sf_dir: str):
+    """SELF-CHECKING (approximate, no SQL twin): DDSketch-style
+    relative-error quantiles over events.value — per-batch log-bucket
+    histograms (constant size) merged by one narrow groupby; asserts
+    every estimate is within the sketch's alpha=1% RELATIVE-error
+    guarantee of the exact quantile."""
+    from sbb_ned_ray.stages.sketches import dd_quantiles
+    alpha = 0.01
+    ds = _read_split(sf_dir, "events", ["value"])
+    out = dd_quantiles(ds, "value", qs=(0.5, 0.9, 0.99), alpha=alpha)
+    exact = np.sort(np.concatenate(
+        [t["value"].to_numpy()
+         for t in ds.iter_batches(batch_format="pyarrow",
+                                  batch_size=None)]))
+    rows = []
+    for _, r in out.iterrows():
+        true = exact[max(int(np.ceil(r["q"] * len(exact))), 1) - 1]
+        rel = abs(r["estimate"] - true) / true if true else 0.0
+        assert rel <= alpha + 1e-9, (r["q"], r["estimate"], true)
+        rows.append({"q_e2": int(r["q"] * 100 + 0.5),
+                     "estimate_e6": int(r["estimate"] * 1e6 + 0.5),
+                     "exact_e6": int(true * 1e6 + 0.5),
+                     "rel_err_e6": int(rel * 1e6 + 0.5)})
+    return pd.DataFrame(rows)
+
+
+def token_postings(sf_dir: str, df_lo: int = 5, df_hi: int = 400):
+    """Inverted-index build (the IR shuffle workload): distinct
+    (token, doc_id) pairs per batch -> narrow groupby token ->
+    per-token sorted posting list, kept for mid-frequency tokens.
+    Postings are emitted as the comma-joined sorted doc-id string so
+    the SQL twin (STRING_AGG ... ORDER BY) matches byte-for-byte."""
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        toks = [s.split(" ") for s in texts]
+        did = np.repeat(ids, [len(x) for x in toks])
+        flat = np.array([w for x in toks for w in x], dtype=object)
+        df = pd.DataFrame({"token": flat, "doc_id": did}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # same pair can arrive from 2 batches
+        n = len(g)
+        if not (df_lo <= n <= df_hi):
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "postings": pd.Series([], dtype=str)})
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame([{
+            "token": g["token"].iloc[0], "df": np.int64(n),
+            "postings": ",".join(map(str, ids))}])
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("token").map_groups(postings, batch_format="pandas")
+
+
+ORACLE_TOKEN_POSTINGS = """
+SELECT token, COUNT(*) AS df,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM (SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents))
+GROUP BY token
+HAVING COUNT(*) BETWEEN 5 AND 400
+"""
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2446,6 +2518,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "nation_top_customer_names": nation_top_customer_names,
     "pages_per_host": pages_per_host,
+    "events_value_quantiles_sketch": events_value_quantiles_sketch,
+    "token_postings": token_postings,
 }
 
 ORACLE_SQL = {
@@ -2496,4 +2570,5 @@ ORACLE_SQL = {
     "q17_small_quantity_revenue": ORACLE_Q17,
     "nation_top_customer_names": ORACLE_NATION_TOP_CUSTOMER_NAMES,
     "pages_per_host": _oracle_pages_per_host(),
+    "token_postings": ORACLE_TOKEN_POSTINGS,
 }

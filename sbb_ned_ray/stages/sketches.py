@@ -30,7 +30,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 # ---------------------------------------------------------------------------
 # shared hashing
@@ -315,3 +315,56 @@ def bloom_semijoin(probe: rd.Dataset, probe_key: str,
         return t.filter(pa.array(keep))
 
     return probe.map_batches(prefilter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def dd_bucket(values: np.ndarray, gamma: float) -> np.ndarray:
+    """Log-scale bucket index of positive values: ceil(log_gamma(x)).
+    The bucket's value range is (gamma^(i-1), gamma^i], so reporting
+    the midpoint 2*gamma^i/(gamma+1) is within alpha relative error of
+    any member (DDSketch, Masson et al. 2019 — public algorithm)."""
+    return np.ceil(np.log(values) / np.log(gamma)).astype(np.int64)
+
+
+def dd_quantiles(ds: rd.Dataset, col: str, qs: tuple = (0.5, 0.9, 0.99),
+                 alpha: float = 0.01) -> "pd.DataFrame":
+    """Mergeable quantile sketch over a positive double column.
+
+    Per batch: bucket histogram via one vectorized log + numpy unique
+    (rows out = distinct buckets, ~1400 for alpha=1% across 12 orders
+    of magnitude — constant, not data-sized).  One narrow groupby sums
+    the histograms; the driver walks the ~KB cumulative histogram to
+    answer any quantile within ``alpha`` RELATIVE error, guaranteed.
+    Zeros are counted exactly in a dedicated bucket; this corpus has no
+    negatives (extend with a mirrored negative store if needed)."""
+    gamma = (1 + alpha) / (1 - alpha)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        zeros = int((x == 0).sum())
+        pos = x[x > 0]
+        b, c = np.unique(dd_bucket(pos, gamma), return_counts=True)
+        if zeros:
+            b = np.concatenate([[np.iinfo(np.int64).min], b])
+            c = np.concatenate([[zeros], c])
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    df = hist.to_pandas().sort_values("bucket").reset_index(drop=True)
+    total = int(df["n"].sum())
+    cum = df["n"].cumsum()
+    out = []
+    zero_bucket = np.iinfo(np.int64).min
+    for q in qs:
+        rank = max(int(np.ceil(q * total)), 1)
+        i = int(np.searchsorted(cum.to_numpy(), rank))
+        b = int(df["bucket"].iloc[i])
+        est = 0.0 if b == zero_bucket else 2 * gamma ** b / (gamma + 1)
+        out.append({"q": q, "estimate": est})
+    return pd.DataFrame(out)

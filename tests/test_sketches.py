@@ -146,3 +146,30 @@ def test_bloom_semijoin_exact_ray(user_ds):
     want = int(np.isin(users, build).sum())
     assert len(got) == want
     assert np.isin(got["user_id"].to_numpy(), build).all()
+
+
+# ----------------------------------------------------------- DDSketch
+
+def test_dd_quantiles_relative_error(ray_session):
+    import ray.data as rd
+    from sbb_ned_ray.stages.sketches import dd_quantiles
+    rng = np.random.default_rng(9)
+    x = np.concatenate([rng.lognormal(3, 2, 50_000), np.zeros(100)])
+    ds = rd.from_arrow(pa.table({"v": x})).repartition(8)
+    alpha = 0.01
+    out = dd_quantiles(ds, "v", qs=(0.01, 0.5, 0.9, 0.99), alpha=alpha)
+    for _, row in out.iterrows():
+        true = np.quantile(x, row["q"], method="inverted_cdf")
+        if true == 0:
+            assert row["estimate"] == 0
+        else:
+            assert abs(row["estimate"] - true) / true <= alpha + 1e-9, \
+                (row["q"], row["estimate"], true)
+
+
+def test_dd_quantiles_all_zero(ray_session):
+    import ray.data as rd
+    from sbb_ned_ray.stages.sketches import dd_quantiles
+    ds = rd.from_arrow(pa.table({"v": np.zeros(100)}))
+    out = dd_quantiles(ds, "v", qs=(0.5,))
+    assert out["estimate"].iloc[0] == 0.0
