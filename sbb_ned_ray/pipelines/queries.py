@@ -2452,6 +2452,83 @@ HAVING COUNT(*) BETWEEN 5 AND 400
 """
 
 
+def docs_pack_windows(sf_dir: str, window: int = 2000):
+    """Sequence packing for LLM training: assign each document to the
+    fixed-token context window its text starts in — an EXCLUSIVE
+    prefix sum of token counts over doc order (distributed two-pass
+    scan, `stages/scan.py`), then pack_id = floor(prefix / window).
+    Oracle-exact vs the SQL window frame."""
+    from sbb_ned_ray.stages.scan import prefix_scan
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        counts = pc.add(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(counts, pa.int64())})
+
+    scanned = prefix_scan(ds.map_batches(tok, batch_format="pyarrow"),
+                          "doc_id", "n_tokens", out_col="start_tok")
+
+    def pack(t: pa.Table) -> pa.Table:
+        start = t["start_tok"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "pack_id": pa.array(start // window, pa.int64())})
+
+    return scanned.map_batches(pack, batch_format="pyarrow")
+
+
+ORACLE_DOCS_PACK_WINDOWS = """
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER
+                (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS pack_id
+FROM (SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+"""
+
+
+def docs_mix_sources(sf_dir: str):
+    """Deterministic corpus mixing: per-source Bernoulli keep rates
+    (the 'data mixture' step of training-corpus curation), decided by
+    comparing an md5 prefix of the doc id against a per-source hex
+    cutoff — a seedless draw both engines compute identically (same
+    trick as docs_sample_per_lang).  Keep rate = (100 + 80*(src_num %
+    10))/1000; returns per-source kept counts."""
+    import hashlib
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        src_num = df["source"].str.slice(3).astype(int)
+        thr = (100 + 80 * (src_num % 10)) * 65536 // 1000
+        cut = np.array([format(t, "04x") for t in thr])
+        h4 = np.array([hashlib.md5(str(i).encode()).hexdigest()[:4]
+                       for i in df["doc_id"]])
+        kept = df[h4 < cut]
+        g = kept.groupby("source", sort=False).size() \
+            .rename("n_kept").reset_index()
+        return g
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("source").aggregate(Sum("n_kept", alias_name="n_kept"))
+
+
+ORACLE_DOCS_MIX_SOURCES = """
+SELECT source, COUNT(*) AS n_kept
+FROM (SELECT source,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+             LPAD(FORMAT('{:x}',
+                  (100 + 80*(CAST(SUBSTRING(source, 4) AS BIGINT) % 10))
+                  * 65536 // 1000), 4, '0') AS cut
+      FROM documents)
+WHERE h4 < cut
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2520,6 +2597,8 @@ QUERIES = {
     "pages_per_host": pages_per_host,
     "events_value_quantiles_sketch": events_value_quantiles_sketch,
     "token_postings": token_postings,
+    "docs_pack_windows": docs_pack_windows,
+    "docs_mix_sources": docs_mix_sources,
 }
 
 ORACLE_SQL = {
@@ -2571,4 +2650,6 @@ ORACLE_SQL = {
     "nation_top_customer_names": ORACLE_NATION_TOP_CUSTOMER_NAMES,
     "pages_per_host": _oracle_pages_per_host(),
     "token_postings": ORACLE_TOKEN_POSTINGS,
+    "docs_pack_windows": ORACLE_DOCS_PACK_WINDOWS,
+    "docs_mix_sources": ORACLE_DOCS_MIX_SOURCES,
 }

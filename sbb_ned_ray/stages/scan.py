@@ -1,0 +1,72 @@
+"""Distributed prefix scan (global cumulative sum over a sort order).
+
+The classic two-pass parallel scan, Ray-Data-shaped:
+
+1. range-partition sort on the order column (Ray's native ``sort`` —
+   the only all-to-all; downstream blocks are disjoint key ranges),
+   materialized ONCE so the two passes don't re-execute the upstream
+   DAG (the `pairs_to_clusters` round-2 lesson);
+2. pass A: each block emits one (block_min_key, block_sum) row — bytes
+   per block to the driver, which turns them into exclusive offsets;
+3. pass B: each block adds its broadcast offset to its local cumsum.
+
+Used by the sequence-packing query (`docs_pack_windows`): assigning
+documents to fixed-token training windows IS an exclusive prefix sum
+over (doc order, token counts), and at 100 TB the scan's only global
+step is the tiny offset table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
+                out_col: str = "excl_prefix") -> rd.Dataset:
+    """Adds ``out_col`` = exclusive prefix sum of ``value_col`` in
+    ``order_col`` order.  ``order_col`` must be unique (it defines the
+    scan order).  Input columns are preserved."""
+    srt = ds.sort(order_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"min_key": pa.array([], pa.int64()),
+                             "block_sum": pa.array([], pa.int64())})
+        keys = t[order_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_key": pa.array([int(keys.min())], pa.int64()),
+            "block_sum": pa.array([int(vals.sum())], pa.int64())})
+
+    stats = srt.map_batches(block_stat,
+                            batch_format="pyarrow").to_pandas() \
+        .sort_values("min_key").reset_index(drop=True)
+    offsets = np.concatenate(
+        [[0], stats["block_sum"].cumsum().to_numpy()[:-1]]) \
+        if len(stats) else np.zeros(0, np.int64)
+    ref = ray.put((stats["min_key"].to_numpy(np.int64),
+                   offsets.astype(np.int64)))
+
+    def add_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        min_keys, offs = ray.get(ref)
+        keys = t[order_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # rows inside a block may be unsorted relative to each other
+        # only if sort() left them so — it doesn't; still, compute the
+        # local exclusive cumsum in key order for safety
+        order = np.argsort(keys, kind="stable")
+        local = np.zeros(len(vals), np.int64)
+        local[order] = np.concatenate(
+            [[0], np.cumsum(vals[order])[:-1]])
+        i = np.searchsorted(min_keys, int(keys.min()))
+        return t.append_column(
+            out_col, pa.array(local + int(offs[i]), pa.int64()))
+
+    return srt.map_batches(add_scan, batch_format="pyarrow")
