@@ -1581,6 +1581,42 @@ ORDER BY media_id
 """
 
 
+def media_decode_png(sf_dir: str):
+    """REAL PNG decode, oracle-checked on the pixels: the same
+    arithmetic pixel rule as ``media_decode_ppm`` (so the SQL twin is
+    shared shape), but ENCODED through the real PNG pipeline — zlib
+    IDAT, CRC-verified chunks, and scanline filters cycling through
+    all five types — and decoded back from the BYTES.  A wrong
+    unfilter (Sub/Up/Average/Paeth), CRC walk, or stride mismatches
+    the hash."""
+    from sbb_ned_ray.stages.multimodal import ImageDecodeStage, encode_png
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 8 + i % 5, 6 + i % 3
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(3), indexing="ij")
+            arr = ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+            payloads.append(encode_png(arr))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/png"] * len(ids), pa.string()),
+        })
+
+    out = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(to_png, batch_format="pyarrow") \
+        .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4)) \
+        .select_columns(["media_id", "meta_width", "meta_height",
+                         "mean_px_e2"]).to_pandas()
+    out.columns = ["media_id", "width", "height", "mean_px_e2"]
+    out = out.astype({"width": "int64", "height": "int64"})
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def media_decode_wav(sf_dir: str):
     """REAL audio decode, oracle-checked on the samples: deterministic
     PCM waveforms (sample[t] = (id·13 + t·7) mod 2003 − 1001, length and
@@ -2572,6 +2608,7 @@ QUERIES = {
     "ned_training_pairs": ned_training_pairs,
     "media_decode": media_decode,
     "media_decode_ppm": media_decode_ppm,
+    "media_decode_png": media_decode_png,
     "media_decode_wav": media_decode_wav,
     "parse_ner_mentions": parse_ner_mentions,
     "clef_mentions": clef_mentions,
@@ -2632,6 +2669,7 @@ ORACLE_SQL = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "media_decode": ORACLE_MEDIA_DECODE,
     "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
+    "media_decode_png": ORACLE_MEDIA_DECODE_PPM,
     "media_decode_wav": ORACLE_MEDIA_DECODE_WAV,
     "parse_ner_mentions": _oracle_parse_ner(),
     "clef_mentions": _oracle_parse_ner(),

@@ -9,9 +9,13 @@ Decode support is two-tier:
   stage sniffs the ``P6`` magic and emits true width/height/pixel
   statistics for such payloads (oracle-checked end-to-end in
   ``media_decode_ppm``).
-* Formats that need external codecs (PNG/JPEG/WAV…) fall back to a
-  deterministic blake2b pseudo-feature (documented stub — PIL is not
-  in this container), with the Ray-side plumbing identical.
+* **PNG (8-bit non-interlaced RGB/RGBA) and WAV (RIFF PCM) also
+  decode for REAL** — zlib is stdlib and the published chunk/filter
+  formats need no media libs (``decode_png`` handles all five
+  scanline filters with CRC verification).
+* Formats that genuinely need external codecs (JPEG, video…) fall
+  back to a deterministic blake2b pseudo-feature (documented stub —
+  PIL is not in this container), with the Ray-side plumbing identical.
 
 Pattern: media rows are (id, media:binary, media_type, width/height/
 duration metadata).  Batches must stay SMALL (binary payloads ×
@@ -122,6 +126,133 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                          f"{channels}ch/{bits}bit")
     return np.frombuffer(data, dtype="<i2"), rate
 
+# ---------------------------------------------------------------------------
+# Real PNG codec — zlib (stdlib) + numpy unfiltering, same tier as the
+# PPM/WAV codecs: the published format (RFC 2083) needs no image libs.
+# 8-bit non-interlaced RGB (color type 2) / RGBA (6) supported.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 → PNG payload.  Scanline filters cycle
+    0..4 (None/Sub/Up/Average/Paeth) so round-trip tests exercise
+    every unfilter path, not just the trivial one."""
+    import struct
+    import zlib
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) array, got {a.shape}")
+    h, w, bpp = a.shape
+    ctype = 2 if bpp == 3 else 6
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        raw = a[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), raw[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prev
+        elif f == 3:
+            filt = raw - (left + prev) // 2
+        else:
+            filt = raw - _paeth(left, prev, ul)
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized."""
+    p = left + up - ul
+    pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa_ <= pb) & (pa_ <= pc), left,
+                    np.where(pb <= pc, up, ul))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG payload → (h, w, 3|4) uint8.  Walks the chunk list with CRC
+    verification, inflates the IDAT stream, and unfilters scanline by
+    scanline (Sub via per-lane cumsum; Average/Paeth via a per-pixel
+    loop — they are sequentially dependent by definition)."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(payload)
+    w = h = bpp = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (size,) = struct.unpack(">I", payload[i:i + 4])
+        ctype = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + size]
+        (crc,) = struct.unpack(">I", payload[i + 8 + size:i + 12 + size])
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or inter != 0:
+                raise ValueError(
+                    f"only 8-bit non-interlaced RGB/RGBA supported, got "
+                    f"depth={depth} color={color} interlace={inter}")
+            bpp = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad decompressed length")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, line = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else \
+            np.zeros(stride, np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:
+            rec = line.copy()
+            for lane in range(bpp):          # Sub = per-lane cumsum mod 256
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
+        elif f == 2:
+            rec = (line + prev) % 256
+        elif f in (3, 4):
+            rec = np.zeros(stride, np.int64)
+            ulv = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            for x in range(0, stride, bpp):  # sequential by definition
+                left = rec[x - bpp:x] if x else np.zeros(bpp, np.int64)
+                pred = (left + prev[x:x + bpp]) // 2 if f == 3 else \
+                    _paeth(left, prev[x:x + bpp], ulv[x:x + bpp])
+                rec[x:x + bpp] = (line[x:x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, bpp)
+
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("media", pa.binary()),
@@ -185,9 +316,9 @@ class ImageDecodeStage:
         payloads = [m.as_py() for m in batch["media"]]
         feats, widths, heights, means_e2 = [], [], [], []
         for m in payloads:
-            if m[:2] == b"P6":
-                arr = decode_ppm(m)
-                feats.append(self._real_features(arr))
+            if m[:2] == b"P6" or m[:8] == _PNG_SIG:
+                arr = decode_ppm(m) if m[:2] == b"P6" else decode_png(m)
+                feats.append(self._real_features(arr[..., :3]))
                 heights.append(arr.shape[0])
                 widths.append(arr.shape[1])
                 means_e2.append(

@@ -157,3 +157,44 @@ def test_audio_decode_stage_stats_and_fallback():
     assert rows[0]["peak"] == 300
     assert all(rows[1][k] == -1 for k in
                ("rate", "n_samples", "duration_ms", "mean_abs_e2", "peak"))
+
+
+# ----------------------------------------------------------- PNG codec
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+    from sbb_ned_ray.stages.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(21)
+    # >5 rows so every filter type 0-4 is exercised (encoder cycles)
+    for shape in [(7, 5, 3), (6, 9, 4), (1, 1, 3), (12, 2, 3)]:
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def test_png_rejects_garbage_and_bad_crc():
+    import numpy as np
+    import pytest
+    from sbb_ned_ray.stages.multimodal import decode_png, encode_png
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    good = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    good[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+
+
+def test_image_stage_decodes_png_for_real(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from sbb_ned_ray.stages.multimodal import ImageDecodeStage, encode_png
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (10, 6, 3)).astype(np.uint8)
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media": pa.array([encode_png(arr)], pa.binary()),
+        "media_type": pa.array(["image/png"], pa.string())})
+    out = ImageDecodeStage()(batch)
+    assert out["meta_width"][0].as_py() == 6
+    assert out["meta_height"][0].as_py() == 10
+    assert out["mean_px_e2"][0].as_py() == \
+        int(np.floor(float(arr.mean()) * 100 + 0.5))
