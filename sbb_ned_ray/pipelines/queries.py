@@ -2565,6 +2565,143 @@ GROUP BY source
 """
 
 
+def party_nation_counts(sf_dir: str):
+    """UNION of two sources then grouped count — Ray's native
+    ``Dataset.union`` feeding one aggregate (the multi-source ingest
+    shape: N parquet lineages -> one logical stream)."""
+    cust = _read_split(sf_dir, "customer", ["c_nationkey"], nblocks=4) \
+        .map_batches(lambda t: pa.table({
+            "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "kind": pa.array(["customer"] * t.num_rows)}),
+            batch_format="pyarrow")
+    supp = _read_split(sf_dir, "supplier", ["s_nationkey"], nblocks=4) \
+        .map_batches(lambda t: pa.table({
+            "nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+            "kind": pa.array(["supplier"] * t.num_rows)}),
+            batch_format="pyarrow")
+    return cust.union(supp).groupby(["nationkey", "kind"]) \
+        .aggregate(Count(alias_name="n"))
+
+
+ORACLE_PARTY_NATION_COUNTS = """
+SELECT nationkey, kind, COUNT(*) AS n
+FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             'customer' AS kind FROM customer
+      UNION ALL
+      SELECT CAST(s_nationkey AS BIGINT), 'supplier' FROM supplier)
+GROUP BY nationkey, kind
+"""
+
+
+def events_ntile(sf_dir: str, tiles: int = 4):
+    """NTILE window: quartile of each event within its event_type by
+    (value, event_id) order — per-group sort + integer index math in
+    map_groups (SQL's NTILE fill rule: first ``n % tiles`` tiles get
+    the extra row)."""
+    ds = _read_split(sf_dir, "events",
+                     ["event_id", "event_type", "value"])
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, tiles)
+        sizes = np.full(tiles, base, np.int64)
+        sizes[:extra] += 1
+        g["tile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64),
+                              sizes)[:n]
+        return g[["event_id", "event_type", "tile"]]
+
+    return ds.groupby("event_type").map_groups(ntile,
+                                               batch_format="pandas")
+
+
+ORACLE_EVENTS_NTILE = """
+SELECT event_id, event_type,
+       CAST(NTILE(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
+def events_lag_delta(sf_dir: str):
+    """LAG window: per user, each event's value delta vs the previous
+    event in (ts, event_id) order — per-group sort + shift.  First
+    event per user keeps delta = 0 (COALESCE'd the same in SQL)."""
+    ds = _read_split(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v_e6 = np.floor(g["value"].to_numpy() * 1e6 + 0.5) \
+            .astype(np.int64)
+        prev = np.concatenate([[0], v_e6[:-1]])
+        prev[0] = v_e6[0]  # delta 0 for the first row
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "delta_e6": v_e6 - prev})
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+ORACLE_EVENTS_LAG_DELTA = """
+SELECT event_id, user_id,
+       CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)
+       - COALESCE(LAG(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS delta_e6
+FROM events
+"""
+
+
+def events_corr_moments(sf_dir: str):
+    """Grouped second-order moments (the distributed building blocks
+    of covariance/correlation/stddev): exact integer sums of x, y, xy,
+    xx, yy per event_type with x = value (e2-scaled) and y = hour of
+    day.  Kept integer-exact end-to-end — the float epilogue (corr =
+    ...) is a driver-side one-liner both engines would agree on only
+    modulo FP association, so the CHECKED artifact is the moments."""
+    ds = _read_split(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _e(t["value"], 1e2).to_numpy(zero_copy_only=False)
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000) \
+            .to_numpy(zero_copy_only=False)
+        y = (epoch_s // 3600) % 24
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "n": np.ones(len(x), np.int64),
+                           "sum_x": x, "sum_y": y,
+                           "sum_xy": x * y, "sum_xx": x * x,
+                           "sum_yy": y * y})
+        return pa.Table.from_pandas(
+            df.groupby("event_type", sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_x", alias_name="sum_x"),
+                   Sum("sum_y", alias_name="sum_y"),
+                   Sum("sum_xy", alias_name="sum_xy"),
+                   Sum("sum_xx", alias_name="sum_xx"),
+                   Sum("sum_yy", alias_name="sum_yy"))
+
+
+ORACLE_EVENTS_CORR_MOMENTS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x*y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y*y) AS BIGINT) AS sum_yy
+FROM (SELECT event_type,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS x,
+             (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 AS y
+      FROM events)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2636,6 +2773,10 @@ QUERIES = {
     "token_postings": token_postings,
     "docs_pack_windows": docs_pack_windows,
     "docs_mix_sources": docs_mix_sources,
+    "party_nation_counts": party_nation_counts,
+    "events_ntile": events_ntile,
+    "events_lag_delta": events_lag_delta,
+    "events_corr_moments": events_corr_moments,
 }
 
 ORACLE_SQL = {
@@ -2690,4 +2831,8 @@ ORACLE_SQL = {
     "token_postings": ORACLE_TOKEN_POSTINGS,
     "docs_pack_windows": ORACLE_DOCS_PACK_WINDOWS,
     "docs_mix_sources": ORACLE_DOCS_MIX_SOURCES,
+    "party_nation_counts": ORACLE_PARTY_NATION_COUNTS,
+    "events_ntile": ORACLE_EVENTS_NTILE,
+    "events_lag_delta": ORACLE_EVENTS_LAG_DELTA,
+    "events_corr_moments": ORACLE_EVENTS_CORR_MOMENTS,
 }
