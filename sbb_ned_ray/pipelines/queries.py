@@ -2442,13 +2442,17 @@ def events_value_quantiles_sketch(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-def token_postings(sf_dir: str, df_lo: int = 5, df_hi: int = 400):
+def token_postings(sf_dir: str):
     """Inverted-index build (the IR shuffle workload): distinct
     (token, doc_id) pairs per batch -> narrow groupby token ->
-    per-token sorted posting list, kept for mid-frequency tokens.
-    Postings are emitted as the comma-joined sorted doc-id string so
-    the SQL twin (STRING_AGG ... ORDER BY) matches byte-for-byte."""
+    per-token sorted posting list, kept for mid-frequency tokens
+    (document frequency in [1%, 80%] of the corpus, so the band is
+    scale-invariant).  Postings are emitted as the comma-joined sorted
+    doc-id string so the SQL twin (STRING_AGG ... ORDER BY) matches
+    byte-for-byte."""
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    df_lo, df_hi = n_docs // 100, n_docs * 8 // 10
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -2484,7 +2488,8 @@ FROM (SELECT DISTINCT doc_id, token
       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
             FROM documents))
 GROUP BY token
-HAVING COUNT(*) BETWEEN 5 AND 400
+HAVING COUNT(*) BETWEEN (SELECT COUNT(*) FROM documents) // 100
+                    AND (SELECT COUNT(*) FROM documents) * 8 // 10
 """
 
 
