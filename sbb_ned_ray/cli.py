@@ -9,6 +9,7 @@ runs; each owns its Ray session per the driver contract).
     python -m sbb_ned_ray.cli training-pairs --pages DIR --out DIR
     python -m sbb_ned_ray.cli dedup        --docs X.parquet --out DIR \
                                            --method {exact,minhash,simhash}
+    python -m sbb_ned_ray.cli profile      --docs X.parquet
 """
 
 from __future__ import annotations
@@ -71,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="Jaccard threshold (minhash)")
     dd.add_argument("--max-hamming", type=int, default=3,
                     help="Hamming radius (simhash)")
+
+    pr = sub.add_parser("profile", help="one-pass corpus profile "
+                                        "(sketch-based, JSON to stdout)")
+    pr.add_argument("--docs", required=True,
+                    help="parquet file/dir with (doc_id, text, lang, "
+                         "n_chars) columns")
+    pr.add_argument("--top-k", type=int, default=20)
 
     args = p.parse_args(argv)
     from sbb_ned_ray.config import PipelineConfig
@@ -157,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
             out.to_parquet(os.path.join(args.out, "clusters.parquet"))
             print(json.dumps({"method": args.method, "rows": int(len(out)),
                               "out": args.out}))
+        elif args.cmd == "profile":
+            from sbb_ned_ray.pipelines.profile import corpus_profile
+            print(json.dumps(corpus_profile(args.docs,
+                                            top_k=args.top_k)))
         elif args.cmd == "train-decider":
             from sbb_ned_ray.stages.training import train_decider_job
             _, scores, n_rows = train_decider_job(

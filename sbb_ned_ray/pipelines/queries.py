@@ -2707,6 +2707,30 @@ GROUP BY event_type
 """
 
 
+def distinct_users_per_type_hll(sf_dir: str):
+    """SELF-CHECKING (approximate, no SQL twin): per-group HyperLogLog
+    distinct counts — one register row per group per batch, merged in
+    map_groups, so shuffle volume is independent of key cardinality.
+    Asserts every group's estimate is within 5 sigma of the exact
+    per-group distinct count."""
+    from sbb_ned_ray.stages.sketches import (
+        exact_count_distinct_per_group, hll_distinct_per_group,
+    )
+    ds = _read_split(sf_dir, "events", ["event_type", "user_id"])
+    est = hll_distinct_per_group(ds, "event_type", "user_id", p=12) \
+        .set_index("event_type")["n_distinct_est"]
+    exact = exact_count_distinct_per_group(ds, "event_type", "user_id") \
+        .to_pandas().set_index("event_type")["n_distinct"]
+    rows = []
+    for g in sorted(exact.index):
+        e, x = int(est[g]), int(exact[g])
+        rel = abs(e - x) / max(x, 1)
+        assert rel < 5 * 1.04 / np.sqrt(2 ** 12), (g, e, x)
+        rows.append({"event_type": g, "exact": x, "hll_estimate": e,
+                     "rel_err_e6": int(rel * 1e6 + 0.5)})
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2782,6 +2806,7 @@ QUERIES = {
     "events_ntile": events_ntile,
     "events_lag_delta": events_lag_delta,
     "events_corr_moments": events_corr_moments,
+    "distinct_users_per_type_hll": distinct_users_per_type_hll,
 }
 
 ORACLE_SQL = {

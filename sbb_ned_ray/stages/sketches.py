@@ -368,3 +368,32 @@ def dd_quantiles(ds: rd.Dataset, col: str, qs: tuple = (0.5, 0.9, 0.99),
         est = 0.0 if b == zero_bucket else 2 * gamma ** b / (gamma + 1)
         out.append({"q": q, "estimate": est})
     return pd.DataFrame(out)
+
+
+def hll_distinct_per_group(ds: rd.Dataset, group: str, key: str,
+                           p: int = 12) -> "pd.DataFrame":
+    """Approximate COUNT(DISTINCT key) GROUP BY group: each batch emits
+    one register array PER GROUP PRESENT (constant bytes per group per
+    batch), merged by a per-group max in ``map_groups``.  Unlike
+    :func:`exact_count_distinct_per_group`, the shuffle volume is
+    independent of key cardinality — the register rows are, for a hot
+    group, millions of times smaller than its distinct-pair set."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in df.groupby(group, sort=False):
+            regs = hll_partial(sub[key].to_numpy(), p=p)
+            out.append({group: g, "regs": regs.tobytes()})
+        return pd.DataFrame(out, columns=[group, "regs"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge([np.frombuffer(b, dtype=np.uint8)
+                          for b in g["regs"]])
+        return pd.DataFrame([{group: g[group].iloc[0],
+                              "n_distinct_est":
+                                  int(round(hll_estimate(regs)))}])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(group).map_groups(merge, batch_format="pandas") \
+        .to_pandas()

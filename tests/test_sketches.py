@@ -173,3 +173,15 @@ def test_dd_quantiles_all_zero(ray_session):
     ds = rd.from_arrow(pa.table({"v": np.zeros(100)}))
     out = dd_quantiles(ds, "v", qs=(0.5,))
     assert out["estimate"].iloc[0] == 0.0
+
+
+def test_hll_distinct_per_group_ray(user_ds):
+    from sbb_ned_ray.stages.sketches import hll_distinct_per_group
+    ds, users, types = user_ds
+    out = hll_distinct_per_group(ds, "event_type", "user_id") \
+        .set_index("event_type")["n_distinct_est"]
+    truth = pd.DataFrame({"t": types, "u": users}) \
+        .groupby("t")["u"].nunique()
+    for t in truth.index:
+        rel = abs(int(out[t]) - int(truth[t])) / int(truth[t])
+        assert rel < 0.082, (t, int(out[t]), int(truth[t]))
