@@ -36,7 +36,8 @@ SCALING_SPEC = dict(n_pages=100_000, n_entities=1500, n_gt_pairs=8000,
                     n_files=64)
 
 # secondary pipelines (name → zero-arg runner built inside the child)
-SECONDARY = ("minhash_dedup", "doc_analysis", "knn_cosine", "q1_pricing")
+SECONDARY = ("minhash_dedup", "doc_analysis", "knn_cosine", "q1_pricing",
+             "corpus_profile")
 
 
 def _secondary_fn(name: str):
@@ -46,7 +47,13 @@ def _secondary_fn(name: str):
         "doc_analysis": lambda: Q.doc_quality(SF_DIR).materialize(),
         "knn_cosine": lambda: Q.knn_cosine(SF_DIR),
         "q1_pricing": lambda: Q.q1_pricing(SF_DIR).materialize(),
+        "corpus_profile": _profile_fn,
     }[name]
+
+
+def _profile_fn():
+    from sbb_ned_ray.pipelines.profile import corpus_profile
+    return corpus_profile(os.path.join(SF_DIR, "documents.parquet"))
 
 
 def _query_child(name: str) -> float:

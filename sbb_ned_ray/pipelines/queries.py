@@ -2731,6 +2731,38 @@ def distinct_users_per_type_hll(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def docs_pruned_read(sf_dir: str):
+    """Prune AT THE READ: a pyarrow filter expression pushed into
+    ``read_parquet`` (row groups that can't match never leave storage,
+    the zone-map/predicate-pushdown discipline the 100 TB read path
+    depends on) + column pruning, then one narrow aggregate."""
+    import pyarrow.dataset as pds
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "n_chars"],
+                         filter=((pds.field("lang") == "de")
+                                 & (pds.field("n_chars") > 200)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "sum_chars": pa.array(
+                [int(pc.sum(t["n_chars"]).as_py() or 0)], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("n_docs"), Sum("sum_chars"))
+    return pa.table({
+        "n_docs": pa.array([int(agg["sum(n_docs)"])], pa.int64()),
+        "sum_chars": pa.array([int(agg["sum(sum_chars)"])], pa.int64())})
+
+
+ORACLE_DOCS_PRUNED_READ = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang = 'de' AND n_chars > 200
+"""
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2807,6 +2839,7 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_corr_moments": events_corr_moments,
     "distinct_users_per_type_hll": distinct_users_per_type_hll,
+    "docs_pruned_read": docs_pruned_read,
 }
 
 ORACLE_SQL = {
@@ -2865,4 +2898,5 @@ ORACLE_SQL = {
     "events_ntile": ORACLE_EVENTS_NTILE,
     "events_lag_delta": ORACLE_EVENTS_LAG_DELTA,
     "events_corr_moments": ORACLE_EVENTS_CORR_MOMENTS,
+    "docs_pruned_read": ORACLE_DOCS_PRUNED_READ,
 }
