@@ -1899,9 +1899,9 @@ def ned_links_bert_trained(sf_dir: str):
 
 
 def ned_eval_f1_bert_trained(sf_dir: str):
-    """Pairwise-F1 scorecard row for the TRAINED-model path (the
-    VERDICT r2 quality gate: f1 >= 0.99 with the model, not the stub,
-    carrying the linking decision)."""
+    """Pairwise-F1 scorecard row for the TRAINED-model path.
+    SELF-CHECKING: asserts the VERDICT r2 quality gate — f1 >= 0.99
+    with the model, not the stub, carrying the linking decision."""
     import pyarrow.parquet as pq
 
     from sbb_ned_ray.pipelines.ned import pairwise_f1
@@ -1909,6 +1909,7 @@ def ned_eval_f1_bert_trained(sf_dir: str):
     links, eval_dir = _bert_trained_links(sf_dir)
     gt = pq.read_table(f"{eval_dir}/mention_pairs_gt.parquet")
     m = pairwise_f1(links, gt)
+    assert m["f1"] >= 0.99, f"trained-model pairwise F1 {m['f1']} < 0.99"
     return pd.DataFrame([{
         "n_links": len(links), **{k: m[k] for k in
                                   ("tp", "fp", "fn", "tn")},
