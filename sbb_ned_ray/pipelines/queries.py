@@ -2764,6 +2764,61 @@ WHERE lang = 'de' AND n_chars > 200
 """
 
 
+def blocking_quality(sf_dir: str):
+    """SELF-CHECKING: the record-linkage blocking scorecard — pair
+    RECALL (every gold entity inside its mention's candidate set; the
+    blocking must never lose the true match) and REDUCTION RATIO
+    (candidate pairs vs the mentions x entities cross product the
+    blocking avoids).  Reference parity: the ANN lookup + ranking cut
+    of ``index.py:652-719`` is exactly a blocking stage; this is its
+    standard evaluation.  Asserts recall == 1.0."""
+    from sbb_ned_ray.sources.pages import read_kb_table, read_pages, \
+        read_redirects
+    from sbb_ned_ray.stages.candidates import CandidateGenerator
+    from sbb_ned_ray.stages.extract import extracted_pages
+    from sbb_ned_ray.stages.mentions import detect_mentions
+    from sbb_ned_ray.state.alias_index import build_alias_index
+    import pyarrow.parquet as pq
+
+    cfg = PipelineConfig()
+    pages_dir = pages_dir_for_sf(sf_dir)
+    kb = read_kb_table(pages_dir)
+    index_ref = ray.put(build_alias_index(
+        kb, cfg, redirects=read_redirects(pages_dir)))
+    pages = extracted_pages(read_pages(pages_dir, columns=["url", "html"]))
+    # materialize ONCE: consumed by both the candidate pass and the
+    # gold-alignment pass (Datasets re-execute per consumption)
+    mentions = detect_mentions(pages, index_ref,
+                               as_tasks=True).materialize()
+
+    def gen(t: pa.Table) -> pa.Table:
+        return CandidateGenerator(ray.get(index_ref), cfg)(t) \
+            .select(["url", "mention_id", "qid"])
+
+    cands = mentions.map_batches(gen, batch_format="pyarrow").to_pandas()
+    found = mentions.select_columns(
+        ["url", "mention_id", "sent_no", "tok_start"]).to_pandas()
+    gt = pq.read_table(
+        f"{pages_dir}/mentions_gt.parquet",
+        columns=["url", "sent_no", "tok_start", "qid"]).to_pandas()
+    gold = found.merge(gt, on=["url", "sent_no", "tok_start"])
+    hit = gold.merge(cands.drop_duplicates(),
+                     on=["url", "mention_id", "qid"], how="left",
+                     indicator=True)
+    recall = float((hit["_merge"] == "both").mean())
+    assert recall == 1.0, f"blocking lost gold matches: recall={recall}"
+    n_mentions = int(found[["url", "mention_id"]]
+                     .drop_duplicates().shape[0])
+    n_entities = int(kb.num_rows)
+    n_pairs = int(len(cands))
+    rr = 1.0 - n_pairs / (n_mentions * n_entities)
+    return pd.DataFrame([{
+        "n_mentions": n_mentions, "n_entities": n_entities,
+        "n_candidate_pairs": n_pairs,
+        "recall_e6": int(recall * 1e6 + 0.5),
+        "reduction_ratio_e6": int(rr * 1e6 + 0.5)}])
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2841,6 +2896,7 @@ QUERIES = {
     "events_corr_moments": events_corr_moments,
     "distinct_users_per_type_hll": distinct_users_per_type_hll,
     "docs_pruned_read": docs_pruned_read,
+    "blocking_quality": blocking_quality,
 }
 
 ORACLE_SQL = {
