@@ -55,9 +55,10 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
 
     Standard HLL (Flajolet et al. 2007): the low ``p`` hash bits pick
     the register, the remaining ``64 - p`` bits' leading-zero count + 1
-    is the rank.  Vectorized: rank via a float64 exponent trick
-    (values < 2**53 are exact in float64; higher bits only LOWER the
-    rank, and ranks >= 12 are what the exponent computes exactly).
+    is the rank.  Vectorized MSB via float64 frexp on 32-bit HALVES —
+    each half is < 2**53 so the exponent is EXACT (frexp on the full
+    64-bit value would round values just under a binade top, e.g.
+    2**60 - 1 -> 2**60, overstating the MSB by one).
     """
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
@@ -67,15 +68,18 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
     idx = (h & np.uint64(m - 1)).astype(np.int64)
     w = h >> np.uint64(p)
     nbits = 64 - p
-    # position of the most-significant set bit of w (0-based), -1 if 0
-    wf = w.astype(np.float64)  # exact for w < 2**53; see below
-    msb = np.full(len(w), -1, dtype=np.int64)
-    nz = w != 0
-    # float64 rounds values >= 2**53, but rounding never changes the
-    # MSB position (it rounds within the same binade except at the
-    # binade top, where frexp still returns the correct exponent)
-    msb[nz] = np.frexp(wf[nz])[1] - 1
-    rho = np.where(nz, nbits - msb, nbits + 1).astype(np.int64)
+
+    def _msb32(x: np.ndarray) -> np.ndarray:
+        """exact MSB position of values < 2**32 (-1 for 0)."""
+        out = np.full(len(x), -1, dtype=np.int64)
+        nz = x != 0
+        out[nz] = np.frexp(x[nz].astype(np.float64))[1] - 1
+        return out
+
+    hi = (w >> np.uint64(32)).astype(np.uint64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    msb = np.where(hi != 0, 32 + _msb32(hi), _msb32(lo))
+    rho = np.where(w != 0, nbits - msb, nbits + 1).astype(np.int64)
     np.maximum.at(regs, idx, rho.astype(np.uint8))
     return regs
 

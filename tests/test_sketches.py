@@ -185,3 +185,16 @@ def test_hll_distinct_per_group_ray(user_ds):
     for t in truth.index:
         rel = abs(int(out[t]) - int(truth[t])) / int(truth[t])
         assert rel < 0.082, (t, int(out[t]), int(truth[t]))
+
+
+def test_hll_partial_msb_exact_near_binade_top(monkeypatch):
+    """w just under a power of two must not round its MSB up.  With
+    p=0, w = h = 2**60 - 1 (>= 2**53, where float64 rounds to 2**60):
+    true msb = 59 -> rho = 64 - 59 = 5; a naive full-width frexp gives
+    msb 60 -> rho 4."""
+    import sbb_ned_ray.stages.sketches as sk
+    monkeypatch.setattr(
+        sk, "hash64",
+        lambda v: np.array([(1 << 60) - 1], dtype=np.uint64))
+    regs = sk.hll_partial(np.array([1]), p=0)
+    assert regs[0] == 5
