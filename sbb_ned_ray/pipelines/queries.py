@@ -2105,7 +2105,8 @@ def distinct_users_hll(sf_dir: str):
     is within 5 sigma (sigma = 1.04/sqrt(2^p)).  Driver traffic is one
     4 KiB register array per block regardless of input size."""
     from sbb_ned_ray.stages.sketches import hll_count_distinct
-    ds = _read_split(sf_dir, "events", ["user_id"])
+    # materialized once: consumed by the sketch AND the exact baseline
+    ds = _read_split(sf_dir, "events", ["user_id"]).materialize()
     out = hll_count_distinct(ds, "user_id", p=12)
     exact = len(ds.unique("user_id"))
     rel = abs(out["estimate"] - exact) / max(exact, 1)
@@ -2717,7 +2718,8 @@ def distinct_users_per_type_hll(sf_dir: str):
     from sbb_ned_ray.stages.sketches import (
         exact_count_distinct_per_group, hll_distinct_per_group,
     )
-    ds = _read_split(sf_dir, "events", ["event_type", "user_id"])
+    ds = _read_split(sf_dir, "events",
+                     ["event_type", "user_id"]).materialize()
     est = hll_distinct_per_group(ds, "event_type", "user_id", p=12) \
         .set_index("event_type")["n_distinct_est"]
     exact = exact_count_distinct_per_group(ds, "event_type", "user_id") \

@@ -198,3 +198,47 @@ def test_hll_partial_msb_exact_near_binade_top(monkeypatch):
         lambda v: np.array([(1 << 60) - 1], dtype=np.uint64))
     regs = sk.hll_partial(np.array([1]), p=0)
     assert regs[0] == 5
+
+
+# ------------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 10**6), max_size=400),
+       st.lists(st.integers(0, 10**6), max_size=400))
+def test_hll_merge_union_property(a, b):
+    from sbb_ned_ray.stages.sketches import hll_merge, hll_partial
+    aa, bb = np.array(a, np.int64), np.array(b, np.int64)
+    merged = hll_merge([hll_partial(aa, p=8), hll_partial(bb, p=8)])
+    whole = hll_partial(np.concatenate([aa, bb]), p=8)
+    assert np.array_equal(merged, whole)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 60), min_size=1, max_size=600),
+       st.integers(2, 12), st.integers(1, 5))
+def test_mg_bounds_property(vals, k, nsplits):
+    from sbb_ned_ray.stages.sketches import mg_merge, mg_partial
+    v = np.array(vals, np.int64)
+    parts = np.array_split(v, nsplits)
+    top, decr, n = mg_merge([mg_partial(p, k) for p in parts if len(p)], k)
+    assert n == len(v)
+    true = pd.Series(v).value_counts()
+    est = dict(zip(top["item"], top["est"]))
+    for item, cnt in true.items():
+        if cnt > n / (k + 1):
+            assert item in est
+    for item, e in est.items():
+        t = int(true.get(item, 0))
+        assert e <= t <= e + decr
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=300,
+                unique=True))
+def test_bloom_never_false_negative_property(keys):
+    from sbb_ned_ray.stages.sketches import BloomFilter
+    arr = np.array(keys, np.uint64).astype(np.int64)
+    assert BloomFilter(arr).contains(arr).all()
