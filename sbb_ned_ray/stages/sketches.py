@@ -198,9 +198,11 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64,
     merge — Agarwal et al. 2013): every item with true frequency
     > n/(k+1) is present, and ``est <= true <= est + max_undercount``.
 
-    Each batch also emits ONE empty-item metadata row carrying its
-    (decrement, n) so the merged error bound is exact without any
-    per-row redundancy.  ``explode_tokens=True`` treats ``col`` as
+    Each batch also emits ONE metadata row carrying its (decrement, n)
+    so the merged error bound is exact without per-row redundancy;
+    real items travel prefixed ``i:`` and the metadata row as ``m:``,
+    so an empty-string or any other item value can never collide with
+    the sentinel.  ``explode_tokens=True`` treats ``col`` as
     whitespace-tokenizable text and sketches token frequencies (the
     corpus-vocabulary use)."""
 
@@ -214,9 +216,9 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64,
         items, counts, decr, n = mg_partial(vals, k)
         sitems = items.astype(str) if items.dtype.kind not in ("i", "u") \
             else items.astype(np.int64).astype(str)
-        # one metadata row (empty item) carries the batch's (decr, n)
         return pa.table({
-            "item": pa.array(list(sitems) + [""], pa.string()),
+            "item": pa.array(["i:" + s for s in sitems] + ["m:"],
+                             pa.string()),
             "est": pa.array(list(counts) + [0], pa.int64()),
             "decr": pa.array([0] * len(items) + [decr], pa.int64()),
             "n": pa.array([0] * len(items) + [n], pa.int64()),
@@ -228,8 +230,9 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64,
         return {"top": pd.DataFrame({"item": [], "est": []}),
                 "max_undercount": 0, "n": 0, "k": k}
     df = t.to_pandas()
-    meta = df[df["item"] == ""]
-    data = df[df["item"] != ""]
+    meta = df[df["item"] == "m:"]
+    data = df[df["item"] != "m:"].copy()
+    data["item"] = data["item"].str.slice(2)
     merged = data.groupby("item", sort=False)["est"].sum().reset_index()
     items, counts, d2 = _mg_compress(merged["item"].to_numpy(),
                                      merged["est"].to_numpy(np.int64), k)

@@ -242,3 +242,16 @@ def test_bloom_never_false_negative_property(keys):
     from sbb_ned_ray.stages.sketches import BloomFilter
     arr = np.array(keys, np.uint64).astype(np.int64)
     assert BloomFilter(arr).contains(arr).all()
+
+
+def test_heavy_hitters_empty_string_item(ray_session):
+    """An empty-string token (e.g. from double spaces) must be counted
+    as a real item, never confused with the metadata sentinel."""
+    import ray.data as rd
+    from sbb_ned_ray.stages.sketches import heavy_hitters
+    t = pa.table({"text": ["a  a  b", "a  b"]})  # '' appears 3x via split
+    out = heavy_hitters(rd.from_arrow(t), "text", k=8,
+                        explode_tokens=True)
+    est = dict(zip(out["top"]["item"], out["top"]["est"]))
+    assert est.get("") == 3 and est.get("a") == 3 and est.get("b") == 2
+    assert out["n"] == 8  # 3 a + 2 b + 3 empty
