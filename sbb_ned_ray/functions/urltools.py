@@ -68,6 +68,11 @@ def canonicalize_url(url: str) -> str:
         parts = urlsplit(url)
     except ValueError:
         return url
+    if not parts.netloc:
+        # no authority: relative path, mailto:, junk — normalizing the
+        # path would mangle the meaning (e.g. 'mailto:a@b' must not
+        # grow a leading '/'); pass through stripped
+        return url
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower().rstrip(".")
     port = parts.port

@@ -48,3 +48,11 @@ def test_canonicalize_total_and_idempotent(s):
 ])
 def test_registrable_domain(host, want):
     assert registrable_domain(host) == want
+
+
+@pytest.mark.parametrize("raw", [
+    "mailto:a@b.com", "example.com/x", "/relative/path?a=1", "",
+    "data:text/plain,hi",
+])
+def test_no_authority_passthrough(raw):
+    assert canonicalize_url(raw) == raw
