@@ -2505,8 +2505,7 @@ def docs_pack_windows(sf_dir: str, window: int = 2000):
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
 
     def tok(t: pa.Table) -> pa.Table:
-        counts = pc.add(
-            pc.list_value_length(pc.split_pattern(t["text"], " ")), 0)
+        counts = pc.list_value_length(pc.split_pattern(t["text"], " "))
         return pa.table({"doc_id": t["doc_id"],
                          "n_tokens": pc.cast(counts, pa.int64())})
 
