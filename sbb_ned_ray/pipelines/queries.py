@@ -2820,6 +2820,36 @@ def blocking_quality(sf_dir: str):
         "reduction_ratio_e6": int(rr * 1e6 + 0.5)}])
 
 
+def events_value_quantiles_per_type(sf_dir: str):
+    """SELF-CHECKING (approximate, no SQL twin): per-group DDSketch
+    quantiles — (group, bucket, n) histogram partials through ONE
+    narrow groupby, shuffle volume independent of row count.  Asserts
+    the alpha=1% relative-error guarantee per group against the exact
+    quantiles."""
+    from sbb_ned_ray.stages.sketches import dd_quantiles_per_group
+    alpha = 0.01
+    ds = _read_split(sf_dir, "events",
+                     ["event_type", "value"]).materialize()
+    out = dd_quantiles_per_group(ds, "event_type", "value",
+                                 qs=(0.5, 0.99), alpha=alpha)
+    exact = ds.to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        vals = np.sort(
+            exact.loc[exact["event_type"] == r["event_type"],
+                      "value"].to_numpy())
+        true = vals[max(int(np.ceil(r["q"] * len(vals))), 1) - 1]
+        rel = abs(r["estimate"] - true) / true if true else 0.0
+        assert rel <= alpha + 1e-9, (r["event_type"], r["q"],
+                                     r["estimate"], true)
+        rows.append({"event_type": r["event_type"],
+                     "q_e2": int(r["q"] * 100 + 0.5),
+                     "estimate_e6": int(r["estimate"] * 1e6 + 0.5),
+                     "exact_e6": int(true * 1e6 + 0.5),
+                     "rel_err_e6": int(rel * 1e6 + 0.5)})
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2898,6 +2928,7 @@ QUERIES = {
     "distinct_users_per_type_hll": distinct_users_per_type_hll,
     "docs_pruned_read": docs_pruned_read,
     "blocking_quality": blocking_quality,
+    "events_value_quantiles_per_type": events_value_quantiles_per_type,
 }
 
 ORACLE_SQL = {

@@ -255,3 +255,22 @@ def test_heavy_hitters_empty_string_item(ray_session):
     est = dict(zip(out["top"]["item"], out["top"]["est"]))
     assert est.get("") == 3 and est.get("a") == 3 and est.get("b") == 2
     assert out["n"] == 8  # 3 a + 2 b + 3 empty
+
+
+def test_dd_quantiles_per_group(ray_session):
+    import ray.data as rd
+    from sbb_ned_ray.stages.sketches import dd_quantiles_per_group
+    rng = np.random.default_rng(17)
+    n = 30_000
+    g = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    v = np.where(g == "x", rng.lognormal(2, 1, n),
+                 np.where(g == "y", rng.lognormal(5, 0.5, n),
+                          rng.uniform(0, 10, n)))
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+    out = dd_quantiles_per_group(ds, "g", "v", qs=(0.5, 0.95),
+                                 alpha=0.01)
+    for _, row in out.iterrows():
+        vals = v[g == row["g"]]
+        true = np.quantile(vals, row["q"], method="inverted_cdf")
+        assert abs(row["estimate"] - true) / true <= 0.01 + 1e-9, \
+            (row["g"], row["q"], row["estimate"], true)
