@@ -68,8 +68,11 @@ def run_query_child(name: str) -> None:
     import ray
     _init_ray(NUM_CPUS)
     fn = _secondary_fn(name)
+    # best-of-3: run 1 pays worker spin-up; the extra warm sample halves
+    # the odds of reporting a transient host-load spike (BASELINE.md
+    # round-3 final: 2.1 s capability vs a 9.6 s loaded sample)
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         fn()
         wall = time.time() - t0
