@@ -2850,6 +2850,31 @@ def events_value_quantiles_per_type(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def embedding_kmeans(sf_dir: str, k: int = 8):
+    """SELF-CHECKING (iterative, no SQL twin): full-corpus distributed
+    Lloyd's k-means over the embeddings table — broadcast centroids,
+    per-batch vectorized assignment, k partial (sum, count, inertia)
+    rows per block.  Asserts the Lloyd invariants: inertia
+    non-increasing across iterations and cluster counts summing to n.
+    Deterministic (first-k init, float64 accumulation) so the driver's
+    rows-only re-run check is stable."""
+    from sbb_ned_ray.stages.similarity import kmeans_distributed
+    ds = _read_split(sf_dir, "embeddings",
+                     ["vec_id", "embedding"], nblocks=8).materialize()
+    n = ds.count()
+    cents, counts, trace = kmeans_distributed(ds, k=k, max_iters=8)
+    assert all(b <= a + 1e-6 for a, b in zip(trace, trace[1:])), trace
+    assert int(counts.sum()) == n, (counts.sum(), n)
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n_points": counts.astype(np.int64),
+        "centroid_norm_e6": np.floor(
+            np.linalg.norm(cents, axis=1) * 1e6 + 0.5).astype(np.int64),
+        "final_inertia_e2": np.int64(int(trace[-1] * 100 + 0.5)),
+        "n_iters": np.int64(len(trace)),
+    })
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2929,6 +2954,7 @@ QUERIES = {
     "docs_pruned_read": docs_pruned_read,
     "blocking_quality": blocking_quality,
     "events_value_quantiles_per_type": events_value_quantiles_per_type,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 ORACLE_SQL = {

@@ -205,3 +205,75 @@ def ivf_topk(emb: ray.data.Dataset, queries: np.ndarray,
     return pd.DataFrame(rows, columns=["query_id", id_col, "cosine",
                                        "knn_rank"]) \
         .sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+
+
+def kmeans_distributed(ds, col: str = "embedding", k: int = 8,
+                       max_iters: int = 10, tol: float = 1e-6):
+    """Full-corpus Lloyd's k-means as an iterative Ray Data pipeline
+    (the IVF quantizer above trains on a driver-side SAMPLE; this is
+    the whole-dataset variant for when the sample isn't representative).
+
+    Per iteration: centroids broadcast once (``ray.put``); every batch
+    assigns vectorized (one matmul) and emits k partial rows
+    (sum-vector, count, inertia) — the driver folds k x dim floats per
+    block, never the points.  Deterministic: init = the k rows with the
+    smallest vec_id-order hash-free key (first k by id), float64
+    accumulation.  Returns (centroids, per-cluster counts, inertia
+    trace); inertia is non-increasing by construction (asserted by the
+    self-checking query/test).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    first = ds.sort("vec_id").limit(k).to_pandas()
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in first[col]])
+    trace = []
+    counts = None
+    for _ in range(max_iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            flat = t[col].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False)
+            x = flat.reshape(t.num_rows, -1).astype(np.float64)
+            d2 = ((x * x).sum(1)[:, None] - 2 * x @ c.T
+                  + (c * c).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            rows = {"cluster": [], "n": [], "inertia": [], "sum_vec": []}
+            for ci in range(len(c)):
+                m = a == ci
+                rows["cluster"].append(ci)
+                rows["n"].append(int(m.sum()))
+                rows["inertia"].append(float(d2[m, ci].sum()))
+                rows["sum_vec"].append(
+                    x[m].sum(0).tolist() if m.any()
+                    else np.zeros(x.shape[1]).tolist())
+            return pa.table({
+                "cluster": pa.array(rows["cluster"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "inertia": pa.array(rows["inertia"], pa.float64()),
+                "sum_vec": pa.array(rows["sum_vec"],
+                                    pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+        agg = parts.groupby("cluster", sort=True)
+        n = agg["n"].sum()
+        inertia = float(agg["inertia"].sum().sum())
+        sums = np.stack([
+            np.sum(np.stack([np.asarray(v) for v in sub["sum_vec"]]), 0)
+            for _, sub in agg])
+        new = np.where(n.to_numpy()[:, None] > 0,
+                       sums / np.maximum(n.to_numpy()[:, None], 1),
+                       cents)
+        trace.append(inertia)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        counts = n.to_numpy(np.int64)
+        if shift < tol:
+            break
+    return cents, counts, trace

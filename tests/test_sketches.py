@@ -274,3 +274,39 @@ def test_dd_quantiles_per_group(ray_session):
         true = np.quantile(vals, row["q"], method="inverted_cdf")
         assert abs(row["estimate"] - true) / true <= 0.01 + 1e-9, \
             (row["g"], row["q"], row["estimate"], true)
+
+
+def test_kmeans_distributed_matches_reference(ray_session):
+    import ray.data as rd
+    from sbb_ned_ray.stages.similarity import kmeans_distributed
+    rng = np.random.default_rng(23)
+    n, d, k = 600, 8, 4
+    x = np.concatenate([rng.normal(c * 5, 1, (n // k, d))
+                        for c in range(k)])
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": pa.array(x.tolist(),
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(5).materialize()
+    cents, counts, trace = kmeans_distributed(ds, k=k, max_iters=12)
+    # Lloyd invariants
+    assert all(b <= a + 1e-6 for a, b in zip(trace, trace[1:]))
+    assert counts.sum() == n
+    # reference Lloyd's with the same init (first k by vec_id), float32
+    # input like the column, float64 accumulation like the stage
+    xx = x.astype(np.float32).astype(np.float64)
+    c = xx[:k].copy()
+    for _ in range(12):
+        d2 = ((xx * xx).sum(1)[:, None] - 2 * xx @ c.T
+              + (c * c).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        inertia = float(d2[np.arange(n), a].sum())
+        new = np.stack([xx[a == ci].mean(0) if (a == ci).any() else c[ci]
+                        for ci in range(k)])
+        if np.abs(new - c).max() < 1e-6:
+            c = new
+            break
+        c = new
+    assert np.allclose(np.sort(counts),
+                       np.sort(np.bincount(a, minlength=k)))
+    assert abs(trace[-1] - inertia) / inertia < 1e-6
