@@ -74,8 +74,15 @@ def canonicalize_url(url: str) -> str:
         # grow a leading '/'); pass through stripped
         return url
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower().rstrip(".")
-    port = parts.port
+    try:
+        # .hostname/.port parse lazily and raise on junk like ':abc'
+        # or out-of-range ports — honor the never-raise contract
+        host = (parts.hostname or "").lower().rstrip(".")
+        port = parts.port
+    except ValueError:
+        return url
+    if ":" in host:                       # IPv6 literal: keep brackets
+        host = f"[{host}]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme):
         netloc = f"{host}:{port}"

@@ -29,20 +29,25 @@ from sbb_ned_ray.stages.sketches import (
 
 
 def _token_ds(ds: rd.Dataset) -> rd.Dataset:
+    from sbb_ned_ray.stages.sketches import explode_ws_tokens
+
     def toks(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        flat = np.array(" ".join(texts).split(" ")) if texts \
-            else np.array([], dtype=str)
+        flat = explode_ws_tokens(t["text"].to_pylist())
         return pa.table({"token": pa.array(flat, pa.string())})
     return ds.map_batches(toks, batch_format="pyarrow")
 
 
 def corpus_profile(docs_path: str, top_k: int = 20,
                    quantiles: tuple = (0.5, 0.9, 0.99)) -> dict:
-    """Profile a (doc_id, text, lang, n_chars) parquet corpus."""
+    """Profile a (text, lang, n_chars) parquet corpus.
+
+    Each statistic family is its own STREAMING pass over the parquet
+    (4 scans of 3 columns) — re-reading beats pinning a 100 TB text
+    column in the object store, and the reads prune to exactly the
+    columns each pass needs."""
     ds = rd.read_parquet(docs_path,
-                         columns=["doc_id", "text", "lang", "n_chars"]) \
-        .repartition(16).materialize()   # narrow; reused by 4 passes
+                         columns=["text", "lang", "n_chars"]) \
+        .repartition(16)
 
     def counts(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()

@@ -2285,8 +2285,11 @@ def q17_small_quantity_revenue(sf_dir: str):
     e2) so both engines agree bit-for-bit; the per-part table is
     broadcast (2k parts here; at KB scale this becomes the bucketed
     co-shuffle join of `stages/blocking.py`)."""
+    # materialized once: the narrow 3-column projection is consumed by
+    # both the per-part stats pass and the final filter pass
     li = _read_split(sf_dir, "lineitem",
-                     ["l_partkey", "l_quantity", "l_extendedprice"])
+                     ["l_partkey", "l_quantity",
+                      "l_extendedprice"]).materialize()
 
     def part_partial(t: pa.Table) -> pa.Table:
         df = pa.table({"l_partkey": t["l_partkey"],

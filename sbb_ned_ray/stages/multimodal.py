@@ -318,11 +318,12 @@ class ImageDecodeStage:
         for m in payloads:
             if m[:2] == b"P6" or m[:8] == _PNG_SIG:
                 arr = decode_ppm(m) if m[:2] == b"P6" else decode_png(m)
-                feats.append(self._real_features(arr[..., :3]))
+                rgb = arr[..., :3]        # drop alpha for ALL stats
+                feats.append(self._real_features(rgb))
                 heights.append(arr.shape[0])
                 widths.append(arr.shape[1])
                 means_e2.append(
-                    int(np.floor(float(arr.mean()) * 100 + 0.5)))
+                    int(np.floor(float(rgb.mean()) * 100 + 0.5)))
             else:
                 feats.append(self._features(m))
                 widths.append(-1)

@@ -65,7 +65,17 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
         local = np.zeros(len(vals), np.int64)
         local[order] = np.concatenate(
             [[0], np.cumsum(vals[order])[:-1]])
-        i = np.searchsorted(min_keys, int(keys.min()))
+        kmin = int(keys.min())
+        i = np.searchsorted(min_keys, kmin)
+        # INVARIANT: pass B must see the same block boundaries pass A
+        # recorded (both map over the same materialized blocks with
+        # whole-block batches).  If a future Ray version re-batches one
+        # of the passes, offsets would be silently wrong — fail loudly.
+        if i >= len(min_keys) or int(min_keys[i]) != kmin:
+            raise RuntimeError(
+                f"prefix_scan: batch starting at key {kmin} does not "
+                f"align with a pass-A block boundary — the two passes "
+                f"saw different batchings")
         return t.append_column(
             out_col, pa.array(local + int(offs[i]), pa.int64()))
 

@@ -93,6 +93,8 @@ def hll_estimate(regs: np.ndarray) -> float:
     counting) correction; the large-range correction is unnecessary
     with 64-bit hashes."""
     m = len(regs)
+    if m == 0:          # no batches at all -> nothing was counted
+        return 0.0
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     if est <= 2.5 * m:
@@ -170,6 +172,19 @@ def mg_partial(values: np.ndarray, k: int) -> tuple[np.ndarray,
     return items, counts, decr, n
 
 
+def _mg_finalize(df: "pd.DataFrame", k: int) -> tuple[pd.DataFrame, int]:
+    """Shared final step of every MG merge: sum duplicate items, apply
+    one decrement round, sort.  ``df`` has columns (item, est).
+    Returns (DataFrame[item, est], extra decrement)."""
+    merged = df.groupby("item", sort=False)["est"].sum().reset_index()
+    items, counts, d2 = _mg_compress(merged["item"].to_numpy(),
+                                     merged["est"].to_numpy(np.int64), k)
+    out = pd.DataFrame({"item": items, "est": counts}) \
+        .sort_values(["est", "item"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    return out, d2
+
+
 def mg_merge(summaries: list[tuple[np.ndarray, np.ndarray, int, int]],
              k: int) -> tuple[pd.DataFrame, int, int]:
     """Merge MG summaries (Agarwal et al. 2013: summing then one
@@ -181,14 +196,18 @@ def mg_merge(summaries: list[tuple[np.ndarray, np.ndarray, int, int]],
     n = sum(b for _, _, _, b in summaries)
     if not frames:
         return pd.DataFrame({"item": [], "est": []}), decr, n
-    df = pd.concat(frames).groupby("item", sort=False)["est"].sum() \
-        .reset_index()
-    items, counts, d2 = _mg_compress(df["item"].to_numpy(),
-                                     df["est"].to_numpy(np.int64), k)
-    out = pd.DataFrame({"item": items, "est": counts}) \
-        .sort_values(["est", "item"], ascending=[False, True]) \
-        .reset_index(drop=True)
+    out, d2 = _mg_finalize(pd.concat(frames), k)
     return out, decr + d2, n
+
+
+def explode_ws_tokens(texts: list[str]) -> np.ndarray:
+    """THE whitespace tokenization every token statistic in this repo
+    shares (heavy_hitters, the corpus profiler, and the exact-count
+    baselines the MG guarantee asserts against).  Intentionally counts
+    empty-string tokens from consecutive spaces — all producers and
+    checkers must agree on that, so change it HERE or nowhere."""
+    return np.array(" ".join(texts).split(" ")) if texts \
+        else np.array([], dtype=str)
 
 
 def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64,
@@ -208,9 +227,7 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64,
 
     def partial(t: pa.Table) -> pa.Table:
         if explode_tokens:
-            texts = t[col].to_pylist()
-            vals = np.array(" ".join(texts).split(" ")) if texts \
-                else np.array([], dtype=str)
+            vals = explode_ws_tokens(t[col].to_pylist())
         else:
             vals = t[col].to_numpy(zero_copy_only=False)
         items, counts, decr, n = mg_partial(vals, k)
@@ -233,12 +250,7 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64,
     meta = df[df["item"] == "m:"]
     data = df[df["item"] != "m:"].copy()
     data["item"] = data["item"].str.slice(2)
-    merged = data.groupby("item", sort=False)["est"].sum().reset_index()
-    items, counts, d2 = _mg_compress(merged["item"].to_numpy(),
-                                     merged["est"].to_numpy(np.int64), k)
-    out = pd.DataFrame({"item": items, "est": counts}) \
-        .sort_values(["est", "item"], ascending=[False, True]) \
-        .reset_index(drop=True)
+    out, d2 = _mg_finalize(data[["item", "est"]], k)
     decr = int(meta["decr"].sum()) + d2
     n = int(meta["n"].sum())
     return {"top": out, "max_undercount": decr, "n": n, "k": k}
@@ -345,14 +357,19 @@ def dd_quantiles(ds: rd.Dataset, col: str, qs: tuple = (0.5, 0.9, 0.99),
     (rows out = distinct buckets, ~1400 for alpha=1% across 12 orders
     of magnitude — constant, not data-sized).  One narrow groupby sums
     the histograms; the driver walks the ~KB cumulative histogram to
-    answer any quantile within ``alpha`` RELATIVE error, guaranteed.
-    Zeros are counted exactly in a dedicated bucket; this corpus has no
-    negatives (extend with a mirrored negative store if needed)."""
+    answer any quantile within ``alpha`` RELATIVE error, guaranteed
+    over the positive range.  Values <= 0 are clamped into a dedicated
+    zero bucket (reported as 0.0 — the convention shared with
+    :func:`dd_quantiles_per_group`; add a mirrored negative store if a
+    corpus needs signed quantiles)."""
     gamma = (1 + alpha) / (1 - alpha)
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        zeros = int((x == 0).sum())
+        # values <= 0 all land in the dedicated zero bucket (clamped;
+        # same convention as dd_quantiles_per_group) — the alpha
+        # guarantee applies to the positive range
+        zeros = int((x <= 0).sum())
         pos = x[x > 0]
         b, c = np.unique(dd_bucket(pos, gamma), return_counts=True)
         if zeros:

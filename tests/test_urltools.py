@@ -56,3 +56,17 @@ def test_registrable_domain(host, want):
 ])
 def test_no_authority_passthrough(raw):
     assert canonicalize_url(raw) == raw
+
+
+@pytest.mark.parametrize("raw,want", [
+    # invalid ports: never raise, pass through
+    ("http://e.com:abc/x", "http://e.com:abc/x"),
+    ("http://e.com:99999999/x", "http://e.com:99999999/x"),
+    # IPv6 literals keep brackets
+    ("http://[2001:db8::1]/x", "http://[2001:db8::1]/x"),
+    ("HTTP://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),
+])
+def test_junk_ports_and_ipv6(raw, want):
+    got = canonicalize_url(raw)
+    assert got == want
+    assert canonicalize_url(got) == got  # idempotent
