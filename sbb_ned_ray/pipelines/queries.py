@@ -2878,6 +2878,36 @@ def embedding_kmeans(sf_dir: str, k: int = 8):
     })
 
 
+def heavy_hitter_users_per_type(sf_dir: str, k: int = 24):
+    """SELF-CHECKING (approximate, no SQL twin): per-group Misra-Gries
+    — the heaviest users within each event_type, merged in map_groups
+    with the same guarantee-preserving finalize as the global sketch.
+    Asserts the per-group MG guarantee against exact counts."""
+    from sbb_ned_ray.stages.sketches import heavy_hitters_per_group
+    ds = _read_split(sf_dir, "events",
+                     ["event_type", "user_id"]).materialize()
+    out = heavy_hitters_per_group(ds, "event_type", "user_id", k=k)
+    exact = ds.to_pandas()
+    for g, sub in out.groupby("event_type"):
+        true = exact.loc[exact["event_type"] == g, "user_id"] \
+            .astype(str).value_counts()
+        n_g = int(sub["n_group"].iloc[0])
+        assert n_g == int(true.sum()), (g, n_g)
+        est = dict(zip(sub["item"], sub["est"]))
+        bound = int(sub["max_undercount"].iloc[0])
+        for item, cnt in true.items():
+            if cnt > n_g / (k + 1):
+                assert item in est, (g, item, cnt)
+        for item, e in est.items():
+            t = int(true.get(item, 0))
+            assert e <= t <= e + bound, (g, item, e, t)
+    out = out.copy()
+    out["item"] = out["item"].astype(str)
+    return out.sort_values(["event_type", "est", "item"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -2958,6 +2988,7 @@ QUERIES = {
     "blocking_quality": blocking_quality,
     "events_value_quantiles_per_type": events_value_quantiles_per_type,
     "embedding_kmeans": embedding_kmeans,
+    "heavy_hitter_users_per_type": heavy_hitter_users_per_type,
 }
 
 ORACLE_SQL = {

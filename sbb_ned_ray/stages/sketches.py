@@ -458,3 +458,41 @@ def dd_quantiles_per_group(ds: rd.Dataset, group: str, col: str,
             est = 0.0 if b == zero_bucket else 2 * gamma ** b / (gamma + 1)
             out.append({group: g, "q": q, "estimate": est})
     return pd.DataFrame(out)
+
+
+def heavy_hitters_per_group(ds: rd.Dataset, group: str, col: str,
+                            k: int = 32) -> "pd.DataFrame":
+    """Per-group Misra-Gries heavy hitters: per-batch per-group
+    summaries (<= k+1 rows each, the ``m:`` metadata row carrying that
+    batch-group's decrement and n) merged inside ``map_groups`` via the
+    same :func:`_mg_finalize` as the global path — so the classic MG
+    guarantee (present if freq > n_g/(k+1); est <= true <= est +
+    max_undercount) holds PER GROUP.  Shuffle volume: O(groups x k)
+    rows per batch, independent of row count."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in df.groupby(group, sort=False):
+            items, counts, decr, n = mg_partial(
+                sub[col].to_numpy(), k)
+            for it, c in zip(items.astype(str), counts):
+                out.append({group: g, "item": "i:" + it,
+                            "est": int(c), "decr": 0, "n": 0})
+            out.append({group: g, "item": "m:", "est": 0,
+                        "decr": decr, "n": n})
+        return pd.DataFrame(out,
+                            columns=[group, "item", "est", "decr", "n"])
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        meta = gdf[gdf["item"] == "m:"]
+        data = gdf[gdf["item"] != "m:"].copy()
+        data["item"] = data["item"].str.slice(2)
+        top, d2 = _mg_finalize(data[["item", "est"]], k)
+        top.insert(0, group, gdf[group].iloc[0])
+        top["max_undercount"] = np.int64(int(meta["decr"].sum()) + d2)
+        top["n_group"] = np.int64(int(meta["n"].sum()))
+        return top
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(group).map_groups(merge, batch_format="pandas") \
+        .to_pandas()

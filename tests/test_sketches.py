@@ -310,3 +310,23 @@ def test_kmeans_distributed_matches_reference(ray_session):
     assert np.allclose(np.sort(counts),
                        np.sort(np.bincount(a, minlength=k)))
     assert abs(trace[-1] - inertia) / inertia < 1e-6
+
+
+def test_heavy_hitters_per_group_ray(user_ds):
+    from sbb_ned_ray.stages.sketches import heavy_hitters_per_group
+    ds, users, types = user_ds
+    k = 24
+    out = heavy_hitters_per_group(ds, "event_type", "user_id", k=k)
+    df = pd.DataFrame({"t": types, "u": users.astype(str)})
+    for g, sub in out.groupby("event_type"):
+        true = df[df["t"] == g]["u"].value_counts()
+        n_g = int(sub["n_group"].iloc[0])
+        assert n_g == int((df["t"] == g).sum())
+        est = dict(zip(sub["item"], sub["est"]))
+        bound = int(sub["max_undercount"].iloc[0])
+        for item, cnt in true.items():
+            if cnt > n_g / (k + 1):
+                assert item in est, (g, item, cnt)
+        for item, e in est.items():
+            t = int(true.get(item, 0))
+            assert e <= t <= e + bound, (g, item, e, t, bound)
