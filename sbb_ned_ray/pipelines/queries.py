@@ -1154,18 +1154,72 @@ ORDER BY query_id, knn_rank
 """
 
 
-def knn_cosine_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
-    """IVF variant (approximate; rows-only check — documented)."""
-    from sbb_ned_ray.stages.similarity import ivf_topk
+def _ivf_layout_for(sf_dir: str, n_centroids: int = 16) -> str:
+    """Build-once (fingerprint-cached) IVF partitioned layout for the
+    sf embeddings table — the index-build half of the IVF split; every
+    IVF query below serves from it."""
+    import os as _os
+
+    from sbb_ned_ray.stages.similarity import build_ivf_layout
     emb = rd.read_parquet(_t(sf_dir, "embeddings"),
                           columns=["vec_id", "embedding"])
+    art = _os.path.join(
+        "/tmp/sbb_ned_ray_artifacts",
+        "ivf_" + _os.path.basename(_os.path.normpath(sf_dir)))
+    return build_ivf_layout(emb, art, n_centroids=n_centroids)
+
+
+def _knn_queries(sf_dir: str, n_queries: int):
     qdf = rd.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]) \
         .filter(lambda r: r["vec_id"] < n_queries).to_pandas() \
         .sort_values("vec_id")
     queries = np.array([np.asarray(v, dtype=np.float64)
                         for v in qdf.embedding])
-    return ivf_topk(emb, queries, qdf.vec_id.tolist(), k=k)
+    return queries, qdf.vec_id.tolist()
+
+
+def knn_cosine_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """IVF variant served from the persisted centroid-partitioned
+    layout: reads ONLY the nprobe probed partitions (approximate;
+    rows-only check — documented)."""
+    from sbb_ned_ray.stages.similarity import ivf_topk_indexed
+    layout = _ivf_layout_for(sf_dir)
+    queries, qids = _knn_queries(sf_dir, n_queries)
+    return ivf_topk_indexed(layout, queries, qids, k=k)
+
+
+def ivf_scan_fraction(sf_dir: str, k: int = 10,
+                      nprobes: tuple = (2, 4, 8, 16)):
+    """SELF-CHECKING (I/O shape, no SQL twin): proves the IVF layout
+    prunes DATA, not just FLOPs — per nprobe, the bytes actually read
+    from the partitioned layout over the total layout size, for ONE
+    query (so the probed-partition union is exactly nprobe lists).
+    Asserts the scanned fraction is monotone in nprobe,
+    ≈ nprobe/n_centroids (within 2× slack for bucket skew), and
+    exactly 1.0 when every list is probed.  This is the check that the
+    round-3 full-corpus-scan defect stays dead."""
+    from sbb_ned_ray.stages.similarity import ivf_topk_indexed
+    layout = _ivf_layout_for(sf_dir)
+    queries, qids = _knn_queries(sf_dir, 1)
+    n_centroids = 16
+    rows = []
+    for nprobe in nprobes:
+        _, st = ivf_topk_indexed(layout, queries, qids, k=k,
+                                 nprobe=nprobe, return_stats=True)
+        frac = st["scanned_bytes"] / max(1, st["total_bytes"])
+        rows.append((int(nprobe), st["n_parts_scanned"],
+                     st["n_parts_total"], round(frac, 4)))
+    out = pd.DataFrame(rows, columns=["nprobe", "parts_scanned",
+                                      "parts_total", "scan_fraction"])
+    f = out["scan_fraction"].to_numpy()
+    assert (np.diff(f) >= -1e-9).all(), f"not monotone:\n{out}"
+    assert f[-1] == 1.0, f"full probe must scan everything:\n{out}"
+    for nprobe, scanned, frac in zip(out["nprobe"], out["parts_scanned"], f):
+        assert scanned <= nprobe, f"probed more lists than nprobe:\n{out}"
+        assert frac <= 2.0 * nprobe / n_centroids + 1e-9, \
+            f"scanned bytes not ∝ nprobe/n_centroids:\n{out}"
+    return out
 
 
 def simhash_recall(sf_dir: str, sample_docs: int = 256,
@@ -1256,24 +1310,18 @@ def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
     oracle: the quantity under test is the approximation itself."""
     import pandas as pd
 
-    from sbb_ned_ray.stages.similarity import ivf_topk
+    from sbb_ned_ray.stages.similarity import ivf_topk_indexed
 
     exact = knn_cosine(sf_dir, k=k, n_queries=n_queries)
     by_q = {int(q): set(g["vec_id"]) for q, g in exact.groupby("query_id")}
 
-    emb = rd.read_parquet(_t(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
-    qdf = rd.read_parquet(
-        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]) \
-        .filter(lambda r: r["vec_id"] < n_queries).to_pandas() \
-        .sort_values("vec_id")
-    queries = np.array([np.asarray(v, dtype=np.float64)
-                        for v in qdf.embedding])
+    layout = _ivf_layout_for(sf_dir)
+    queries, qids = _knn_queries(sf_dir, n_queries)
 
     rows = []
     for nprobe in nprobes:
-        approx = ivf_topk(emb, queries, qdf.vec_id.tolist(), k=k,
-                          nprobe=nprobe)
+        approx = ivf_topk_indexed(layout, queries, qids, k=k,
+                                  nprobe=nprobe)
         recs = [len(by_q[q] & set(g["vec_id"])) / max(1, len(by_q[q]))
                 for q, g in approx.groupby("query_id")]
         rows.append((int(nprobe), k,
@@ -2939,6 +2987,7 @@ QUERIES = {
     "knn_cosine": knn_cosine,
     "knn_cosine_ivf": knn_cosine_ivf,
     "knn_ivf_recall": knn_ivf_recall,
+    "ivf_scan_fraction": ivf_scan_fraction,
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_lsh_recall": minhash_lsh_recall,
     "simhash_dedup_docs": simhash_dedup_docs,

@@ -1,0 +1,93 @@
+"""IVF partitioned-layout tests: the build-index/serve split must
+prune DATA (read only probed partitions), agree with brute force at
+full probe, and be deterministic across batching/partitioning."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _emb_ds(n=400, d=12, seed=7, nparts=5):
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float32()))})
+    return rd.from_arrow(t).repartition(nparts), x
+
+
+def test_ivf_layout_build_and_serve_matches_brute(ray_session, tmp_path):
+    from sbb_ned_ray.stages.similarity import (
+        brute_force_topk,
+        build_ivf_layout,
+        ivf_topk_indexed,
+    )
+    ds, x = _emb_ds()
+    layout = build_ivf_layout(ds, str(tmp_path), n_centroids=8,
+                              sample_size=128)
+    # hive partition dirs exist and carry the whole corpus
+    parts = [p for p in os.listdir(os.path.join(layout, "data"))
+             if p.startswith("ivf_list=")]
+    assert 1 <= len(parts) <= 8
+    queries = x[:3].astype(np.float64)
+    qids = [0, 1, 2]
+    exact = brute_force_topk(ds, queries, qids, k=5)
+    # probing every list IS brute force
+    full, st = ivf_topk_indexed(layout, queries, qids, k=5, nprobe=8,
+                                return_stats=True)
+    assert st["scanned_bytes"] == st["total_bytes"]
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    assert np.allclose(full["cosine"], exact["cosine"])
+    # nprobe < n_centroids scans strictly less
+    _, st2 = ivf_topk_indexed(layout, queries, qids, k=5, nprobe=2,
+                              return_stats=True)
+    assert st2["scanned_bytes"] < st["total_bytes"]
+    assert st2["n_parts_scanned"] <= 3 * 2  # ≤ n_queries × nprobe lists
+
+
+def test_ivf_layout_build_is_idempotent(ray_session, tmp_path):
+    from sbb_ned_ray.stages.similarity import build_ivf_layout
+    ds, _ = _emb_ds()
+    a = build_ivf_layout(ds, str(tmp_path), n_centroids=4, sample_size=64)
+    mtime = os.path.getmtime(os.path.join(a, "centroids.npy"))
+    b = build_ivf_layout(ds, str(tmp_path), n_centroids=4, sample_size=64)
+    assert a == b
+    assert os.path.getmtime(os.path.join(b, "centroids.npy")) == mtime
+    # knob change → different fingerprint, fresh layout
+    c = build_ivf_layout(ds, str(tmp_path), n_centroids=5, sample_size=64)
+    assert c != a
+
+
+def test_seeded_sample_is_batching_invariant(ray_session):
+    from sbb_ned_ray.stages.similarity import seeded_sample
+    ds1, _ = _emb_ds(nparts=2)
+    ds2, _ = _emb_ds(nparts=13)
+    s1 = seeded_sample(ds1, 50)
+    s2 = seeded_sample(ds2, 50)
+    np.testing.assert_array_equal(s1, s2)
+    # and is NOT the biased first-N prefix
+    s_prefix = np.stack([np.asarray(v, np.float32) for v in
+                         ds1.limit(50).to_pandas()["embedding"]])
+    assert not np.array_equal(np.sort(s1, axis=0),
+                              np.sort(s_prefix, axis=0))
+
+
+def test_min_k_by_id_equals_sorted_head(ray_session):
+    from sbb_ned_ray.stages.similarity import min_k_by_id
+    ds, x = _emb_ds(nparts=7)
+    got = min_k_by_id(ds, 6)
+    np.testing.assert_allclose(
+        got, x[:6].astype(np.float64), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001"])
+def test_ivf_scan_fraction_query(ray_session, sf):
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    from sbb_ned_ray.pipelines.queries import ivf_scan_fraction
+    out = ivf_scan_fraction(sf)   # asserts live inside
+    assert out["scan_fraction"].iloc[-1] == 1.0
