@@ -117,64 +117,195 @@ def minhash_signatures(docs: ray.data.Dataset, text_col: str = "text",
     return docs.map_batches(signer, batch_format="pyarrow")
 
 
+def minhash_band_rows(sigs: ray.data.Dataset, num_perm: int = 64,
+                      bands: int = 16,
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """(doc_id, sig) → one row per (band, doc) carrying ONLY the band's
+    ``num_perm // bands`` signature slice, not the full signature.  The
+    LSH shuffle moves bands × (8 + r×8 + 8) B per doc (~0.6 KB at
+    64/16) instead of bands × num_perm × 8 B (~8 KB) — at corpus scale
+    the band shuffle IS the dedup job's dominant traffic, so the slice
+    is the difference between shipping 1× and ~13× the signature data.
+    Band keys are a vectorized polynomial+avalanche hash of the slice
+    (collisions guarded by the exact slice-equality check in-bucket)."""
+    r = num_perm // bands
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig_mat = batch["sig"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(n, num_perm)
+        keys, slices, idx = [], [], []
+        for band in range(bands):
+            sl = np.ascontiguousarray(sig_mat[:, band * r:(band + 1) * r])
+            acc = np.full(n, np.uint64(band * 2654435761 + 1),
+                          dtype=np.uint64)
+            for j in range(r):
+                acc = acc * np.uint64(1099511628211) + sl[:, j]
+            acc ^= acc >> np.uint64(30)
+            acc *= np.uint64(0xBF58476D1CE4E5B9)
+            acc ^= acc >> np.uint64(27)
+            acc *= np.uint64(0x94D049BB133111EB)
+            acc ^= acc >> np.uint64(31)
+            keys.append(acc)
+            slices.append(sl)
+            idx.append(np.arange(n, dtype=np.int64))
+        flat_slices = np.concatenate(slices).reshape(-1)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys), pa.uint64()),
+            id_col: batch[id_col].take(
+                pa.array(np.concatenate(idx), pa.int64())),
+            "bslice": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat_slices, pa.uint64()), r),
+        })
+
+    return sigs.map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, ngram: int = 5,
                       jaccard_threshold: float = 0.8, seed: int = 42,
                       max_pairs_per_bucket: int = 1000,
-                      driver_pair_limit: int = 200_000) -> pd.DataFrame:
+                      driver_pair_limit: int = 200_000,
+                      verify_num_partitions: int | None = None
+                      ) -> pd.DataFrame:
     """Near-dup clusters: returns DataFrame (doc_id, cluster_id) for docs
     in near-dup clusters (cluster_id = min doc_id of cluster).
 
-    Pipeline: sign per batch → flat_map to (band_key, doc_id, sig) →
-    groupby(band_key) → candidate pairs (capped per bucket — skew guard)
-    → MinHash-estimate verify ≥ threshold → transitive closure via
-    :func:`sbb_ned_ray.stages.cluster.pairs_to_clusters` (driver
+    Pipeline: sign per batch (ONCE, materialized) → band rows carrying
+    only the band's signature SLICE (:func:`minhash_band_rows` — ~13×
+    less shuffle volume than shipping the full signature per band) →
+    groupby(band_key) → slice-equality candidate pairs (capped per
+    bucket — skew guard) → global pair dedup (narrow groupby) → verify
+    survivors on the FULL signatures via a hash join back to the
+    signature table → MinHash-estimate ≥ threshold → transitive closure
+    via :func:`sbb_ned_ray.stages.cluster.pairs_to_clusters` (driver
     union-find for small pair sets, distributed label propagation above
     ``driver_pair_limit`` — a duplicate-heavy corpus cannot OOM the
     driver with its pair list).
     """
-    def band_rows_fn(batch: pa.Table) -> pa.Table:
-        mh = MinHasher(num_perm=num_perm, seed=seed)
-        out_band, out_id, out_sig = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            sig = mh.signature_from_text(text.lower(), ngram)
-            for bk in mh.band_keys(sig, bands):
-                out_band.append(bk)
-                out_id.append(did)
-                out_sig.append(sig.tolist())
-        return pa.table({
-            "band_key": pa.array(out_band, pa.uint64()),
-            id_col: pa.array(out_id),
-            "sig": pa.array(out_sig, pa.list_(pa.uint64())),
-        })
-
-    band_rows = docs.map_batches(band_rows_fn, batch_format="pyarrow")
+    if verify_num_partitions is None:
+        # each hash-shuffle join holds num_partitions aggregators; more
+        # partitions than CPUs deadlocks a small cluster and wins
+        # nothing on a large one until the pair set is itself large
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        verify_num_partitions = max(2, min(16, cpus // 2))
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, ngram=ngram,
+                              seed=seed).materialize()
+    band_rows = minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
+                                  id_col=id_col)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        rows = []
+        if len(g) < 2:
+            return empty
+        # band_key is a 64-bit hash of the slice; group by the exact
+        # slice bytes so a hash collision can never fabricate a pair
+        skey = g["bslice"].map(
+            lambda v: np.asarray(v, dtype=np.uint64).tobytes())
+        outs = []
         budget = max_pairs_per_bucket
-        for i in range(len(ids)):
-            if budget <= 0:
-                break
-            for j in range(i + 1, len(ids)):
-                if budget <= 0:
-                    break
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= jaccard_threshold:
-                    rows.append((ids[i], ids[j], est))
-                    budget -= 1
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]) \
-            if rows else pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "est_jaccard": pd.Series(dtype="float64")})
+        for _, sub in g.groupby(skey, sort=False):
+            if budget <= 0 or len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            take = min(budget, len(iu))
+            outs.append(pd.DataFrame({"id_a": ids[iu[:take]],
+                                      "id_b": ids[ju[:take]]}))
+            budget -= take
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    pairs_ds = bucketed_map_groups(band_rows, "band_key", bucket_pairs)
+    cand = bucketed_map_groups(band_rows, "band_key", bucket_pairs) \
+        .materialize()
+    n_cand = cand.count()
+    empty_out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "cluster_id": pd.Series(dtype="int64")})
+    if n_cand == 0:
+        return empty_out
+    if n_cand <= driver_pair_limit:
+        # small candidate set (the common case outside dup-heavy
+        # corpora): dedup pairs on the driver, pull ONLY the needed
+        # signatures with one broadcast-membership scan, verify
+        # vectorized — zero extra shuffles
+        pairs = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+        need = np.union1d(pairs["id_a"].to_numpy(),
+                          pairs["id_b"].to_numpy()).astype(np.int64)
+        need_ref = ray.put(need)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+        sd = sigs.map_batches(pick, batch_format="pyarrow").to_pandas()
+        sd = sd.sort_values(id_col)
+        ids_sorted = sd[id_col].to_numpy()
+        mat = np.stack([np.asarray(s, np.uint64) for s in sd["sig"]])
+        sa = mat[np.searchsorted(ids_sorted, pairs["id_a"].to_numpy())]
+        sb = mat[np.searchsorted(ids_sorted, pairs["id_b"].to_numpy())]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        if not keep.any():
+            return empty_out
+        verified = pairs.loc[keep].assign(est_jaccard=est[keep])
+        pairs_ds = ray.data.from_pandas(verified.reset_index(drop=True))
+        out = pairs_to_clusters(pairs_ds,
+                                driver_pair_limit=driver_pair_limit)
+        out["node"] = out["node"].astype("int64")
+        out["cluster_id"] = out["cluster_id"].astype("int64")
+        return out.rename(columns={"node": "doc_id"})
+    # scale path: the same pair surfaces from every agreeing band —
+    # dedup on the narrow (id_a, id_b) rows before fetching full
+    # signatures via the distributed hash join
+    cand = cand.groupby(["id_a", "id_b"]).count() \
+        .map_batches(lambda t: t.select(["id_a", "id_b"]),
+                     batch_format="pyarrow")
+
+    def _rename(suffix: str):
+        # the hash join carries the signature as fixed-width BINARY —
+        # acero rejects list<> payload columns in join non-key fields
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            sig_bytes = t["sig"].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64) \
+                .reshape(n, num_perm)
+            return pa.table({
+                f"id_{suffix}": t[t.column_names[0]],
+                f"sig_{suffix}": pa.array(
+                    [sig_bytes[i].tobytes() for i in range(n)],
+                    pa.binary())})
+        return fn
+
+    sig_a = sigs.map_batches(_rename("a"), batch_format="pyarrow")
+    sig_b = sigs.map_batches(_rename("b"), batch_format="pyarrow")
+    joined = cand.join(sig_a, join_type="inner",
+                       num_partitions=verify_num_partitions,
+                       on=("id_a",)) \
+        .join(sig_b, join_type="inner",
+              num_partitions=verify_num_partitions, on=("id_b",))
+
+    def verify_est(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.frombuffer(
+            b"".join(t["sig_a"].to_pylist()), dtype=np.uint64) \
+            .reshape(t.num_rows, num_perm)
+        sb = np.frombuffer(
+            b"".join(t["sig_b"].to_pylist()), dtype=np.uint64) \
+            .reshape(t.num_rows, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    pairs_ds = joined.map_batches(verify_est, batch_format="pyarrow")
     out = pairs_to_clusters(pairs_ds, driver_pair_limit=driver_pair_limit)
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
