@@ -32,6 +32,70 @@ DEFAULT_GRID = {
 }
 
 
+def ranked_topk_metrics(links: pd.DataFrame, mentions_gt: pd.DataFrame,
+                        ks: tuple = (1, 3, 5)) -> pd.DataFrame:
+    """HIPE-scorer-style ranked NEL metrics: micro AND macro P/R/F1
+    @k over the pipeline's full per-mention ranking (``out_rank``).
+
+    A gold mention counts as TP@k when its gold ``qid`` appears among
+    the mention's top-k ranked predictions (the hipe-scorer
+    ``NEL-LIT-micro-fuzzy-@k`` contract the reference's result tables
+    consume, ``clef_hipe_2020.py:554-614``, ``Makefile.CLEF2022:
+    224-236``).  Micro aggregates counts over all mentions
+    (P = TP / predicted mentions, R = TP / gold mentions); macro
+    averages per-document (url) P/R/F1 across documents.
+
+    ``links``: (url, mention_id, qid, out_rank, …) — ALL ranks, i.e.
+    ``build_ned_links`` output, NOT ``top_links``.
+    ``mentions_gt``: (url, mention_id, qid) gold rows.
+    """
+    gt = mentions_gt[["url", "mention_id", "qid"]].dropna(subset=["qid"]) \
+        .drop_duplicates(["url", "mention_id"])
+    pred_mentions = links.drop_duplicates(["url", "mention_id"])
+    n_gold = len(gt)
+    n_pred = len(pred_mentions)
+    gold_per_url = gt.groupby("url").size()
+    pred_per_url = pred_mentions.groupby("url").size()
+    urls = gold_per_url.index.union(pred_per_url.index)
+
+    rows = []
+    for k in ks:
+        topk = links.loc[links["out_rank"] < k,
+                         ["url", "mention_id", "qid"]]
+        hits = topk.merge(gt, on=["url", "mention_id", "qid"],
+                          how="inner").drop_duplicates(["url",
+                                                        "mention_id"])
+        tp = len(hits)
+        micro_p = tp / n_pred if n_pred else 0.0
+        micro_r = tp / n_gold if n_gold else 0.0
+        micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
+                    if micro_p + micro_r else 0.0)
+        # macro: per-document P/R/F1, averaged over documents
+        tp_per_url = hits.groupby("url").size()
+        ps, rs, f1s = [], [], []
+        for u in urls:
+            t = int(tp_per_url.get(u, 0))
+            np_u = int(pred_per_url.get(u, 0))
+            ng_u = int(gold_per_url.get(u, 0))
+            p = t / np_u if np_u else 0.0
+            r = t / ng_u if ng_u else 0.0
+            ps.append(p)
+            rs.append(r)
+            f1s.append(2 * p * r / (p + r) if p + r else 0.0)
+        n_docs = len(urls)
+        rows.append({
+            "k": int(k), "tp": tp, "n_pred": n_pred, "n_gold": n_gold,
+            "micro_p_e6": int(micro_p * 1e6 + 0.5),
+            "micro_r_e6": int(micro_r * 1e6 + 0.5),
+            "micro_f1_e6": int(micro_f1 * 1e6 + 0.5),
+            "macro_p_e6": int(sum(ps) / n_docs * 1e6 + 0.5) if n_docs else 0,
+            "macro_r_e6": int(sum(rs) / n_docs * 1e6 + 0.5) if n_docs else 0,
+            "macro_f1_e6": int(sum(f1s) / n_docs * 1e6 + 0.5)
+            if n_docs else 0,
+        })
+    return pd.DataFrame(rows)
+
+
 def ned_eval_grid(fixture_dir: str, config: PipelineConfig | None = None,
                   grid: dict | None = None) -> pd.DataFrame:
     """Sweep the decision knobs over the flagship pipeline; one row per

@@ -2125,6 +2125,32 @@ def ned_eval_f1(sf_dir: str):
     }])
 
 
+def ned_eval_topk(sf_dir: str, ks: tuple = (1, 3, 5)):
+    """SELF-CHECKING (rank-aware quality gate, no SQL twin): the
+    hipe-scorer-style micro/macro P/R/F1 @1/@3/@5 over the pipeline's
+    full per-mention ranking (``out_rank``) against the per-mention
+    gold qids — the reference's actual scoring regime
+    (``NEL-LIT-micro-fuzzy-@k``; pairwise F1 is the cluster-level
+    view, this is the ranking-level view).  Asserts recall is
+    monotone non-decreasing in k (a bigger cutoff can only add hits)
+    and that @1 micro-F1 matches the pipeline's known top-1 quality
+    (≥ 0.95 on the synthetic fixture, where pairwise F1 is 1.0)."""
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.pipelines.evalgrid import ranked_topk_metrics
+    from sbb_ned_ray.pipelines.ned import build_ned_links
+    pages_dir = pages_dir_for_sf(sf_dir)
+    links = build_ned_links(pages_dir, PipelineConfig()).to_pandas()
+    gt = pq.read_table(f"{pages_dir}/mentions_gt.parquet").to_pandas()
+    out = ranked_topk_metrics(links, gt, ks=ks)
+    r = out["micro_r_e6"].to_numpy()
+    assert (np.diff(r) >= 0).all(), f"recall@k not monotone:\n{out}"
+    assert out["micro_f1_e6"].iloc[0] >= 950_000, \
+        f"@1 micro-F1 collapsed:\n{out}"
+    assert (out["macro_f1_e6"] <= 1_000_000).all()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Sketches + semi-join prefilters + remaining relational shapes
 # (round 3: HLL / Misra-Gries / Bloom — the O(blocks x sketch) answers
@@ -3014,6 +3040,7 @@ QUERIES = {
     "ned_links_shuffle_kb": ned_links_shuffle_kb,
     "ned_decider_cv": ned_decider_cv,
     "ned_eval_f1": ned_eval_f1,
+    "ned_eval_topk": ned_eval_topk,
     "ned_eval_grid": ned_eval_grid,
     "distinct_users_per_type": distinct_users_per_type,
     "distinct_users_hll": distinct_users_hll,
