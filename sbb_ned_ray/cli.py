@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             r.add_argument("--resume", action="store_true",
                            help="per-partition resumable mode")
+            r.add_argument("--kb-path",
+                           choices=("auto", "broadcast", "shuffle"),
+                           default="auto",
+                           help="candidate-blocking shape: auto measures"
+                                " the KB footprint against the object "
+                                "store and picks broadcast or co-shuffle"
+                                " (default)")
 
     e = sub.add_parser("eval", help="pairwise-F1 against labeled pairs")
     e.add_argument("--pages", required=True)
@@ -117,11 +124,25 @@ def main(argv: list[str] | None = None) -> int:
                     "completed": summary["completed"],
                     "skipped": summary["skipped"]}))
             else:
-                from sbb_ned_ray.pipelines.ned import run_ned
-                links = run_ned(args.pages, cfg)
+                from sbb_ned_ray.pipelines.ned import (
+                    run_ned,
+                    run_ned_auto,
+                    run_ned_shuffle_kb,
+                    select_ned_path,
+                )
+                if args.kb_path == "auto":
+                    path, info = select_ned_path(args.pages)
+                    links = run_ned_auto(args.pages, cfg)
+                elif args.kb_path == "broadcast":
+                    path, info = "broadcast", {}
+                    links = run_ned(args.pages, cfg)
+                else:
+                    path, info = "shuffle", {}
+                    links = run_ned_shuffle_kb(args.pages, cfg)
                 os.makedirs(args.out, exist_ok=True)
                 links.to_parquet(os.path.join(args.out, "links.parquet"))
                 print(json.dumps({"links": int(len(links)),
+                                  "kb_path": path, **info,
                                   "out": args.out}))
         elif args.cmd == "run-shuffle-kb":
             from sbb_ned_ray.pipelines.ned import run_ned_shuffle_kb

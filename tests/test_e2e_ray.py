@@ -330,3 +330,29 @@ def test_task_pool_stages_equal_actor_pools(tiny_fixture_dir):
     assert len(sa) > 0
     assert sa[["url", "mention_id", "qid", "p1", "score"]].equals(
         st[["url", "mention_id", "qid", "p1", "score"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_path_selection_and_parity(tiny_fixture_dir):
+    """run_ned_auto must pick broadcast for a KB that fits the object
+    store, shuffle when the budget is forced to zero — and both
+    dispatches must produce identical top-1 links."""
+    from sbb_ned_ray.pipelines.ned import (
+        run_ned_auto,
+        select_ned_path,
+    )
+
+    path, info = select_ned_path(tiny_fixture_dir)
+    assert path == "broadcast"
+    assert 0 < info["estimated_index_bytes"] < info["broadcast_budget_bytes"]
+    forced, _ = select_ned_path(tiny_fixture_dir, broadcast_fraction=0.0)
+    assert forced == "shuffle"
+
+    cfg = PipelineConfig()
+    a = run_ned_auto(tiny_fixture_dir, cfg)                 # broadcast
+    b = run_ned_auto(tiny_fixture_dir, cfg,
+                     broadcast_fraction=0.0)                # shuffle
+    cols = ["url", "mention_id", "qid", "candidate_title"]
+    aa = a[cols].sort_values(cols[:2]).reset_index(drop=True)
+    bb = b[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert aa.equals(bb)
