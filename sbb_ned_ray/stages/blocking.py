@@ -58,6 +58,161 @@ def _band_keys(part: str, cfg: PipelineConfig, hasher: MinHasher) -> list[int]:
     return list(hasher.band_keys(sig, cfg.lsh_bands))
 
 
+def _alias_rows_rowloop(t: pa.Table, with_meta: bool,
+                        meta_cols: list[str]) -> pa.Table:
+    """Row-loop reference for :func:`_alias_rows_vectorized` — kept for
+    the bit-exactness parity test (tests/test_blocking_shuffle.py), not
+    called in the pipeline."""
+    kinds, keys_col, eids, titles, qids, probas = [], [], [], [], [], []
+    src_rows: list[int] = []   # row in t, for metadata gather
+    for row_no, (eid, title, qid, proba, aliases) in enumerate(zip(
+            t["eid"].to_pylist(), t["page_title"].to_pylist(),
+            t["qid"].to_pylist(), t["proba"].to_pylist(),
+            t["aliases"].to_pylist())):
+        seen_parts = set()
+        seen_keys = set()
+        for alias in aliases:
+            parts = filter_surface(normalize_chars(alias))
+            if not parts:
+                continue
+            key = " ".join(parts)
+            if key not in seen_keys:
+                seen_keys.add(key)
+                kinds.append(1)
+                keys_col.append(key)
+                eids.append(eid)
+                titles.append(title)
+                qids.append(qid)
+                probas.append(float(proba))
+                src_rows.append(row_no)
+            for p in parts:
+                if p in seen_parts:
+                    continue
+                seen_parts.add(p)
+                kinds.append(0)
+                keys_col.append(p)
+                eids.append(eid)
+                titles.append(title)
+                qids.append(qid)
+                probas.append(float(proba))
+                src_rows.append(row_no)
+    out = pa.table({
+        "kind": pa.array(kinds, pa.int8()),
+        "key0": pa.array(keys_col, pa.string()),
+        "eid": pa.array(eids, pa.int64()),
+        "title": pa.array(titles, pa.string()),
+        "qid": pa.array(qids, pa.string()),
+        "proba": pa.array(probas, pa.float64()),
+    })
+    if with_meta:
+        take = pa.array(src_rows, pa.int64())
+        for col in meta_cols:
+            if col in t.column_names:
+                out = out.append_column(col, t[col].take(take))
+            else:
+                out = out.append_column(
+                    col, pa.nulls(out.num_rows, pa.float64()))
+    return out
+
+
+def _alias_rows_vectorized(t: pa.Table, with_meta: bool,
+                           meta_cols: list[str]) -> pa.Table:
+    """ONE pass per KB batch → combined rows tagged by ``kind``
+    (0 = part posting, 1 = exact surface key) — the two tables are
+    split afterward instead of normalizing every alias twice.
+
+    Vectorized normalize→explode: the alias column is flattened once,
+    ``filter_surface(normalize_chars(…))`` runs per UNIQUE alias (not
+    per occurrence), the parts explosion is a ragged-arange gather, and
+    the per-entity first-occurrence dedup is one hash-based
+    ``duplicated`` over (row, kind, key).  Bit-exact vs
+    :func:`_alias_rows_rowloop` including row ORDER (parity-tested) —
+    at a Wikidata-scale KB this loop is the index-build job's wall."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    empty = pa.table({
+        "kind": pa.array([], pa.int8()),
+        "key0": pa.array([], pa.string()),
+        "eid": pa.array([], pa.int64()),
+        "title": pa.array([], pa.string()),
+        "qid": pa.array([], pa.string()),
+        "proba": pa.array([], pa.float64()),
+    })
+
+    def _finish(out: pa.Table, take: pa.Array | None) -> pa.Table:
+        if with_meta:
+            for col in meta_cols:
+                if col in t.column_names and take is not None:
+                    out = out.append_column(col, t[col].take(take))
+                else:
+                    out = out.append_column(
+                        col, pa.nulls(out.num_rows,
+                                      t[col].type if col in t.column_names
+                                      else pa.float64()))
+        return out
+
+    if n == 0:
+        return _finish(empty, None)
+    al = t["aliases"].combine_chunks()
+    counts = al.value_lengths().fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    alias_np = np.asarray(al.flatten().to_pylist(), dtype=object)
+    if len(alias_np) == 0:
+        return _finish(empty, None)
+    # hash-based factorize (no sort): normalize each UNIQUE alias once
+    inv, uniq = pd.factorize(alias_np)
+    uparts = [filter_surface(normalize_chars(u)) for u in uniq]
+    ukey = np.array([" ".join(p) for p in uparts], dtype=object)
+    ulen = np.array([len(p) for p in uparts], dtype=np.int64)
+    uflat = np.array([w for p in uparts for w in p], dtype=object)
+    ustart = np.zeros(len(ulen), dtype=np.int64)
+    if len(ulen) > 1:
+        ustart[1:] = np.cumsum(ulen)[:-1]
+
+    # per-occurrence record layout, built directly in the row-loop's
+    # emission order (exact key, then that alias's parts) — no sort
+    valid = ulen[inv] > 0
+    lens_occ = np.where(valid, ulen[inv], 0)
+    rc = np.where(valid, 1 + lens_occ, 0)        # records per occurrence
+    rec_total = int(rc.sum())
+    rec_start = np.zeros(len(rc), dtype=np.int64)
+    if len(rc) > 1:
+        rec_start[1:] = np.cumsum(rc)[:-1]
+
+    key_arr = np.empty(rec_total, dtype=object)
+    kind_arr = np.zeros(rec_total, dtype=np.int8)
+    ex_pos = rec_start[valid]
+    key_arr[ex_pos] = ukey[inv[valid]]
+    kind_arr[ex_pos] = 1
+    total = int(lens_occ.sum())
+    if total:
+        ends = np.cumsum(lens_occ)
+        inner = np.arange(total, dtype=np.int64) \
+            - np.repeat(ends - lens_occ, lens_occ)
+        key_arr[np.repeat(rec_start, lens_occ) + 1 + inner] = \
+            uflat[inner + np.repeat(ustart[inv], lens_occ)]
+    row_rec = np.repeat(row_idx, rc)
+
+    # first-occurrence dedup per (row, kind, key): factorize the key
+    # once, then one hash dedup over three int columns
+    kcodes = pd.factorize(key_arr)[0]
+    keep = ~pd.DataFrame({"r": row_rec, "k": kind_arr,
+                          "c": kcodes}).duplicated().to_numpy()
+    take = pa.array(row_rec[keep], pa.int64())
+    out = pa.table({
+        "kind": pa.array(kind_arr[keep], pa.int8()),
+        "key0": pa.array(key_arr[keep].tolist(), pa.string()),
+        "eid": t["eid"].combine_chunks().take(take),
+        "title": t["page_title"].combine_chunks().take(take),
+        "qid": t["qid"].combine_chunks().take(take),
+        "proba": pc.cast(t["proba"].combine_chunks().take(take),
+                         pa.float64()),
+    })
+    return _finish(out, take)
+
+
 def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
                     num_partitions: int = 4,
                     with_meta: bool = False) -> dict:
@@ -79,59 +234,7 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
         kb_eid.select([c for c in keep if c in kb_eid.column_names]))
 
     def alias_rows(t: pa.Table) -> pa.Table:
-        """ONE pass per KB batch → combined rows tagged by ``kind``
-        (0 = part posting, 1 = exact surface key) — the two tables are
-        split afterward instead of normalizing every alias twice."""
-        kinds, keys_col, eids, titles, qids, probas = [], [], [], [], [], []
-        src_rows: list[int] = []   # row in t, for metadata gather
-        for row_no, (eid, title, qid, proba, aliases) in enumerate(zip(
-                t["eid"].to_pylist(), t["page_title"].to_pylist(),
-                t["qid"].to_pylist(), t["proba"].to_pylist(),
-                t["aliases"].to_pylist())):
-            seen_parts = set()
-            seen_keys = set()
-            for alias in aliases:
-                parts = filter_surface(normalize_chars(alias))
-                if not parts:
-                    continue
-                key = " ".join(parts)
-                if key not in seen_keys:
-                    seen_keys.add(key)
-                    kinds.append(1)
-                    keys_col.append(key)
-                    eids.append(eid)
-                    titles.append(title)
-                    qids.append(qid)
-                    probas.append(float(proba))
-                    src_rows.append(row_no)
-                for p in parts:
-                    if p in seen_parts:
-                        continue
-                    seen_parts.add(p)
-                    kinds.append(0)
-                    keys_col.append(p)
-                    eids.append(eid)
-                    titles.append(title)
-                    qids.append(qid)
-                    probas.append(float(proba))
-                    src_rows.append(row_no)
-        out = pa.table({
-            "kind": pa.array(kinds, pa.int8()),
-            "key0": pa.array(keys_col, pa.string()),
-            "eid": pa.array(eids, pa.int64()),
-            "title": pa.array(titles, pa.string()),
-            "qid": pa.array(qids, pa.string()),
-            "proba": pa.array(probas, pa.float64()),
-        })
-        if with_meta:
-            take = pa.array(src_rows, pa.int64())
-            for col in meta_cols:
-                if col in t.column_names:
-                    out = out.append_column(col, t[col].take(take))
-                else:
-                    out = out.append_column(
-                        col, pa.nulls(out.num_rows, pa.float64()))
-        return out
+        return _alias_rows_vectorized(t, with_meta, meta_cols)
 
     import pyarrow.compute as pc
     combined = kb_ds.map_batches(alias_rows,

@@ -92,3 +92,38 @@ def test_salted_attach_join(ray_session, blocking_ctx):
     md = mentions.to_pandas()
     expected = int(md["surface"].map(per_surface).fillna(0).sum())
     assert len(joined) == expected
+
+
+def test_alias_rows_vectorized_bitexact(tiny_fixture_dir):
+    """The vectorized normalize→explode must equal the row-loop
+    reference INCLUDING row order (Table.equals) — with and without
+    the metadata columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sbb_ned_ray.sources.pages import read_kb_table
+    from sbb_ned_ray.stages.blocking import (
+        _alias_rows_rowloop,
+        _alias_rows_vectorized,
+    )
+
+    kb = read_kb_table(tiny_fixture_dir)
+    t = kb.append_column(
+        "eid", pa.array(np.arange(kb.num_rows, dtype=np.int64)))
+    meta = ["longitude", "latitude", "dateofbirth", "inception"]
+    for with_meta in (False, True):
+        a = _alias_rows_rowloop(t, with_meta, meta)
+        b = _alias_rows_vectorized(t, with_meta, meta)
+        assert a.schema.equals(b.schema), (a.schema, b.schema)
+        assert a.equals(b), (a.num_rows, b.num_rows)
+    # degenerate inputs: empty batch, all-empty alias lists
+    e = t.slice(0, 0)
+    assert _alias_rows_vectorized(e, False, meta).num_rows == 0
+    blank = pa.table({
+        "eid": pa.array([0], pa.int64()),
+        "page_title": pa.array(["X"]),
+        "qid": pa.array(["Q1"]),
+        "proba": pa.array([0.5], pa.float64()),
+        "aliases": pa.array([[]], pa.list_(pa.string())),
+    })
+    assert _alias_rows_vectorized(blank, False, meta).num_rows == 0
