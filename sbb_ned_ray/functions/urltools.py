@@ -109,7 +109,9 @@ def registrable_domain(host: str) -> str:
     second-level-suffix table).  IP literals return unchanged."""
     host = host.lower().rstrip(".")
     labels = host.split(".")
-    if len(labels) <= 2 or labels[-1].isdigit():
+    # IP literal = EVERY label numeric (a trailing numeric label alone —
+    # e.g. "cdn.example.123" — is a hostname, not an IPv4 address)
+    if len(labels) <= 2 or all(lb.isdigit() for lb in labels):
         return host
     if ".".join(labels[-2:]) in _SECOND_LEVEL:
         return ".".join(labels[-3:])

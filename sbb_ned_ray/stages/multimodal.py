@@ -221,9 +221,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         i += 12 + size
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if w * h > (1 << 26):
+        # sanity cap (64 Mpx): crafted tiny payloads must not allocate
+        # unboundedly in a web-corpus setting
+        raise ValueError(f"image too large: {w}x{h}")
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflation: ask for at most expected+1 bytes — a zip-bomb
+    # IDAT stream stops at the cap instead of materializing fully
+    dec = zlib.decompressobj()
+    raw_bytes = dec.decompress(bytes(idat), expected + 1)
+    raw = np.frombuffer(raw_bytes, dtype=np.uint8)
+    if len(raw) != expected:
         raise ValueError("bad decompressed length")
     raw = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -315,9 +324,21 @@ class ImageDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = [m.as_py() for m in batch["media"]]
         feats, widths, heights, means_e2 = [], [], [], []
+        import struct
+        import zlib
         for m in payloads:
+            arr = None
             if m[:2] == b"P6" or m[:8] == _PNG_SIG:
-                arr = decode_ppm(m) if m[:2] == b"P6" else decode_png(m)
+                # a truncated/palette/16-bit/interlaced or otherwise
+                # malformed payload from a web corpus must degrade to
+                # the stub-feature path, not kill the Ray task
+                try:
+                    arr = decode_ppm(m) if m[:2] == b"P6" \
+                        else decode_png(m)
+                except (ValueError, struct.error, zlib.error,
+                        IndexError):
+                    arr = None
+            if arr is not None:
                 rgb = arr[..., :3]        # drop alpha for ALL stats
                 feats.append(self._real_features(rgb))
                 heights.append(arr.shape[0])
@@ -358,10 +379,19 @@ class AudioDecodeStage:
     ImageDecodeStage's honest fallback."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
         rates, counts, durs, mean_abs, peaks = [], [], [], [], []
         for m in batch["media"].to_pylist():
+            decoded = None
             if m[:4] == b"RIFF":
-                s, rate = decode_wav(m)
+                # non-PCM/stereo/truncated RIFF degrades to -1 meta
+                # instead of killing the task (web-corpus hygiene)
+                try:
+                    decoded = decode_wav(m)
+                except (ValueError, struct.error, IndexError):
+                    decoded = None
+            if decoded is not None:
+                s, rate = decoded
                 a = np.abs(s.astype(np.int64))
                 rates.append(rate)
                 counts.append(len(s))

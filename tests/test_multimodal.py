@@ -198,3 +198,44 @@ def test_image_stage_decodes_png_for_real(ray_session):
     assert out["meta_height"][0].as_py() == 10
     assert out["mean_px_e2"][0].as_py() == \
         int(np.floor(float(arr.mean()) * 100 + 0.5))
+
+
+def test_image_decode_degrades_on_malformed_payloads(ray_session):
+    """Truncated/oversized/short PNG and non-PCM WAV payloads must take
+    the stub path (-1 meta), never kill the task (ADVICE round 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sbb_ned_ray.stages.multimodal import (
+        AudioDecodeStage,
+        ImageDecodeStage,
+        _PNG_SIG,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 5, 3), np.uint8))
+    truncated = good[:24]
+    # well-formed chunks claiming a 100k x 100k image (sanity cap)
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    huge = _PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr \
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)) \
+        + struct.pack(">I", 1) + b"IDAT" + b"x" \
+        + struct.pack(">I", zlib.crc32(b"IDAT" + b"x"))
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "media": pa.array([good, truncated, huge], pa.binary()),
+        "media_type": pa.array(["image/png"] * 3),
+    })
+    out = ImageDecodeStage()(batch)
+    assert out["meta_width"].to_pylist() == [5, -1, -1]
+
+    bad_wav = b"RIFF" + b"\x00" * 20         # truncated RIFF header
+    abatch = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media": pa.array([bad_wav], pa.binary()),
+    })
+    aout = AudioDecodeStage()(abatch)
+    assert aout["rate"].to_pylist() == [-1]

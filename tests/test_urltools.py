@@ -70,3 +70,11 @@ def test_junk_ports_and_ipv6(raw, want):
     got = canonicalize_url(raw)
     assert got == want
     assert canonicalize_url(got) == got  # idempotent
+
+
+def test_registrable_domain_numeric_tail_is_not_an_ip():
+    from sbb_ned_ray.functions.urltools import registrable_domain
+    # only a fully-numeric host is an IP literal
+    assert registrable_domain("192.168.10.1") == "192.168.10.1"
+    assert registrable_domain("cdn.example.123") == "example.123"
+    assert registrable_domain("a.b.co.uk") == "b.co.uk"
