@@ -37,7 +37,7 @@ SCALING_SPEC = dict(n_pages=100_000, n_entities=1500, n_gt_pairs=8000,
 
 # secondary pipelines (name → zero-arg runner built inside the child)
 SECONDARY = ("minhash_dedup", "doc_analysis", "knn_cosine", "q1_pricing",
-             "corpus_profile")
+             "corpus_profile", "ivf_serve")
 
 
 def _secondary_fn(name: str):
@@ -48,6 +48,10 @@ def _secondary_fn(name: str):
         "knn_cosine": lambda: Q.knn_cosine(SF_DIR),
         "q1_pricing": lambda: Q.q1_pricing(SF_DIR).materialize(),
         "corpus_profile": _profile_fn,
+        # serve-from-persisted-IVF-layout (round 4): first sample pays
+        # the one-time bucketing build (fingerprint-cached in /tmp),
+        # best-of-3 reports the warm serve cost — the deployment shape
+        "ivf_serve": lambda: Q.knn_cosine_ivf(SF_DIR),
     }[name]
 
 
