@@ -1154,25 +1154,37 @@ ORDER BY query_id, knn_rank
 """
 
 
+_IVF_LAYOUT_CACHE: dict[tuple, str] = {}
+
+
 def _ivf_layout_for(sf_dir: str, n_centroids: int = 16) -> str:
     """Build-once (fingerprint-cached) IVF partitioned layout for the
     sf embeddings table — the index-build half of the IVF split; every
-    IVF query below serves from it."""
+    IVF query below serves from it.  The resolved path is memoized
+    in-process so repeated serves skip the fingerprint sample scan."""
     import os as _os
 
     from sbb_ned_ray.stages.similarity import build_ivf_layout
+    key = (_os.path.normpath(sf_dir), n_centroids)
+    hit = _IVF_LAYOUT_CACHE.get(key)
+    if hit and _os.path.exists(_os.path.join(hit, "_IVF_LAYOUT_COMPLETE")):
+        return hit
     emb = rd.read_parquet(_t(sf_dir, "embeddings"),
                           columns=["vec_id", "embedding"])
     art = _os.path.join(
         "/tmp/sbb_ned_ray_artifacts",
         "ivf_" + _os.path.basename(_os.path.normpath(sf_dir)))
-    return build_ivf_layout(emb, art, n_centroids=n_centroids)
+    path = build_ivf_layout(emb, art, n_centroids=n_centroids)
+    _IVF_LAYOUT_CACHE[key] = path
+    return path
 
 
 def _knn_queries(sf_dir: str, n_queries: int):
     qdf = rd.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]) \
-        .filter(lambda r: r["vec_id"] < n_queries).to_pandas() \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["vec_id"], pa.scalar(n_queries))),
+            batch_format="pyarrow").to_pandas() \
         .sort_values("vec_id")
     queries = np.array([np.asarray(v, dtype=np.float64)
                         for v in qdf.embedding])

@@ -221,7 +221,7 @@ def load_or_train_centroids(sample: np.ndarray, n_centroids: int,
     return cents
 
 
-IVF_LAYOUT_VERSION = 1
+IVF_LAYOUT_VERSION = 2     # v2: list_id kept as a data column too
 
 
 def build_ivf_layout(emb: ray.data.Dataset, artifact_dir: str,
@@ -258,7 +258,11 @@ def build_ivf_layout(emb: ray.data.Dataset, artifact_dir: str,
         c = ray.get(cents_ref)
         vecs = _unit(_vecs_np(t, vec_col, np.float32))
         a = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
-        return t.append_column("ivf_list", pa.array(a, pa.int32()))
+        # ivf_list becomes the hive partition dir (dropped from the
+        # files); list_id stays IN the files so serving can read the
+        # probed dirs as ONE dataset and still see each row's list
+        return t.append_column("ivf_list", pa.array(a, pa.int32())) \
+            .append_column("list_id", pa.array(a, pa.int32()))
 
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -323,36 +327,52 @@ def ivf_topk_indexed(layout_path: str, queries: np.ndarray,
 
     parts = ivf_layout_partitions(layout_path)
     total_bytes = sum(_dir_bytes(p) for p in parts.values())
-    scanned_bytes = 0
-    pieces = []
-    for c in sorted(cent_queries):
-        pdir = parts.get(c)
-        if pdir is None:                 # empty inverted list
-            continue
-        scanned_bytes += _dir_bytes(pdir)
-        qis = np.asarray(cent_queries[c])
-        ref = ray.put(qm[qis])
+    probe_dirs = [parts[c] for c in sorted(cent_queries) if c in parts]
+    scanned_bytes = sum(_dir_bytes(p) for p in probe_dirs)
 
-        def scorer(batch: pa.Table, _ref=ref, _qis=qis) -> pa.Table:
-            q = ray.get(_ref)
+    if probe_dirs:
+        # ONE dataset over the probed partition dirs (per-dataset
+        # driver overhead × nprobe was the serve wall); each row's
+        # list_id column routes it to the queries probing that list
+        cq_ref = ray.put({c: (qm[np.asarray(qis)], np.asarray(qis))
+                          for c, qis in cent_queries.items()})
+
+        def scorer(batch: pa.Table) -> pa.Table:
+            cq = ray.get(cq_ref)
+            lists = batch["list_id"].to_numpy(zero_copy_only=False)
             ids = _ids_np(batch, id_col)
             vecs = _unit(_vecs_np(batch, vec_col, np.float64))
-            return _topk_partial(ids, vecs @ q.T, _qis, k)
+            pieces = []
+            for c in np.unique(lists):
+                sub = cq.get(int(c))
+                if sub is None:       # row co-read from an unprobed list
+                    continue
+                q, qis = sub
+                m = lists == c
+                pieces.append(_topk_partial(ids[m], vecs[m] @ q.T,
+                                            qis, k))
+            if not pieces:
+                return pa.table({"q_idx": pa.array([], pa.int32()),
+                                 "vec_id_": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.concat_tables(pieces)
 
-        pieces.append(
-            ray.data.read_parquet(pdir, columns=[id_col, vec_col])
-            .map_batches(scorer, batch_format="pyarrow", batch_size=4096))
-
-    if pieces:
-        ds = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
-        partials = ds.to_pandas()
+        # read_parquet expands a single directory but not directories
+        # inside a path LIST — enumerate the partition files explicitly
+        probe_files = [os.path.join(d, f) for d in probe_dirs
+                       for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet")]
+        partials = ray.data.read_parquet(
+            probe_files, columns=[id_col, vec_col, "list_id"]) \
+            .map_batches(scorer, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
     else:
         partials = pd.DataFrame()
     out = _merge_topk(partials, query_ids, k, id_col)
     if return_stats:
         return out, {"scanned_bytes": scanned_bytes,
                      "total_bytes": total_bytes,
-                     "n_parts_scanned": len(pieces),
+                     "n_parts_scanned": len(probe_dirs),
                      "n_parts_total": len(parts)}
     return out
 
