@@ -2086,6 +2086,25 @@ def ned_links(sf_dir: str):
         .reset_index(drop=True)
 
 
+def ned_links_auto(sf_dir: str):
+    """Flagship links through the SINGLE production entry point
+    (:func:`run_ned_auto` — measures the KB footprint against the
+    object store and dispatches broadcast vs co-shuffle blocking).
+    Oracle-exact like ``ned_links``: the selection must not change the
+    links.  Also asserts the selector itself picked broadcast here
+    (the fixture KB fits) and flips to shuffle at a zero budget."""
+    from sbb_ned_ray.pipelines.ned import run_ned_auto, select_ned_path
+    pages_dir = pages_dir_for_sf(sf_dir)
+    path, _ = select_ned_path(pages_dir)
+    assert path == "broadcast", path
+    forced, _ = select_ned_path(pages_dir, broadcast_fraction=0.0)
+    assert forced == "shuffle", forced
+    df = run_ned_auto(pages_dir, PipelineConfig())
+    return df[["url", "mention_id", "surface", "candidate_title", "qid",
+               "cluster_id"]].sort_values(["url", "mention_id"]) \
+        .reset_index(drop=True)
+
+
 def ned_links_shuffle_kb(sf_dir: str):
     """Flagship links via the LARGE-KB co-shuffle path (blocking-key
     hash joins + salted attach + co-shuffle sentence-KB evidence join —
@@ -3049,6 +3068,7 @@ QUERIES = {
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,
+    "ned_links_auto": ned_links_auto,
     "ned_links_shuffle_kb": ned_links_shuffle_kb,
     "ned_decider_cv": ned_decider_cv,
     "ned_eval_f1": ned_eval_f1,
@@ -3117,6 +3137,7 @@ ORACLE_SQL = {
     "ned_mentions": _oracle_ned_mentions(),
     "ned_extract_pages": _oracle_ned_extract_pages(),
     "ned_links": _oracle_ned_links(),
+    "ned_links_auto": _oracle_ned_links(),
     "knn_cosine": ORACLE_KNN,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,
