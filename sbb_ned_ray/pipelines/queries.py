@@ -1726,6 +1726,63 @@ ORDER BY media_id
 """
 
 
+def media_decode_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode (pure-numpy T.81 codec): smooth
+    deterministic RGB ramps (no mod-256 wrap, so the lossy error stays
+    small) are ENCODED through the real pipeline — DCT, quantization,
+    Huffman, with 4:2:0 subsampling and restart markers cycling by id
+    — and the sniffing decode stage recovers the true geometry from
+    the BYTES.  Dimensions are oracle-exact; the lossy pixel error is
+    SELF-ASSERTED in-stage (mean abs ≤ 4, max ≤ 16 at q92) right
+    after encode, so a broken Huffman table or IDCT fails loudly."""
+    from sbb_ned_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from sbb_ned_ray.stages.multimodal import ImageDecodeStage
+
+    def to_jpeg(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 16 + i % 9, 12 + i % 7
+            y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            arr = np.stack([20 + i % 50 + y * 2 + x,
+                            30 + i % 40 + x * 2 + y,
+                            40 + i % 30 + y + x], -1).astype(np.uint8)
+            p = encode_jpeg(arr, quality=92, subsample=bool(i % 2),
+                            restart_interval=i % 3)
+            got = decode_jpeg(p)
+            err = np.abs(got.astype(np.int64) - arr.astype(np.int64))
+            assert got.shape == arr.shape, (got.shape, arr.shape)
+            assert err.mean() <= 4.0 and err.max() <= 16, \
+                (i, err.mean(), err.max())
+            payloads.append(p)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/jpeg"] * len(ids),
+                                   pa.string()),
+        })
+
+    out = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(to_jpeg, batch_format="pyarrow") \
+        .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4)) \
+        .select_columns(["media_id", "meta_width", "meta_height"]) \
+        .to_pandas()
+    out.columns = ["media_id", "width", "height"]
+    out = out.astype({"width": "int64", "height": "int64"})
+    assert (out["width"] > 0).all(), "JPEG sniff fell back to stub"
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+ORACLE_MEDIA_DECODE_JPEG = """
+SELECT d.doc_id AS media_id,
+       CAST(16 + d.doc_id % 9 AS BIGINT) AS width,
+       CAST(12 + d.doc_id % 7 AS BIGINT) AS height
+FROM documents d
+ORDER BY media_id
+"""
+
+
 def parse_ner_mentions(sf_dir: str):
     """BIO-tag parsing of NER-tagged token streams (reference /parse,
     webapp/app.py:227-286) over a deterministic NER fixture derived from
@@ -3013,6 +3070,49 @@ def heavy_hitter_users_per_type(sf_dir: str, k: int = 24):
         .reset_index(drop=True)
 
 
+ORACLE_CONTEXT_MATRIX = """
+SELECT t.label,
+       CAST(c.n_links AS BIGINT) AS n_links,
+       t.dim,
+       CAST(SUM(t.q) AS BIGINT)  AS sum_e6
+FROM (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+) t
+JOIN (SELECT label AS l2, CAST(COUNT(*) AS BIGINT) AS n_links
+      FROM embeddings GROUP BY label) c ON c.l2 = t.label
+GROUP BY t.label, c.n_links, t.dim
+ORDER BY t.label, t.dim
+"""
+
+
+def entity_context_matrix(sf_dir: str):
+    """Context-matrix accumulation (reference ``cli.py:226-238``): the
+    per-entity SUM of context embedding vectors plus the link count,
+    as per-batch combiner partials + one narrow groupby — the
+    driver-side ``context_emb[idx] += vec`` loop made distributed.
+    Long format ``(label, n_links, dim, sum_e6)`` for the oracle;
+    elements quantized e6 on both sides so sums are order-exact."""
+    from sbb_ned_ray.stages.similarity import context_matrix
+    ds = _read_split(sf_dir, "embeddings", ["label", "embedding"],
+                     nblocks=8)
+    cm = context_matrix(ds, "label", "embedding", scale=1e6).to_pandas()
+    rows = []
+    for _, r in cm.iterrows():
+        v = np.asarray(r["sum_vec"], dtype=np.int64)
+        rows.append(pd.DataFrame({
+            "label": np.full(len(v), r["label"]),
+            "n_links": np.full(len(v), int(r["n_links"]), np.int64),
+            "dim": np.arange(len(v), dtype=np.int64),
+            "sum_e6": v,
+        }))
+    return pd.concat(rows, ignore_index=True) \
+        .sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 QUERIES = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
@@ -3058,6 +3158,7 @@ QUERIES = {
     "media_decode": media_decode,
     "media_decode_ppm": media_decode_ppm,
     "media_decode_png": media_decode_png,
+    "media_decode_jpeg": media_decode_jpeg,
     "media_decode_wav": media_decode_wav,
     "parse_ner_mentions": parse_ner_mentions,
     "clef_mentions": clef_mentions,
@@ -3097,6 +3198,7 @@ QUERIES = {
     "events_value_quantiles_per_type": events_value_quantiles_per_type,
     "embedding_kmeans": embedding_kmeans,
     "heavy_hitter_users_per_type": heavy_hitter_users_per_type,
+    "entity_context_matrix": entity_context_matrix,
 }
 
 ORACLE_SQL = {
@@ -3131,6 +3233,7 @@ ORACLE_SQL = {
     "media_decode": ORACLE_MEDIA_DECODE,
     "media_decode_ppm": ORACLE_MEDIA_DECODE_PPM,
     "media_decode_png": ORACLE_MEDIA_DECODE_PPM,
+    "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
     "media_decode_wav": ORACLE_MEDIA_DECODE_WAV,
     "parse_ner_mentions": _oracle_parse_ner(),
     "clef_mentions": _oracle_parse_ner(),
@@ -3157,4 +3260,5 @@ ORACLE_SQL = {
     "events_lag_delta": ORACLE_EVENTS_LAG_DELTA,
     "events_corr_moments": ORACLE_EVENTS_CORR_MOMENTS,
     "docs_pruned_read": ORACLE_DOCS_PRUNED_READ,
+    "entity_context_matrix": ORACLE_CONTEXT_MATRIX,
 }

@@ -13,9 +13,15 @@ Decode support is two-tier:
   decode for REAL** — zlib is stdlib and the published chunk/filter
   formats need no media libs (``decode_png`` handles all five
   scanline filters with CRC verification).
-* Formats that genuinely need external codecs (JPEG, video…) fall
-  back to a deterministic blake2b pseudo-feature (documented stub —
-  PIL is not in this container), with the Ray-side plumbing identical.
+* **Baseline JPEG (SOF0, up to 2x2 sampling) decodes for REAL** via
+  the pure-numpy T.81 codec in :mod:`sbb_ned_ray.stages.jpeg`
+  (Huffman entropy decode, dequant, vectorized IDCT, restart
+  markers).  Progressive/arithmetic JPEGs raise inside the codec and
+  degrade to the stub path.
+* Formats that genuinely need external codecs (video, exotic image
+  modes…) fall back to a deterministic blake2b pseudo-feature
+  (documented stub — PIL is not in this container), with the
+  Ray-side plumbing identical.
 
 Pattern: media rows are (id, media:binary, media_type, width/height/
 duration metadata).  Batches must stay SMALL (binary payloads ×
@@ -283,8 +289,10 @@ def _try_import_pil():
 class ImageDecodeStage:
     """Actor-pool stage: binary image → (decoded meta, feature vector).
 
-    P6/PPM payloads (sniffed by magic) decode for REAL — true
-    width/height and pixel statistics from :func:`decode_ppm` +
+    P6/PPM, PNG and baseline JPEG payloads (sniffed by magic) decode
+    for REAL — true width/height and pixel statistics from
+    :func:`decode_ppm` / :func:`decode_png` /
+    :func:`sbb_ned_ray.stages.jpeg.decode_jpeg` +
     :func:`resize_nearest`.  Other formats need codecs absent from
     this container (PIL import-guarded), so they take the
     deterministic blake2b pseudo-feature path; the schema and plumbing
@@ -299,9 +307,9 @@ class ImageDecodeStage:
         self.resize_to = resize_to
         if not fake and self.pil is None:
             raise NotImplementedError(
-                "real non-PPM image decode needs PIL, which is not "
-                "available in this container; PPM payloads always "
-                "decode for real")
+                "real decode of formats beyond PPM/PNG/baseline-JPEG "
+                "needs PIL, which is not available in this container; "
+                "those three always decode for real")
 
     def _features(self, payload: bytes) -> np.ndarray:
         # deterministic fake for non-decodable formats: 16 bytes of
@@ -328,13 +336,21 @@ class ImageDecodeStage:
         import zlib
         for m in payloads:
             arr = None
-            if m[:2] == b"P6" or m[:8] == _PNG_SIG:
-                # a truncated/palette/16-bit/interlaced or otherwise
-                # malformed payload from a web corpus must degrade to
-                # the stub-feature path, not kill the Ray task
+            if m[:2] == b"P6" or m[:8] == _PNG_SIG \
+                    or m[:2] == b"\xff\xd8":
+                # a truncated/palette/16-bit/interlaced/progressive or
+                # otherwise malformed payload from a web corpus must
+                # degrade to the stub-feature path, not kill the task
                 try:
-                    arr = decode_ppm(m) if m[:2] == b"P6" \
-                        else decode_png(m)
+                    if m[:2] == b"P6":
+                        arr = decode_ppm(m)
+                    elif m[:8] == _PNG_SIG:
+                        arr = decode_png(m)
+                    else:
+                        from sbb_ned_ray.stages.jpeg import decode_jpeg
+                        a = decode_jpeg(m)
+                        arr = np.repeat(a[..., None], 3, -1) \
+                            if a.ndim == 2 else a
                 except (ValueError, struct.error, zlib.error,
                         IndexError):
                     arr = None

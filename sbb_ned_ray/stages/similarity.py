@@ -458,3 +458,53 @@ def kmeans_distributed(ds, col: str = "embedding", k: int = 8,
         if shift < tol:
             break
     return cents, counts, trace
+
+
+def context_matrix(ds, key_col: str = "label", vec_col: str = "embedding",
+                   scale: float | None = None):
+    """Per-entity context-matrix accumulation — the reference's
+    commented-out legacy ``build-context-matrix`` flow
+    (``cli.py:226-238``): for every linked entity, accumulate the SUM
+    of its context embedding vectors plus a link count
+    (``context_emb[idx, 1:] += vec; context_emb[idx, 0] += count``),
+    re-expressed as a streaming combiner instead of a driver-side
+    mutable matrix.
+
+    Each batch groups its rows by ``key_col`` (argsort + reduceat — one
+    partial row per distinct key per batch, never a row per link), then
+    ONE narrow ``groupby(key).map_groups`` merges the partials; shuffle
+    volume is ``n_keys x dim`` per block, independent of link count.
+
+    ``scale=None`` sums float64 (internal use); a numeric ``scale``
+    quantizes each element to ``floor(x*scale + 0.5)`` int64 first so
+    the sums are order-independent and FP-exact cross-engine (the
+    oracle convention).  Returns a Dataset with columns
+    ``(key_col, n_links, sum_vec)``.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        x = _vecs_np(t, vec_col, np.float64)
+        if scale is not None:
+            x = np.floor(x * scale + 0.5).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sums = np.add.reduceat(x[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, len(sk)])
+        vtype = pa.int64() if scale is not None else pa.float64()
+        return pa.table({
+            key_col: pa.array(sk[starts]),
+            "n_links": pa.array(counts, pa.int64()),
+            "sum_vec": pa.array(list(sums), pa.list_(vtype)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v) for v in g["sum_vec"]])
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n_links": [int(g["n_links"].sum())],
+            "sum_vec": [mat.sum(0).tolist()],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(merge, batch_format="pandas")
