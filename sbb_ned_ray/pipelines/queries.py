@@ -496,6 +496,45 @@ ORDER BY doc_id
 """
 
 
+def docs_dup_spans(sf_dir: str, n: int = 13):
+    """Exact duplicate-substring spans (ExactSubstr, Lee et al. 2021):
+    maximal per-doc token spans whose 13-grams each occur in >= 2
+    distinct documents — gram-hash co-shuffle + per-doc island merge,
+    oracle-checked against a DuckDB gaps-and-islands twin on the raw
+    gram strings (so a Ray-side hash collision or off-by-one in the
+    merge rule mismatches the hash)."""
+    from sbb_ned_ray.stages.textprep import duplicate_spans
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(docs, n=n)
+
+
+ORACLE_DOCS_DUP_SPANS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+pos AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 12)) AS i FROM w),
+g AS (SELECT doc_id, i,
+             array_to_string(toks[i : i + 12], ' ') AS gram FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, i,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         <= 13 THEN 0 ELSE 1 END AS brk
+        FROM hit),
+grp AS (SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+        FROM isl)
+SELECT doc_id,
+       CAST(MIN(i) - 1 AS BIGINT)      AS span_start,
+       CAST(MAX(i) - 1 + 13 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT)        AS n_grams
+FROM grp
+GROUP BY doc_id, gid
+ORDER BY doc_id, span_start
+"""
+
+
 def distinct_segments(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
@@ -3123,6 +3162,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_chunks": doc_chunks,
     "docs_decontaminate": docs_decontaminate,
+    "docs_dup_spans": docs_dup_spans,
     "doc_top_tokens": doc_top_tokens,
     "docs_sample_per_lang": docs_sample_per_lang,
     "docs_len_quantiles": docs_len_quantiles,
@@ -3211,6 +3251,7 @@ ORACLE_SQL = {
     "doc_repetition": ORACLE_DOC_REPETITION,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
+    "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "doc_top_tokens": ORACLE_DOC_TOP_TOKENS,
     "docs_sample_per_lang": ORACLE_DOCS_SAMPLE_PER_LANG,
     "docs_len_quantiles": ORACLE_DOCS_LEN_QUANTILES,

@@ -164,3 +164,90 @@ def decontaminate_ids(train: ray.data.Dataset, test: ray.data.Dataset,
         .to_pandas()
     return out.drop_duplicates().sort_values("doc_id") \
         .reset_index(drop=True)
+
+
+def _gram_pos_rows(batch: pa.Table, n: int,
+                   text_col: str = "text") -> pa.Table:
+    """(doc_id, pos, gram_hash) rows for every word n-gram.  Each token
+    is hashed once; the gram hash is a vectorized polynomial combine
+    over a sliding window of the token-hash array (uint64 wraparound =
+    mod 2^64), so the per-row work is one stride-tricks matmul, not a
+    per-gram string join."""
+    ids, poss, hs = [], [], []
+    pows = np.power(np.uint64(1099511628211),
+                    np.arange(n, dtype=np.uint64)[::-1])
+    for did, text in zip(batch["doc_id"].to_pylist(),
+                         batch[text_col].to_pylist()):
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        th = np.fromiter((stable_hash64(t) for t in toks),
+                         np.uint64, len(toks))
+        win = np.lib.stride_tricks.sliding_window_view(th, n)
+        gh = np.einsum("ij,j->i", win, pows, dtype=np.uint64)
+        ids.append(np.full(len(gh), did, np.int64))
+        poss.append(np.arange(len(gh), dtype=np.int64))
+        hs.append(gh.view(np.int64))
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "gram_hash": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(ids)),
+        "pos": pa.array(np.concatenate(poss)),
+        "gram_hash": pa.array(np.concatenate(hs)),
+    })
+
+
+def duplicate_spans(docs: ray.data.Dataset, n: int = 13,
+                    num_buckets: int = 32,
+                    min_docs: int = 2) -> pd.DataFrame:
+    """Exact duplicate-substring detection — the ExactSubstr operator of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) re-expressed without a suffix array:
+    every word n-gram occurring in >= ``min_docs`` DISTINCT documents
+    marks its start position duplicated, and consecutive duplicated
+    starts (gap <= n tokens, i.e. overlapping-or-touching spans) merge
+    into maximal per-doc spans.
+
+    Three narrow shuffles, no all-pairs stage: (1) flat-map to
+    (doc_id, pos, gram_hash) rows, (2) hash-bucket on the gram and emit
+    hit positions for grams clearing the distinct-doc threshold
+    (vectorized nunique per bucket), (3) per-doc island merge
+    (sort + diff — one group per doc).  Returns
+    (doc_id, span_start, span_end, n_grams) with token indices,
+    span_end exclusive."""
+    rows = docs.map_batches(lambda b: _gram_pos_rows(b, n),
+                            batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["gram_hash"].to_numpy(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "pos": pd.array([], dtype="int64")})
+        nuniq = df.groupby("gram_hash")["doc_id"].transform("nunique")
+        return df.loc[nuniq >= min_docs, ["doc_id", "pos"]]
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["pos"].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(p) > n)
+        s = np.r_[0, brk + 1]
+        e = np.r_[brk, len(p) - 1]
+        return pd.DataFrame({
+            "doc_id": np.full(len(s), int(g["doc_id"].iloc[0]), np.int64),
+            "span_start": p[s],
+            "span_end": p[e] + n,
+            "n_grams": (e - s + 1).astype(np.int64),
+        })
+
+    out = rows.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(hits, batch_format="pandas") \
+        .groupby("doc_id").map_groups(spans, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["doc_id", "span_start"]) \
+        .reset_index(drop=True)

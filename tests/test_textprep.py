@@ -81,3 +81,30 @@ def test_decontaminate_ids(ray_session):
         ["held out " + shared + " tail"], ids=[99]))
     out = decontaminate_ids(train, test, n=13, num_buckets=4)
     assert out["doc_id"].tolist() == [11]
+
+
+def test_duplicate_spans_exact_substr(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.textprep import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(20))       # 20 shared tokens
+    docs = [
+        (0, "a b c " + shared + " x y z"),              # span at 3..23
+        (1, shared + " q r"),                           # span at 0..20
+        (2, " ".join(f"u{i}" for i in range(30))),      # unique
+        # within-doc repeat only: must NOT count (needs >=2 DISTINCT docs)
+        (3, " ".join(f"w{i % 6}" for i in range(40))),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })).repartition(3)
+    out = duplicate_spans(ds, n=5)
+    got = {(int(r.doc_id), int(r.span_start), int(r.span_end),
+            int(r.n_grams)) for r in out.itertuples()}
+    # doc 0: grams starting 3..18 duplicated -> span [3, 23), 16 grams
+    # doc 1: grams starting 0..15 duplicated -> span [0, 20), 16 grams
+    assert got == {(0, 3, 23, 16), (1, 0, 20, 16)}, got
