@@ -1384,6 +1384,41 @@ def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
     return out
 
 
+def knn_pq_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
+                  m: int = 8, ks: int = 256):
+    """Self-checking quality gate for product-quantized ANN serving
+    (Jégou et al. 2011): recall@k of the PQ ADC-shortlist + exact
+    re-rank path vs brute force, plus the measured storage compression
+    (m code bytes vs 4·d float bytes per vector — the reason PQ exists
+    at 100 TB).  Asserts recall@k >= 0.9: the exact re-rank means loss
+    can only come from a true neighbor missing its batch's ADC
+    shortlist.  No SQL oracle: the quantity under test is the
+    approximation itself."""
+    import pandas as pd
+
+    from sbb_ned_ray.stages.similarity import pq_topk
+
+    exact = knn_cosine(sf_dir, k=k, n_queries=n_queries)
+    by_q = {int(q): set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    queries, qids = _knn_queries(sf_dir, n_queries)
+    d = queries.shape[1]
+
+    emb = _read_split(sf_dir, "embeddings",
+                      ["vec_id", "embedding"], nblocks=8).materialize()
+    approx = pq_topk(emb, queries, qids, k=k, m=m, ks=ks)
+    recs = [len(by_q[q] & set(g["vec_id"])) / max(1, len(by_q[q]))
+            for q, g in approx.groupby("query_id")]
+    mean_rec = float(np.mean(recs)) if recs else 0.0
+    assert mean_rec >= 0.9, f"PQ recall@{k} too low: {mean_rec}"
+    return pd.DataFrame({
+        "k": [k], "m": [m], "ks": [ks],
+        "mean_recall_at_k_e4": [int(mean_rec * 1e4 + 0.5)],
+        "code_bytes_per_vec": [m],
+        "raw_bytes_per_vec": [4 * d],
+        "compression_x_e2": [int(4 * d / m * 100 + 0.5)],
+    })
+
+
 def minhash_dedup_docs(sf_dir: str):
     from sbb_ned_ray.stages.dedup import minhash_lsh_dedup
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
@@ -3184,6 +3219,7 @@ QUERIES = {
     "knn_cosine": knn_cosine,
     "knn_cosine_ivf": knn_cosine_ivf,
     "knn_ivf_recall": knn_ivf_recall,
+    "knn_pq_recall": knn_pq_recall,
     "ivf_scan_fraction": ivf_scan_fraction,
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_lsh_recall": minhash_lsh_recall,

@@ -91,3 +91,34 @@ def test_ivf_scan_fraction_query(ray_session, sf):
     from sbb_ned_ray.pipelines.queries import ivf_scan_fraction
     out = ivf_scan_fraction(sf)   # asserts live inside
     assert out["scan_fraction"].iloc[-1] == 1.0
+
+
+def test_pq_topk_matches_brute_force_with_rerank(ray_session):
+    from sbb_ned_ray.stages.similarity import brute_force_topk, pq_topk
+    ds, x = _emb_ds(n=600, d=16, seed=11, nparts=4)
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(4, 16)).astype(np.float64)
+    qids = [100, 101, 102, 103]
+    exact = brute_force_topk(ds, q, qids, k=8)
+    approx = pq_topk(ds, q, qids, k=8, m=4, ks=64, shortlist_mult=8)
+    by_q_exact = {qq: set(g["vec_id"]) for qq, g in exact.groupby("query_id")}
+    by_q_pq = {qq: set(g["vec_id"]) for qq, g in approx.groupby("query_id")}
+    rec = np.mean([len(by_q_exact[qq] & by_q_pq[qq]) / 8 for qq in qids])
+    assert rec >= 0.9, rec
+    # exact re-rank: reported cosines for agreeing ids must be exact
+    m = exact.merge(approx, on=["query_id", "vec_id"],
+                    suffixes=("_e", "_a"))
+    assert np.allclose(m["cosine_e"], m["cosine_a"], atol=1e-12)
+
+
+def test_pq_encode_is_deterministic_and_byte_sized():
+    from sbb_ned_ray.stages.similarity import pq_encode, train_pq_codebooks
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(500, 16))
+    books = train_pq_codebooks(x, m=4, ks=32, seed=7)
+    books2 = train_pq_codebooks(x, m=4, ks=32, seed=7)
+    assert np.array_equal(books, books2)
+    from sbb_ned_ray.stages.similarity import _unit
+    codes = pq_encode(_unit(x), books)
+    assert codes.dtype == np.uint8 and codes.shape == (500, 4)
+    assert np.array_equal(codes, pq_encode(_unit(x), books))
