@@ -2810,6 +2810,29 @@ GROUP BY source
 """
 
 
+def docs_shard_shuffle(sf_dir: str):
+    """Deterministic shuffle-then-shard for training output
+    (stages/textprep.shard_shuffle): md5-keyed shard + within-shard
+    rank, oracle-exact vs the SQL ROW_NUMBER twin — proves the shard
+    layout is a pure function of ids (resumable, rerun-stable), with
+    one narrow groupby as the only exchange."""
+    from sbb_ned_ray.stages.textprep import shard_shuffle
+    ds = _read_split(sf_dir, "documents", ["doc_id"])
+    out = shard_shuffle(ds).to_pandas()
+    return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+ORACLE_DOCS_SHARD_SHUFFLE = """
+SELECT SUBSTRING(h, 1, 1) AS shard,
+       doc_id,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY SUBSTRING(h, 1, 1)
+            ORDER BY SUBSTRING(h, 2, 8), doc_id) - 1 AS BIGINT) AS pos
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+ORDER BY shard, pos
+"""
+
+
 def party_nation_counts(sf_dir: str):
     """UNION of two sources then grouped count — Ray's native
     ``Dataset.union`` feeding one aggregate (the multi-source ingest
@@ -3264,6 +3287,7 @@ QUERIES = {
     "token_postings": token_postings,
     "docs_pack_windows": docs_pack_windows,
     "docs_mix_sources": docs_mix_sources,
+    "docs_shard_shuffle": docs_shard_shuffle,
     "party_nation_counts": party_nation_counts,
     "events_ntile": events_ntile,
     "events_lag_delta": events_lag_delta,
@@ -3332,6 +3356,7 @@ ORACLE_SQL = {
     "token_postings": ORACLE_TOKEN_POSTINGS,
     "docs_pack_windows": ORACLE_DOCS_PACK_WINDOWS,
     "docs_mix_sources": ORACLE_DOCS_MIX_SOURCES,
+    "docs_shard_shuffle": ORACLE_DOCS_SHARD_SHUFFLE,
     "party_nation_counts": ORACLE_PARTY_NATION_COUNTS,
     "events_ntile": ORACLE_EVENTS_NTILE,
     "events_lag_delta": ORACLE_EVENTS_LAG_DELTA,

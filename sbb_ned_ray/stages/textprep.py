@@ -251,3 +251,36 @@ def duplicate_spans(docs: ray.data.Dataset, n: int = 13,
         .to_pandas()
     return out.sort_values(["doc_id", "span_start"]) \
         .reset_index(drop=True)
+
+
+def shard_shuffle(docs: ray.data.Dataset,
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic global shuffle into training shards — the final
+    'shuffle then shard' step of corpus prep, WITHOUT
+    ``random_shuffle()``'s seed-dependent full exchange: shard = first
+    md5 hex digit of the id (16 shards), within-shard order = rank of
+    the next 8 hex digits.  Every row's (shard, pos) is a pure function
+    of its id, so reruns and resumed jobs produce byte-identical
+    shards, and the only all-to-all is ONE hash groupby on the shard
+    key (each group sorts locally).  Returns (shard, id, pos) with pos
+    0-based within shard."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hd = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in df[id_col]]
+        out = df[[id_col]].copy()
+        out["shard"] = [h[0] for h in hd]
+        out["h8"] = [h[1:9] for h in hd]
+        return out
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h8", id_col]).reset_index(drop=True)
+        return pd.DataFrame({
+            "shard": g["shard"],
+            id_col: g[id_col].astype(np.int64),
+            "pos": np.arange(len(g), dtype=np.int64),
+        })
+
+    return docs.map_batches(partial, batch_format="pandas") \
+        .groupby("shard").map_groups(rank, batch_format="pandas")
