@@ -1196,15 +1196,18 @@ ORDER BY query_id, knn_rank
 _IVF_LAYOUT_CACHE: dict[tuple, str] = {}
 
 
-def _ivf_layout_for(sf_dir: str, n_centroids: int = 16) -> str:
+def _ivf_layout_for(sf_dir: str, n_centroids: int = 16,
+                    pq_m: int | None = None) -> str:
     """Build-once (fingerprint-cached) IVF partitioned layout for the
     sf embeddings table — the index-build half of the IVF split; every
-    IVF query below serves from it.  The resolved path is memoized
-    in-process so repeated serves skip the fingerprint sample scan."""
+    IVF query below serves from it.  ``pq_m`` adds the PQ code column
+    (a distinct fingerprint → distinct layout dir).  The resolved path
+    is memoized in-process so repeated serves skip the fingerprint
+    sample scan."""
     import os as _os
 
     from sbb_ned_ray.stages.similarity import build_ivf_layout
-    key = (_os.path.normpath(sf_dir), n_centroids)
+    key = (_os.path.normpath(sf_dir), n_centroids, pq_m)
     hit = _IVF_LAYOUT_CACHE.get(key)
     if hit and _os.path.exists(_os.path.join(hit, "_IVF_LAYOUT_COMPLETE")):
         return hit
@@ -1213,7 +1216,7 @@ def _ivf_layout_for(sf_dir: str, n_centroids: int = 16) -> str:
     art = _os.path.join(
         "/tmp/sbb_ned_ray_artifacts",
         "ivf_" + _os.path.basename(_os.path.normpath(sf_dir)))
-    path = build_ivf_layout(emb, art, n_centroids=n_centroids)
+    path = build_ivf_layout(emb, art, n_centroids=n_centroids, pq_m=pq_m)
     _IVF_LAYOUT_CACHE[key] = path
     return path
 
@@ -1417,6 +1420,115 @@ def knn_pq_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
         "raw_bytes_per_vec": [4 * d],
         "compression_x_e2": [int(4 * d / m * 100 + 0.5)],
     })
+
+
+def semantic_dedup_recall(sf_dir: str, eps: float = 0.45,
+                          ks: tuple = (1, 4, 8)):
+    """Self-checking gate for SemDeDup semantic dedup (Abbas et al.
+    2023): the k-means-bucketed within-cluster pruning vs the EXACT
+    all-pairs cosine baseline (``embedding_neardup``, itself
+    oracle-checked).  At n_clusters=1 the operator IS the exact
+    baseline, so its duplicate-group partition must EQUAL the
+    connected components of the exact eps-pair graph — asserted
+    exactly.  At k>1 the measured recall is the operator's cost/recall
+    trade-off (clusters prune O(n²) → O(n²/k); cross-cluster pairs are
+    invisible by design) — reported, not asserted, except that every
+    multi-member group keeps exactly one representative.  No SQL
+    oracle: the quantity under test is the approximation."""
+    import pandas as pd
+
+    from sbb_ned_ray.stages.dedup import semantic_dedup
+
+    gt = embedding_neardup(sf_dir, eps)
+    gt_pairs = set(zip(gt["id_a"], gt["id_b"]))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in gt_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    gt_comp: dict[int, list] = {}
+    for x in parent:
+        gt_comp.setdefault(find(x), []).append(x)
+    gt_partition = {frozenset(v) for v in gt_comp.values() if len(v) > 1}
+
+    emb = _read_split(sf_dir, "embeddings",
+                      ["vec_id", "embedding"], nblocks=8).materialize()
+    rows = []
+    for k in ks:
+        out = semantic_dedup(emb, eps=eps, n_clusters=int(k))
+        groups = {g: sorted(s["vec_id"])
+                  for g, s in out.groupby("dup_group") if len(s) > 1}
+        for g, s in out.groupby("dup_group"):
+            kept = int(s["keep"].sum())
+            assert kept == 1, \
+                f"group {g} kept {kept} of {len(s)} members (k={k})"
+        found = {(a, b) for ids in groups.values()
+                 for i, a in enumerate(ids) for b in ids[i + 1:]}
+        hit = len(found & gt_pairs)
+        recall = hit / len(gt_pairs) if gt_pairs else 1.0
+        if k == 1:
+            partition = {frozenset(v) for v in groups.values()}
+            assert partition == gt_partition, \
+                "k=1 must reproduce the exact eps-component partition"
+            assert recall == 1.0
+        rows.append((int(k), int(recall * 1e4 + 0.5),
+                     int(out["keep"].sum()), len(out)))
+    return pd.DataFrame(rows, columns=["n_clusters", "recall_e4",
+                                       "n_kept", "n_rows"])
+
+
+def knn_ivfpq_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
+                     m: int = 8, nprobes: tuple = (4, 8, 16)):
+    """Self-checking quality gate for the combined IVFADC path
+    (centroid-partitioned layout + PQ codes, Jégou et al. 2011):
+    recall@k vs exact brute force swept over nprobe, PLUS the measured
+    I/O split — the ADC pass reads only (id, list_id, pq_code) from
+    the probed partitions, never the float vectors, and the assert
+    checks the compressed bytes it scanned are strictly below the
+    probed partitions' vector-column bytes.  Recall must be
+    non-decreasing in nprobe and ≥ 0.9 at full probe (the exact
+    re-rank means residual loss only comes from ADC-shortlist misses).
+    No SQL oracle: the quantity under test is the approximation and
+    the I/O shape."""
+    import pandas as pd
+
+    from sbb_ned_ray.stages.similarity import ivf_pq_topk_indexed
+
+    exact = knn_cosine(sf_dir, k=k, n_queries=n_queries)
+    by_q = {int(q): set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    layout = _ivf_layout_for(sf_dir, pq_m=m)
+    queries, qids = _knn_queries(sf_dir, n_queries)
+
+    rows = []
+    for nprobe in nprobes:
+        approx, st = ivf_pq_topk_indexed(layout, queries, qids, k=k,
+                                         nprobe=nprobe, return_stats=True)
+        recs = [len(by_q[q] & set(g["vec_id"])) / max(1, len(by_q[q]))
+                for q, g in approx.groupby("query_id")]
+        assert st["adc_scanned_bytes"] < st["vec_probe_bytes"], \
+            f"ADC pass must scan less than the probed vectors: {st}"
+        rows.append((int(nprobe),
+                     round(float(np.mean(recs)) if recs else 0.0, 4),
+                     st["adc_scanned_bytes"], st["vec_probe_bytes"],
+                     st["n_shortlist"]))
+    out = pd.DataFrame(rows, columns=["nprobe", "mean_recall_at_k",
+                                      "adc_bytes", "vec_probe_bytes",
+                                      "n_shortlist"])
+    r = out["mean_recall_at_k"].to_numpy()
+    # near-monotone: a batch-boundary shift when more partitions enter
+    # the read can re-split a list's per-batch ADC shortlist, so allow
+    # a 2-point wiggle (the trend, not each step, is the contract)
+    assert (np.diff(r) >= -0.02 - 1e-9).all(), \
+        f"recall not monotone in nprobe:\n{out}"
+    assert r[-1] >= 0.9, f"full-probe IVFADC recall too low:\n{out}"
+    return out
 
 
 def minhash_dedup_docs(sf_dir: str):
@@ -3243,6 +3355,8 @@ QUERIES = {
     "knn_cosine_ivf": knn_cosine_ivf,
     "knn_ivf_recall": knn_ivf_recall,
     "knn_pq_recall": knn_pq_recall,
+    "knn_ivfpq_recall": knn_ivfpq_recall,
+    "semantic_dedup_recall": semantic_dedup_recall,
     "ivf_scan_fraction": ivf_scan_fraction,
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_lsh_recall": minhash_lsh_recall,

@@ -494,3 +494,105 @@ def embedding_clusters(emb: ray.data.Dataset,
     out = pairs_to_clusters(embedding_pairs(emb, **kwargs),
                             driver_pair_limit=driver_pair_limit)
     return out.rename(columns={"node": "vec_id"})
+
+
+def semantic_dedup(emb: ray.data.Dataset, eps: float = 0.45,
+                   n_clusters: int = 8, sample_size: int = 1024,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster_rows: int = 4096) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by coarse k-means clustering + within-cluster exact
+    cosine pruning — the embedding-space analogue of the reference's
+    local ``drop_duplicates`` at corpus scale.
+
+    Shape (all narrow except ONE groupby on the cluster id):
+
+    1. a spherical coarse quantizer trains on a seeded splitmix64
+       sample (``similarity.train_centroids`` — the IVF quantizer);
+    2. every batch assigns rows to the nearest centroid with one
+       broadcast matmul (zero-copy vector reads);
+    3. ``groupby(sem_cluster).map_groups`` finds exact cosine ≥ eps
+       pairs INSIDE each cluster only (the paper's O(n²/k) trick),
+       unions them into duplicate groups, and keeps one
+       representative per group — the row LEAST similar to its
+       centroid (the paper's keep-the-outlier rule; ties by id).
+
+    ``max_cluster_rows`` is the skew guard (same contract as the
+    minhash/simhash bucket caps): a cluster beyond the cap has only
+    its first-by-id cap rows compared; the overflow rows are kept
+    unconditionally (dedup recall degrades, never correctness).
+
+    Returns a DataFrame ``(id, sem_cluster, dup_group, keep)`` with
+    one row per input row; ``dup_group`` is the min id of the row's
+    duplicate component (its own id if unique).  Cross-cluster
+    duplicates are invisible by design — that recall/cost trade-off
+    IS the operator (measured by the ``semantic_dedup_recall`` gate).
+    """
+    from sbb_ned_ray.stages.similarity import (
+        _unit,
+        _vecs_np,
+        seeded_sample,
+        train_centroids,
+    )
+
+    cents = train_centroids(
+        seeded_sample(emb, sample_size, id_col, vec_col, seed),
+        n_clusters, seed=seed)
+    cents_ref = ray.put(cents.astype(np.float64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        vecs = _unit(_vecs_np(t, vec_col, np.float64))
+        a = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
+        cent_cos = np.einsum("ij,ij->i", vecs, c[a])
+        return pa.table({
+            id_col: t[id_col],
+            vec_col: t[vec_col],
+            "sem_cluster": pa.array(a, pa.int32()),
+            "cent_cos": pa.array(cent_cos, pa.float64())})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_numpy(np.int64)
+        n = len(g)
+        head = min(n, max_cluster_rows)
+        X = np.stack([np.asarray(v, np.float64)
+                      for v in g[vec_col].iloc[:head]])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        cos = X @ X.T
+        # union-find over eps-pairs (upper triangle)
+        parent = np.arange(head)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.triu(cos >= eps, k=1))
+        for a, b in zip(ii, jj):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(head)])
+        cent_cos = g["cent_cos"].to_numpy()
+        keep = np.ones(n, bool)
+        dup_group = ids.copy()
+        for r in np.unique(roots):
+            members = np.flatnonzero(roots == r)
+            if len(members) < 2:
+                continue
+            dup_group[members] = ids[members].min()
+            # keep the member least similar to the centroid; tie → min id
+            order = np.lexsort((ids[members], cent_cos[members]))
+            keep[members] = False
+            keep[members[order[0]]] = True
+        return pd.DataFrame({
+            id_col: ids, "sem_cluster": g["sem_cluster"].iloc[0],
+            "dup_group": dup_group, "keep": keep})
+
+    out = emb.map_batches(assign, batch_format="pyarrow") \
+        .groupby("sem_cluster") \
+        .map_groups(prune, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

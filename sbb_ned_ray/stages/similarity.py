@@ -221,13 +221,14 @@ def load_or_train_centroids(sample: np.ndarray, n_centroids: int,
     return cents
 
 
-IVF_LAYOUT_VERSION = 2     # v2: list_id kept as a data column too
+IVF_LAYOUT_VERSION = 3     # v3: optional PQ code column + codebooks
 
 
 def build_ivf_layout(emb: ray.data.Dataset, artifact_dir: str,
                      n_centroids: int = 16, sample_size: int = 2048,
                      seed: int = 42, iters: int = 8,
                      id_col: str = "vec_id", vec_col: str = "embedding",
+                     pq_m: int | None = None, pq_ks: int = 256,
                      ) -> str:
     """One-time IVF index-build job: train the coarse quantizer on a
     seeded sample, then write the corpus to parquet PARTITIONED by
@@ -237,14 +238,21 @@ def build_ivf_layout(emb: ray.data.Dataset, artifact_dir: str,
     version) and atomically renamed, so reruns over an unchanged corpus
     return the existing path without touching the data — the
     ``save_block_tables`` pattern (blocking.py:182) applied to the
-    corpus itself."""
+    corpus itself.
+
+    With ``pq_m`` set, the layout is the full IVFADC index (Jégou et
+    al. 2011): PQ codebooks train on the SAME seeded sample and every
+    row additionally stores its ``pq_code`` (fixed_size_list<uint8>[m]
+    — m bytes/vector); serving's ADC pass then column-prunes the read
+    to the code column and never touches the float vectors until the
+    exact re-rank."""
     os.makedirs(artifact_dir, exist_ok=True)
     n_rows = emb.count()
     sample = seeded_sample(emb, sample_size, id_col, vec_col, seed)
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(sample).tobytes())
     h.update(f"|ivf-v{IVF_LAYOUT_VERSION}|{n_rows}|{n_centroids}|"
-             f"{seed}|{iters}|{sample_size}".encode())
+             f"{seed}|{iters}|{sample_size}|{pq_m}|{pq_ks}".encode())
     fp = h.hexdigest()[:16]
     out = os.path.join(artifact_dir, f"ivf-{fp}")
     done = os.path.join(out, "_IVF_LAYOUT_COMPLETE")
@@ -253,6 +261,10 @@ def build_ivf_layout(emb: ray.data.Dataset, artifact_dir: str,
 
     cents = train_centroids(sample, n_centroids, seed, iters)
     cents_ref = ray.put(cents.astype(np.float32))
+    books = None
+    if pq_m is not None:
+        books = train_pq_codebooks(sample, m=pq_m, ks=pq_ks, seed=seed)
+    books_ref = ray.put(books)
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
@@ -261,18 +273,29 @@ def build_ivf_layout(emb: ray.data.Dataset, artifact_dir: str,
         # ivf_list becomes the hive partition dir (dropped from the
         # files); list_id stays IN the files so serving can read the
         # probed dirs as ONE dataset and still see each row's list
-        return t.append_column("ivf_list", pa.array(a, pa.int32())) \
+        t = t.append_column("ivf_list", pa.array(a, pa.int32())) \
             .append_column("list_id", pa.array(a, pa.int32()))
+        bks = ray.get(books_ref)
+        if bks is not None:
+            codes = pq_encode(vecs.astype(np.float64), bks)
+            t = t.append_column(
+                "pq_code", pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()),
+                    codes.shape[1]))
+        return t
 
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     emb.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(tmp, "data"), partition_cols=["ivf_list"])
     np.save(os.path.join(tmp, "centroids.npy"), cents)
+    if books is not None:
+        np.save(os.path.join(tmp, "pq_books.npy"), books)
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump({"fingerprint": fp, "n_centroids": int(n_centroids),
                    "dim": int(cents.shape[1]), "n_rows": int(n_rows),
                    "version": IVF_LAYOUT_VERSION,
+                   "pq_m": pq_m, "pq_ks": pq_ks,
                    "id_col": id_col, "vec_col": vec_col}, f)
     with open(os.path.join(tmp, "_IVF_LAYOUT_COMPLETE"), "w") as f:
         json.dump({"fingerprint": fp}, f)
@@ -394,6 +417,151 @@ def ivf_topk(emb: ray.data.Dataset, queries: np.ndarray,
                               id_col=id_col, vec_col=vec_col)
     return ivf_topk_indexed(layout, queries, query_ids, k=k, nprobe=nprobe,
                             id_col=id_col, vec_col=vec_col)
+
+
+def _column_bytes(files: list[str], columns: list[str]) -> int:
+    """Compressed on-disk bytes of specific parquet columns (summed
+    column-chunk ``total_compressed_size`` across row groups) — the
+    honest measure of what a column-pruned read actually scans."""
+    import pyarrow.parquet as pq
+    total = 0
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                root = col.path_in_schema.split(".", 1)[0]
+                if root in columns:
+                    total += col.total_compressed_size
+    return total
+
+
+def ivf_pq_topk_indexed(layout_path: str, queries: np.ndarray,
+                        query_ids: list[int], k: int = 10,
+                        nprobe: int = 4, shortlist_mult: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        return_stats: bool = False):
+    """Full IVFADC serving (Jégou et al. 2011) from a PQ-enabled layout
+    (``build_ivf_layout(..., pq_m=m)``), in two column-pruned passes:
+
+    * **Pass A (ADC)** reads ONLY ``(id, list_id, pq_code)`` from the
+      ``nprobe`` probed partitions — m code bytes per vector instead of
+      4·d float bytes — and scores every row against its probing
+      queries via the per-query inner-product lookup table, keeping a
+      ``k·shortlist_mult`` shortlist per query.
+    * **Pass B (re-rank)** re-reads the probed partitions with a
+      pushed-down ``id IN shortlist`` parquet filter, this time
+      ``(id, vec)`` only, and scores the shortlist EXACTLY; a tiny
+      driver merge ranks the final k.
+
+    The union shortlist is scored against every query in pass B (a row
+    outside a query's probe set can only ADD recall).  ``return_stats``
+    reports the compressed bytes each pass scanned, so the
+    code-vs-vector I/O story is measured, not asserted."""
+    cents = np.load(os.path.join(layout_path, "centroids.npy"))
+    books = np.load(os.path.join(layout_path, "pq_books.npy"))
+    m, ks, dsub = books.shape
+    qm = _unit(np.asarray(queries, dtype=np.float64))
+    nq = len(qm)
+    nprobe = min(nprobe, len(cents))
+    probe_sets = np.argsort(-(qm @ cents.T.astype(np.float64)),
+                            axis=1)[:, :nprobe]
+    cent_queries: dict[int, list[int]] = {}
+    for qi, ps in enumerate(probe_sets):
+        for c in ps:
+            cent_queries.setdefault(int(c), []).append(qi)
+
+    parts = ivf_layout_partitions(layout_path)
+    probe_dirs = [parts[c] for c in sorted(cent_queries) if c in parts]
+    probe_files = [os.path.join(d, f) for d in probe_dirs
+                   for f in sorted(os.listdir(d))
+                   if f.endswith(".parquet")]
+    empty = _merge_topk(pd.DataFrame(), query_ids, k, id_col)
+    if not probe_files:
+        return (empty, {}) if return_stats else empty
+
+    lut = np.einsum("qjd,jkd->qjk", qm.reshape(nq, m, dsub), books)
+    adc_state = ray.put((lut, {c: np.asarray(qis)
+                               for c, qis in cent_queries.items()}))
+    n_short = k * shortlist_mult
+
+    def adc_scorer(batch: pa.Table) -> pa.Table:
+        tab, cq = ray.get(adc_state)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        ids = _ids_np(batch, id_col)
+        codes = batch["pq_code"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(batch.num_rows, m)
+        out_q, out_id, out_adc = [], [], []
+        for c in np.unique(lists):
+            qis = cq.get(int(c))
+            if qis is None:
+                continue
+            msk = lists == c
+            sub = codes[msk]
+            # adc[qi, i] = sum_j tab[qi, j, sub[i, j]]
+            adc = tab[qis][:, np.arange(m)[None, :], sub].sum(-1)
+            kk = min(n_short, adc.shape[1])
+            cand = np.argpartition(-adc, kk - 1, axis=1)[:, :kk] \
+                if adc.shape[1] > kk else \
+                np.tile(np.arange(adc.shape[1]), (len(qis), 1))
+            sub_ids = ids[msk]
+            for row, qi in enumerate(qis):
+                out_q.append(np.full(cand.shape[1], qi, np.int32))
+                out_id.append(sub_ids[cand[row]])
+                out_adc.append(adc[row, cand[row]])
+        if not out_q:
+            return pa.table({"q_idx": pa.array([], pa.int32()),
+                             "vec_id_": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        return pa.table({
+            "q_idx": pa.array(np.concatenate(out_q), pa.int32()),
+            "vec_id_": pa.array(np.concatenate(out_id), pa.int64()),
+            "adc": pa.array(np.concatenate(out_adc), pa.float64())})
+
+    shortlist = ray.data.read_parquet(
+        probe_files, columns=[id_col, "list_id", "pq_code"]) \
+        .map_batches(adc_scorer, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    if shortlist.empty:
+        return (empty, {}) if return_stats else empty
+    keep = shortlist.sort_values(["q_idx", "adc", "vec_id_"],
+                                 ascending=[True, False, True]) \
+        .groupby("q_idx", sort=False).head(n_short)
+    short_ids = np.unique(keep["vec_id_"].to_numpy())
+
+    import pyarrow.dataset as pads
+    q_ref = ray.put(qm)
+    q_indices = np.arange(nq)
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = _ids_np(batch, id_col)
+        vecs = _unit(_vecs_np(batch, vec_col, np.float64))
+        return _topk_partial(ids, vecs @ q.T, q_indices, k)
+
+    partials = ray.data.read_parquet(
+        probe_files, columns=[id_col, vec_col],
+        filter=pads.field(id_col).isin(pa.array(short_ids))) \
+        .map_batches(rerank, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    out = _merge_topk(partials, query_ids, k, id_col)
+    if return_stats:
+        all_files = [os.path.join(d, f) for d in parts.values()
+                     for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")]
+        stats = {
+            "adc_scanned_bytes": _column_bytes(
+                probe_files, [id_col, "list_id", "pq_code"]),
+            "vec_probe_bytes": _column_bytes(probe_files, [vec_col]),
+            "vec_total_bytes": _column_bytes(all_files, [vec_col]),
+            "n_shortlist": int(len(short_ids)),
+            "n_parts_scanned": len(probe_dirs),
+            "n_parts_total": len(parts),
+        }
+        return out, stats
+    return out
 
 
 def kmeans_distributed(ds, col: str = "embedding", k: int = 8,

@@ -122,3 +122,38 @@ def test_pq_encode_is_deterministic_and_byte_sized():
     codes = pq_encode(_unit(x), books)
     assert codes.dtype == np.uint8 and codes.shape == (500, 4)
     assert np.array_equal(codes, pq_encode(_unit(x), books))
+
+
+def test_ivfpq_layout_serves_from_codes_then_reranks(ray_session,
+                                                     tmp_path):
+    from sbb_ned_ray.stages.similarity import (
+        brute_force_topk,
+        build_ivf_layout,
+        ivf_pq_topk_indexed,
+    )
+    ds, x = _emb_ds(n=600, d=16, seed=11, nparts=4)
+    layout = build_ivf_layout(ds, str(tmp_path), n_centroids=8,
+                              sample_size=128, pq_m=4, pq_ks=64)
+    assert os.path.exists(os.path.join(layout, "pq_books.npy"))
+    q = x[:3].astype(np.float64)
+    qids = [0, 1, 2]
+    exact = brute_force_topk(ds, q, qids, k=5)
+    # shortlist_mult=16: m=4/ks=64 codes are deliberately coarse here,
+    # so the ADC ranking needs a wider re-rank window than the default
+    full, st = ivf_pq_topk_indexed(layout, q, qids, k=5, nprobe=8,
+                                   shortlist_mult=16, return_stats=True)
+    # ADC pass must be cheaper than reading the probed vectors
+    assert st["adc_scanned_bytes"] < st["vec_probe_bytes"]
+    assert st["n_parts_scanned"] == st["n_parts_total"]
+    by_e = {qq: set(g["vec_id"]) for qq, g in exact.groupby("query_id")}
+    by_a = {qq: set(g["vec_id"]) for qq, g in full.groupby("query_id")}
+    rec = np.mean([len(by_e[qq] & by_a[qq]) / 5 for qq in qids])
+    assert rec >= 0.9, rec
+    # exact re-rank: agreeing ids carry the exact cosine
+    m = exact.merge(full, on=["query_id", "vec_id"],
+                    suffixes=("_e", "_a"))
+    assert np.allclose(m["cosine_e"], m["cosine_a"], atol=1e-12)
+    # pq layout and plain layout have distinct fingerprints
+    plain = build_ivf_layout(ds, str(tmp_path), n_centroids=8,
+                             sample_size=128)
+    assert plain != layout
