@@ -496,6 +496,43 @@ ORDER BY doc_id
 """
 
 
+def docs_bm25_topk(sf_dir: str, terms: tuple = ("hash", "join", "spark"),
+                   k: int = 10):
+    """Okapi BM25 top-k lexical retrieval (Lucene idf variant) over
+    the documents table: corpus stats (N, avgdl, per-term df) from one
+    narrow partial pass, broadcast idf, per-batch score + top-k
+    combiner, driver merge — zero corpus shuffle.  Oracle-exact: the
+    SQL twin computes the identical formula and both sides rank by
+    the e6-quantized score."""
+    from sbb_ned_ray.stages.analysis import bm25_topk
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, list(terms), k=k)
+
+
+ORACLE_DOCS_BM25_TOPK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM w),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM w),
+tf AS (SELECT doc_id, ANY_VALUE(dl) AS dl, tok, COUNT(*) AS tf
+       FROM tok WHERE tok IN ('hash', 'join', 'spark')
+       GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+sc AS (SELECT doc_id,
+              SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+       FROM tf JOIN df USING (tok) CROSS JOIN stats
+       GROUP BY doc_id)
+SELECT doc_id, CAST(FLOOR(s * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
+       ROW_NUMBER() OVER (
+           ORDER BY CAST(FLOOR(s * 1000000.0 + 0.5) AS BIGINT) DESC,
+                    doc_id) AS bm25_rank
+FROM sc
+ORDER BY bm25_rank
+LIMIT 10
+"""
+
+
 def docs_dup_spans(sf_dir: str, n: int = 13):
     """Exact duplicate-substring spans (ExactSubstr, Lee et al. 2021):
     maximal per-doc token spans whose 13-grams each occur in >= 2
@@ -3333,6 +3370,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "docs_decontaminate": docs_decontaminate,
     "docs_dup_spans": docs_dup_spans,
+    "docs_bm25_topk": docs_bm25_topk,
     "doc_top_tokens": doc_top_tokens,
     "docs_sample_per_lang": docs_sample_per_lang,
     "docs_len_quantiles": docs_len_quantiles,
@@ -3426,6 +3464,7 @@ ORACLE_SQL = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
+    "docs_bm25_topk": ORACLE_DOCS_BM25_TOPK,
     "doc_top_tokens": ORACLE_DOC_TOP_TOKENS,
     "docs_sample_per_lang": ORACLE_DOCS_SAMPLE_PER_LANG,
     "docs_len_quantiles": ORACLE_DOCS_LEN_QUANTILES,

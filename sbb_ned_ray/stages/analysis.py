@@ -106,3 +106,93 @@ def analyze_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
         out = out.append_column("pred_lang", lang["pred_lang"])
         return out
     return docs.map_batches(fused, batch_format="pyarrow")
+
+
+def bm25_topk(docs: ray.data.Dataset, query_terms: list[str],
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 top-k retrieval over a documents table — the
+    classic web-scale lexical ranker, as two narrow passes (no
+    shuffle of the corpus at all):
+
+    * **Pass 1 (corpus stats)**: per-batch partials of (n_docs,
+      total_dl, per-term df) — a few dozen integers per block folded
+      on the driver.  At 100 TB these stats come from the same pass
+      that builds the inverted index and are reused across queries.
+    * **Pass 2 (score + combine)**: the tiny (term → idf) table is
+      broadcast; each batch computes tf for the query terms only
+      (token membership via sorted-array searchsorted + bincount —
+      no per-token Python), scores matching docs, and keeps a
+      per-batch top-k; the driver merges blocks × k rows.
+
+    idf = ln((N − df + ½)/(df + ½) + 1) (the Lucene variant —
+    non-negative for df ≤ N).  Scores are emitted as ``score_e6``
+    (floor(x·1e6 + ½)) so ranking and the DuckDB oracle compare
+    integer-exact; ties break by id.  Tokenization is a literal
+    ``split(' ')`` to mirror the SQL twin's ``string_split``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    terms = sorted(set(query_terms))
+    tarr = np.array(terms)
+
+    def _doc_tf(texts):
+        """(tf matrix [n_docs × n_terms], doc lengths) for a batch."""
+        tf = np.zeros((len(texts), len(terms)), np.int64)
+        dl = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = np.array(t.split(" "))
+            dl[i] = len(toks)
+            pos = np.searchsorted(tarr, toks)
+            pos[pos == len(tarr)] = 0
+            hit = tarr[pos] == toks
+            if hit.any():
+                tf[i] = np.bincount(pos[hit], minlength=len(terms))
+        return tf, dl
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _doc_tf(batch[text_col].to_pylist())
+        return pa.table({
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "total_dl": pa.array([int(dl.sum())], pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).tolist()],
+                           pa.list_(pa.int64()))})
+
+    stats = docs.map_batches(stats_partial,
+                             batch_format="pyarrow").to_pandas()
+    n_docs = int(stats["n_docs"].sum())
+    avgdl = float(stats["total_dl"].sum()) / max(n_docs, 1)
+    df = np.sum(np.stack([np.asarray(v) for v in stats["df"]]), axis=0)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    idf_ref = ray.put(idf)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref)
+        tf, dl = _doc_tf(batch[text_col].to_pylist())
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = (w[None, :] * tf * (k1 + 1.0) / (tf + norm[:, None])).sum(1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = s > 0
+        se6 = np.floor(s[m] * 1e6 + 0.5).astype(np.int64)
+        kk = min(k, len(se6))
+        if len(se6) > kk:
+            # per-batch combiner: top-k by (score desc, id asc)
+            order = np.lexsort((ids[m], -se6))[:kk]
+        else:
+            order = np.arange(len(se6))
+        return pa.table({
+            id_col: pa.array(ids[m][order]),
+            "score_e6": pa.array(se6[order], pa.int64())})
+
+    parts = docs.map_batches(score_partial,
+                             batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # all-empty blocks lose the schema through to_pandas
+        parts = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "score_e6": pd.Series(dtype="int64")})
+    top = parts.sort_values(["score_e6", id_col],
+                            ascending=[False, True]).head(k)
+    top = top.reset_index(drop=True)
+    top["bm25_rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[[id_col, "score_e6", "bm25_rank"]]

@@ -108,3 +108,32 @@ def test_duplicate_spans_exact_substr(ray_session):
     # doc 0: grams starting 3..18 duplicated -> span [3, 23), 16 grams
     # doc 1: grams starting 0..15 duplicated -> span [0, 20), 16 grams
     assert got == {(0, 3, 23, 16), (1, 0, 20, 16)}, got
+
+
+def test_bm25_topk_ranks_and_edge_cases(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.analysis import bm25_topk
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["cat dog cat", "dog", "fish fish fish",
+                          "bird bird cat"])})
+    ds = rd.from_arrow(docs).repartition(3)
+    out = bm25_topk(ds, ["cat"], k=10)
+    # only docs containing the term score; higher tf/shorter doc first
+    assert set(out["doc_id"]) == {0, 3}
+    assert list(out["bm25_rank"]) == [1, 2]
+    assert (out["score_e6"] > 0).all()
+    # doc 0 has tf=2 with dl=3; doc 3 tf=1 dl=3 → doc 0 ranks first
+    assert out["doc_id"].iloc[0] == 0
+    # term absent from corpus → empty result, stable schema
+    none = bm25_topk(ds, ["zebra"], k=5)
+    assert len(none) == 0
+    assert list(none.columns) == ["doc_id", "score_e6", "bm25_rank"]
+    # batching invariance
+    a = bm25_topk(rd.from_arrow(docs).repartition(1), ["cat", "dog"], k=4)
+    b = bm25_topk(rd.from_arrow(docs).repartition(4), ["cat", "dog"], k=4)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["score_e6"]) == list(b["score_e6"])
