@@ -1476,30 +1476,25 @@ def semantic_dedup_recall(sf_dir: str, eps: float = 0.45,
 
     from sbb_ned_ray.stages.dedup import semantic_dedup
 
+    from sbb_ned_ray.stages.cluster import driver_union_find
+
     gt = embedding_neardup(sf_dir, eps)
     gt_pairs = set(zip(gt["id_a"], gt["id_b"]))
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in gt_pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
     gt_comp: dict[int, list] = {}
-    for x in parent:
-        gt_comp.setdefault(find(x), []).append(x)
+    for node, rep in driver_union_find(sorted(gt_pairs)).items():
+        gt_comp.setdefault(rep, []).append(node)
     gt_partition = {frozenset(v) for v in gt_comp.values() if len(v) > 1}
 
     emb = _read_split(sf_dir, "embeddings",
                       ["vec_id", "embedding"], nblocks=8).materialize()
+    n_rows = emb.count()
     rows = []
     for k in ks:
-        out = semantic_dedup(emb, eps=eps, n_clusters=int(k))
+        # cap must clear the whole corpus: at k=1 EVERY row is one
+        # cluster and a hit on the default skew cap would fail the
+        # exact-partition assert spuriously
+        out = semantic_dedup(emb, eps=eps, n_clusters=int(k),
+                             max_cluster_rows=int(n_rows))
         groups = {g: sorted(s["vec_id"])
                   for g, s in out.groupby("dup_group") if len(s) > 1}
         for g, s in out.groupby("dup_group"):

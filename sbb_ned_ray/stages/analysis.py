@@ -137,6 +137,15 @@ def bm25_topk(docs: ray.data.Dataset, query_terms: list[str],
     terms = sorted(set(query_terms))
     tarr = np.array(terms)
 
+    def _empty():
+        out = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                            "score_e6": pd.Series(dtype="int64")})
+        out["bm25_rank"] = pd.Series(dtype="int64")
+        return out[[id_col, "score_e6", "bm25_rank"]]
+
+    if not terms:
+        return _empty()   # the SQL twin's `tok IN ()` is empty too
+
     def _doc_tf(texts):
         """(tf matrix [n_docs × n_terms], doc lengths) for a batch."""
         tf = np.zeros((len(texts), len(terms)), np.int64)
@@ -161,6 +170,8 @@ def bm25_topk(docs: ray.data.Dataset, query_terms: list[str],
 
     stats = docs.map_batches(stats_partial,
                              batch_format="pyarrow").to_pandas()
+    if stats.empty:
+        return _empty()   # zero-row corpus
     n_docs = int(stats["n_docs"].sum())
     avgdl = float(stats["total_dl"].sum()) / max(n_docs, 1)
     df = np.sum(np.stack([np.asarray(v) for v in stats["df"]]), axis=0)

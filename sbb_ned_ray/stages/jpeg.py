@@ -542,6 +542,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
     if comps is None or scan is None:
         raise ValueError("missing SOF0/SOS")
+    if len(scan) != len(comps):
+        # a legal baseline file may carry several sequential
+        # NON-interleaved scans (one component each); this decoder
+        # handles only the single interleaved-scan layout — decoding
+        # just the first scan would silently return wrong pixels
+        raise ValueError(
+            f"non-interleaved scan (ns={len(scan)} of {len(comps)} "
+            "components) not supported")
     if h * w > (1 << 26):
         raise ValueError(f"image too large: {w}x{h}")
 

@@ -352,7 +352,11 @@ class ImageDecodeStage:
                         arr = np.repeat(a[..., None], 3, -1) \
                             if a.ndim == 2 else a
                 except (ValueError, struct.error, zlib.error,
-                        IndexError):
+                        IndexError, KeyError, StopIteration):
+                    # KeyError: SOS referencing an undefined quant /
+                    # Huffman table id; StopIteration: SOS component
+                    # id absent from SOF — both occur in corrupt web
+                    # JPEGs and must degrade, not kill the task
                     arr = None
             if arr is not None:
                 rgb = arr[..., :3]        # drop alpha for ALL stats

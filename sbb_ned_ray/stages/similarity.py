@@ -651,6 +651,13 @@ def context_matrix(ds, key_col: str = "label", vec_col: str = "embedding",
     """
     def partial(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False)
+        vtype_ = pa.int64() if scale is not None else pa.float64()
+        if len(keys) == 0:
+            # reduceat with starts=[0] on a 0-row array raises; Ray
+            # can deliver empty blocks (repartition, upstream filter)
+            return pa.table({key_col: t[key_col],
+                             "n_links": pa.array([], pa.int64()),
+                             "sum_vec": pa.array([], pa.list_(vtype_))})
         x = _vecs_np(t, vec_col, np.float64)
         if scale is not None:
             x = np.floor(x * scale + 0.5).astype(np.int64)

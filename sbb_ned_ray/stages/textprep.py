@@ -249,6 +249,14 @@ def duplicate_spans(docs: ray.data.Dataset, n: int = 13,
         .groupby("_b").map_groups(hits, batch_format="pandas") \
         .groupby("doc_id").map_groups(spans, batch_format="pandas") \
         .to_pandas()
+    if out.empty:
+        # a duplicate-free corpus yields all-empty blocks, which lose
+        # the schema through to_pandas — rebuild it typed
+        out = pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "span_start": pd.Series(dtype="int64"),
+            "span_end": pd.Series(dtype="int64"),
+            "n_grams": pd.Series(dtype="int64")})
     return out.sort_values(["doc_id", "span_start"]) \
         .reset_index(drop=True)
 

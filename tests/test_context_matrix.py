@@ -64,3 +64,21 @@ def test_context_matrix_float_mode(ray_session):
         np.testing.assert_allclose(
             np.asarray(r["sum_vec"]), x[m].astype(np.float64).sum(0),
             rtol=1e-9, atol=1e-9)
+
+
+def test_context_matrix_survives_empty_blocks(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.similarity import context_matrix
+    t = pa.table({
+        "label": pa.array(["a", "a", "b"]),
+        "embedding": pa.array(np.eye(3).tolist(),
+                              pa.list_(pa.float64()))})
+    # more blocks than rows → at least one empty block reaches partial
+    ds = rd.from_arrow(t).repartition(8)
+    out = context_matrix(ds, scale=100.0).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    assert list(out["label"]) == ["a", "b"]
+    assert list(out["n_links"]) == [2, 1]

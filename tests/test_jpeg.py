@@ -103,3 +103,52 @@ def test_decode_stage_sniffs_jpeg_and_degrades(ray_session):
         .to_pandas().sort_values("media_id")
     assert list(out["meta_width"]) == [17, -1]      # real vs degraded
     assert list(out["meta_height"]) == [12, -1]
+
+
+def _tamper_sos_table_selector(buf: bytes) -> bytes:
+    """Point the first SOS component at undefined huffman tables
+    (selector 0xF/0xF) — the corrupt-web-JPEG shape that must raise a
+    catchable error, not kill the decode task with a KeyError escape."""
+    b = bytearray(buf)
+    i = 2
+    while i < len(b) - 1:
+        assert b[i] == 0xFF
+        marker = b[i + 1]
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        if marker == 0xDA:
+            b[i + 6] = 0xFF   # first component's (dc<<4 | ac) selector
+            return bytes(b)
+        i += 2 + seglen
+    raise AssertionError("no SOS found")
+
+
+def test_corrupt_table_ids_raise_catchable_errors():
+    a = _ramp(16, 16)
+    bad = _tamper_sos_table_selector(encode_jpeg(a, 90))
+    with pytest.raises((ValueError, KeyError)):
+        decode_jpeg(bad)
+
+
+def test_noninterleaved_multi_scan_raises_not_misdecodes():
+    """A baseline file whose first SOS covers fewer components than
+    SOF declares (sequential non-interleaved layout) must raise — the
+    decoder handles only the interleaved single-scan layout, and
+    decoding just the luma scan would silently return wrong pixels."""
+    buf = encode_jpeg(_ramp(16, 16), 90)
+    b = bytearray(buf)
+    i = 2
+    while i < len(b) - 1:
+        marker = b[i + 1]
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        if marker == 0xDA:
+            # rewrite ns=3 → ns=1 (shrink the SOS header in place:
+            # keep comp 1's entry, drop the other two, fix seglen)
+            sos = b[i + 4:i + 4 + seglen - 2]
+            assert sos[0] == 3
+            new = bytes([1]) + bytes(sos[1:3]) + bytes(sos[7:])
+            b[i + 2:i + 4] = (len(new) + 2).to_bytes(2, "big")
+            b[i + 4:i + 4 + seglen - 2] = new
+            break
+        i += 2 + seglen
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(b))

@@ -137,3 +137,33 @@ def test_bm25_topk_ranks_and_edge_cases(ray_session):
     b = bm25_topk(rd.from_arrow(docs).repartition(4), ["cat", "dog"], k=4)
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["score_e6"]) == list(b["score_e6"])
+
+
+def test_duplicate_spans_duplicate_free_corpus_is_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.textprep import duplicate_spans
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                          "one two three four five six seven"])})
+    out = duplicate_spans(rd.from_arrow(docs), n=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "span_start", "span_end",
+                                 "n_grams"]
+
+
+def test_bm25_empty_corpus_and_empty_terms(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.analysis import bm25_topk
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = bm25_topk(rd.from_arrow(empty), ["cat"], k=5)
+    assert len(out) == 0
+    docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["cat dog"])})
+    out2 = bm25_topk(rd.from_arrow(docs), [], k=5)
+    assert len(out2) == 0
