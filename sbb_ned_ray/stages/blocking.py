@@ -63,12 +63,11 @@ def _alias_rows_rowloop(t: pa.Table, with_meta: bool,
     """Row-loop reference for :func:`_alias_rows_vectorized` — kept for
     the bit-exactness parity test (tests/test_blocking_shuffle.py), not
     called in the pipeline."""
-    kinds, keys_col, eids, titles, qids, probas = [], [], [], [], [], []
+    kinds, keys_col, eids, tlens, probas = [], [], [], [], []
     src_rows: list[int] = []   # row in t, for metadata gather
-    for row_no, (eid, title, qid, proba, aliases) in enumerate(zip(
+    for row_no, (eid, title, proba, aliases) in enumerate(zip(
             t["eid"].to_pylist(), t["page_title"].to_pylist(),
-            t["qid"].to_pylist(), t["proba"].to_pylist(),
-            t["aliases"].to_pylist())):
+            t["proba"].to_pylist(), t["aliases"].to_pylist())):
         seen_parts = set()
         seen_keys = set()
         for alias in aliases:
@@ -81,8 +80,7 @@ def _alias_rows_rowloop(t: pa.Table, with_meta: bool,
                 kinds.append(1)
                 keys_col.append(key)
                 eids.append(eid)
-                titles.append(title)
-                qids.append(qid)
+                tlens.append(len(title))
                 probas.append(float(proba))
                 src_rows.append(row_no)
             for p in parts:
@@ -92,16 +90,14 @@ def _alias_rows_rowloop(t: pa.Table, with_meta: bool,
                 kinds.append(0)
                 keys_col.append(p)
                 eids.append(eid)
-                titles.append(title)
-                qids.append(qid)
+                tlens.append(len(title))
                 probas.append(float(proba))
                 src_rows.append(row_no)
     out = pa.table({
         "kind": pa.array(kinds, pa.int8()),
         "key0": pa.array(keys_col, pa.string()),
         "eid": pa.array(eids, pa.int64()),
-        "title": pa.array(titles, pa.string()),
-        "qid": pa.array(qids, pa.string()),
+        "tlen": pa.array(tlens, pa.int32()),
         "proba": pa.array(probas, pa.float64()),
     })
     if with_meta:
@@ -135,8 +131,7 @@ def _alias_rows_vectorized(t: pa.Table, with_meta: bool,
         "kind": pa.array([], pa.int8()),
         "key0": pa.array([], pa.string()),
         "eid": pa.array([], pa.int64()),
-        "title": pa.array([], pa.string()),
-        "qid": pa.array([], pa.string()),
+        "tlen": pa.array([], pa.int32()),
         "proba": pa.array([], pa.float64()),
     })
 
@@ -205,8 +200,8 @@ def _alias_rows_vectorized(t: pa.Table, with_meta: bool,
         "kind": pa.array(kind_arr[keep], pa.int8()),
         "key0": pa.array(key_arr[keep].tolist(), pa.string()),
         "eid": t["eid"].combine_chunks().take(take),
-        "title": t["page_title"].combine_chunks().take(take),
-        "qid": t["qid"].combine_chunks().take(take),
+        "tlen": pc.cast(pc.utf8_length(
+            t["page_title"].combine_chunks().take(take)), pa.int32()),
         "proba": pc.cast(t["proba"].combine_chunks().take(take),
                          pa.float64()),
     })
@@ -279,7 +274,19 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
                          "freq": pa.array(fs, pa.int64())})
 
     bands = freqs.map_batches(band_rows, batch_format="pyarrow")
-    return {"postings": postings, "exact": exact, "bands": bands}
+    # entity metadata table (one NARROW row per entity): title/qid
+    # strings live HERE, not in the posting rows — the wide posting
+    # expansion joins carry only (eid, tlen, proba) and the strings are
+    # re-attached AFTER the per-surface ranking caps the volume
+    # (measured at 24k entities / 20k pages: the hit table is 33.6M
+    # rows; the ranked table 0.64M)
+    entmeta = ray.data.from_arrow(pa.table({
+        "cand_entity": kb_eid["eid"],
+        "candidate_title": kb_eid["page_title"],
+        "qid": kb_eid["qid"],
+    }))
+    return {"postings": postings, "exact": exact, "bands": bands,
+            "entmeta": entmeta}
 
 
 def save_block_tables(kb: pa.Table, cfg: PipelineConfig, artifact_dir: str,
@@ -294,14 +301,15 @@ def save_block_tables(kb: pa.Table, cfg: PipelineConfig, artifact_dir: str,
 
     from sbb_ned_ray.state.artifacts import kb_fingerprint
 
-    # -v2: bands table carries freq (part-level probe path)
-    fp = kb_fingerprint(kb, cfg) + "-v2" + ("-meta" if with_meta else "")
+    # -v3: postings/exact carry tlen (not title/qid strings); entity
+    # metadata is its own narrow table (entmeta) joined post-ranking
+    fp = kb_fingerprint(kb, cfg) + "-v3" + ("-meta" if with_meta else "")
     out = os.path.join(artifact_dir, fp)
     if os.path.exists(os.path.join(out, "_BLOCK_TABLES_COMPLETE")):
         return out
     tabs = kb_block_tables(kb, cfg, num_partitions, with_meta=with_meta)
     tmp = out + ".tmp"
-    for name in ("postings", "exact", "bands"):
+    for name in ("postings", "exact", "bands", "entmeta"):
         tabs[name].write_parquet(os.path.join(tmp, name))
     with open(os.path.join(tmp, "_BLOCK_TABLES_COMPLETE"), "w") as f:
         json.dump({"fingerprint": fp}, f)
@@ -322,7 +330,7 @@ def load_block_tables(artifact_path: str) -> dict:
     """Streaming read of persisted blocking tables."""
     import os
     return {name: ray.data.read_parquet(os.path.join(artifact_path, name))
-            for name in ("postings", "exact", "bands")}
+            for name in ("postings", "exact", "bands", "entmeta")}
 
 
 _REDIRECT_CACHE: dict[str, dict] = {}
@@ -445,6 +453,119 @@ def _match_part_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
                          "dist": [d for d, _ in sel]})
 
 
+_RANK_SCHEMA = pa.schema([
+    ("surface", pa.string()), ("cand_entity", pa.int64()),
+    ("dist", pa.float64()), ("match_uniqueness", pa.float64()),
+    ("match_coverage", pa.float64()), ("proba", pa.float64()),
+    ("rank", pa.int32()),
+])
+
+
+def _rank_surface_block(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Whole-bucket rank for the no-context path, Arrow end-to-end: the
+    hit rows stay arrow (no object-array pandas conversion of the block
+    — measured 444 s cumulative at 24k entities just to hash/convert
+    33.6M-row pandas blocks), strings are dictionary-encoded once, the
+    per-(surface, query_part, entity) min-distance collapse runs as an
+    all-integer pandas groupby (khash on int64, no objects), and the
+    per-surface loop calls the same :func:`rank_hits` the broadcast
+    path uses over numpy slices.  Hit order inside a surface is
+    irrelevant to rank_hits, so the collapse is exact (parity-tested
+    against the broadcast path)."""
+    if t.num_rows == 0:
+        return _RANK_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    s_enc = pc.dictionary_encode(t["surface"].combine_chunks())
+    q_enc = pc.dictionary_encode(t["query_part"].combine_chunks())
+    s_uniq = np.asarray(s_enc.dictionary.to_pylist(), dtype=object)
+    q_uniq = np.asarray(q_enc.dictionary.to_pylist(), dtype=object)
+    s_codes = s_enc.indices.to_numpy(zero_copy_only=False)
+    q_codes = q_enc.indices.fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = t["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = t["dist"].to_numpy(zero_copy_only=False)
+    tlen = t["tlen"].to_numpy(zero_copy_only=False).astype(np.int64)
+    proba = t["proba"].to_numpy(zero_copy_only=False)
+    is_ex = t["is_exact"].to_numpy(zero_copy_only=False)
+
+    m = is_ex == 0
+    # all-integer collapse: per (surface, query_part, entity) min dist
+    pdf = pd.DataFrame({"s": s_codes[m], "q": q_codes[m], "e": eid[m],
+                        "d": dist[m], "t": tlen[m], "p": proba[m]})
+    col = pdf.groupby(["s", "q", "e"], sort=False) \
+        .agg(d=("d", "min"), t=("t", "first"), p=("p", "first")) \
+        .reset_index()
+    cs = col["s"].to_numpy()
+    o = np.argsort(cs, kind="stable")
+    cs = cs[o]
+    cq = col["q"].to_numpy()[o]
+    ce_ = col["e"].to_numpy()[o]
+    cd = col["d"].to_numpy()[o]
+    ct = col["t"].to_numpy()[o]
+    cp = col["p"].to_numpy()[o]
+    bound = np.arange(len(s_uniq) + 1)
+    starts = np.searchsorted(cs, bound[:-1])
+    ends = np.searchsorted(cs, bound[1:])
+
+    me = ~m
+    es = s_codes[me]
+    oe = np.argsort(es, kind="stable")
+    es = es[oe]
+    ee = eid[me][oe]
+    et = tlen[me][oe]
+    ep = proba[me][oe]
+    starts_e = np.searchsorted(es, bound[:-1])
+    ends_e = np.searchsorted(es, bound[1:])
+
+    r_surf: list = []
+    r_eid: list = []
+    r_dist: list = []
+    r_uniqv: list = []
+    r_cov: list = []
+    r_proba: list = []
+    r_rank: list = []
+    for si in range(len(s_uniq)):
+        a, b = starts[si], ends[si]
+        ae, be = starts_e[si], ends_e[si]
+        if a == b and ae == be:
+            continue
+        surface = s_uniq[si]
+        exact_ids = frozenset(int(e) for e in ee[ae:be])
+        meta: dict[int, tuple[int, float]] = {}
+        hits: list[tuple[int, str, float]] = []
+        for qc, e, d, tl, pr in zip(cq[a:b], ce_[a:b], cd[a:b],
+                                    ct[a:b], cp[a:b]):
+            e = int(e)
+            hits.append((e, q_uniq[qc], float(d)))
+            meta[e] = (int(tl), float(pr))
+        for e, tl, pr in zip(ee[ae:be], et[ae:be], ep[ae:be]):
+            meta[int(e)] = (int(tl), float(pr))
+        query_parts = tuple(filter_surface(normalize_chars(surface)))
+        ranked = rank_hits(hits, cfg, exact_ids, query_parts,
+                           get_len=lambda e: meta[e][0],
+                           get_proba=lambda e: meta[e][1])
+        for (e, d, u, cov, pr, rk) in ranked:
+            r_surf.append(surface)
+            r_eid.append(e)
+            r_dist.append(d)
+            r_uniqv.append(u)
+            r_cov.append(cov)
+            r_proba.append(pr)
+            r_rank.append(rk)
+    if not r_eid:
+        return _RANK_SCHEMA.empty_table()
+    return pa.table({
+        "surface": pa.array(r_surf, pa.string()),
+        "cand_entity": pa.array(r_eid, pa.int64()),
+        "dist": pa.array(r_dist, pa.float64()),
+        "match_uniqueness": pa.array(r_uniqv, pa.float64()),
+        "match_coverage": pa.array(r_cov, pa.float64()),
+        "proba": pa.array(r_proba, pa.float64()),
+        "rank": pa.array(r_rank, pa.int32()),
+    })
+
+
 def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
                         geo_pts: list | None = None) -> pd.DataFrame:
     """One surface's joined hit rows → ranked candidates (replicates
@@ -453,13 +574,23 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
     over the pre-truncation ranking via ``apply_context_core`` with
     metadata read from the joined posting columns."""
     out_cols = ["surface", "cand_entity", "dist", "match_uniqueness",
-                "match_coverage", "proba", "rank", "candidate_title",
-                "qid"]
+                "match_coverage", "proba", "rank"]
     has_ctx = cfg.context is not None
     if has_ctx:
         out_cols.append("stype")
+
+    def _empty() -> pd.DataFrame:
+        # typed empty (the slim ranked table feeds a hash join — an
+        # all-object empty block would poison the join schema)
+        dtypes = {"surface": object, "cand_entity": np.int64,
+                  "dist": np.float64, "match_uniqueness": np.float64,
+                  "match_coverage": np.float64, "proba": np.float64,
+                  "rank": np.int32, "stype": object}
+        return pd.DataFrame({c: pd.Series(dtype=dtypes[c])
+                             for c in out_cols})
+
     if g.empty:
-        return pd.DataFrame(columns=out_cols)
+        return _empty()
     surface = g["surface"].iloc[0]
     stype = g["stype"].iloc[0] if has_ctx else None
     exact_rows = g[g["is_exact"] == 1]
@@ -469,7 +600,7 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
     # exact-id entries and weight uniqueness/coverage identically to the
     # broadcast path), recomputed from the pure normalizer
     query_parts = tuple(filter_surface(normalize_chars(surface)))
-    meta: dict[int, tuple[int, float, str, str]] = {}
+    meta: dict[int, tuple[int, float]] = {}
     hits: list[tuple[int, str, float]] = []
     # rows arrive pre-filtered by _match_part_group (stoplist, distance,
     # SEARCH_K) with the part distance attached — only the per-entity
@@ -484,9 +615,9 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
         for e, d in sorted(ent_min.items()):
             hits.append((e, qp, d))
     for r in part_rows.itertuples():
-        meta[int(r.eid)] = (len(r.title), float(r.proba), r.title, r.qid)
+        meta[int(r.eid)] = (int(r.tlen), float(r.proba))
     for r in exact_rows.itertuples():
-        meta[int(r.eid)] = (len(r.title), float(r.proba), r.title, r.qid)
+        meta[int(r.eid)] = (int(r.tlen), float(r.proba))
     meta_ctx: dict[int, tuple] = {}
     if has_ctx:
         # geo/temporal metadata carried through the posting join
@@ -513,21 +644,19 @@ def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
                   for rank, (eid, dist, uniq, cov, proba, _) in
                   enumerate(ranked[:cfg.max_candidates])]
     if not ranked:
-        return pd.DataFrame(columns=out_cols)
+        return _empty()
     out = pd.DataFrame(ranked, columns=["cand_entity", "dist",
                                         "match_uniqueness",
                                         "match_coverage", "proba", "rank"])
     out.insert(0, "surface", surface)
-    out["candidate_title"] = [meta[int(e)][2] for e in out["cand_entity"]]
-    out["qid"] = [meta[int(e)][3] for e in out["cand_entity"]]
     out["rank"] = out["rank"].astype(np.int32)
     if has_ctx:
         out["stype"] = stype
     return out[out_cols]
 
 
-_HIT_COLS = ["surface", "query_part", "part", "dist", "eid", "title",
-             "qid", "proba", "is_exact"]
+_HIT_COLS = ["surface", "query_part", "dist", "eid", "tlen",
+             "proba", "is_exact"]
 _META_COLS = ["longitude", "latitude", "dateofbirth", "inception"]
 
 
@@ -623,11 +752,16 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         skip_singletons=False).materialize()
 
     # P3: expand matched parts → entity rows, then attach to surfaces on
-    # query_part (both joins now run at post-filter volume)
+    # query_part (both joins now run at post-filter volume).  The part
+    # string itself is DEAD after this join (the ranker groups by
+    # query_part and takes per-entity min dist), and title/qid strings
+    # were never in the postings (tlen + the post-rank entmeta join
+    # carry the same information) — the widest exchange of the pipeline
+    # ships only (surface, query_part, dist, eid, tlen, proba).
     qp_hits = part_matches.join(
         tabs["postings"], join_type="inner",
         num_partitions=num_partitions, on=("part",)) \
-        .map_batches(lambda t: t.drop_columns(["freq"]),
+        .map_batches(lambda t: t.drop_columns(["freq", "part"]),
                      batch_format="pyarrow")
     hits = surface_parts.join(qp_hits, join_type="inner",
                               num_partitions=num_partitions,
@@ -642,11 +776,9 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         out = pa.table({
             "surface": t["surface"],
             "query_part": pa.array([None] * t.num_rows, pa.string()),
-            "part": pa.array([None] * t.num_rows, pa.string()),
             "dist": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
             "eid": t["eid"],
-            "title": t["title"],
-            "qid": t["qid"],
+            "tlen": t["tlen"],
             "proba": t["proba"],
             "is_exact": pa.array(np.ones(t.num_rows, dtype=np.int8)),
         })
@@ -661,6 +793,21 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         .map_batches(sur_rows, batch_format="pyarrow")
 
     both = hits.union(j_sur)
+
+    def _attach_entmeta(ranked_slim, extra_cols: list[str]):
+        # re-attach title/qid strings at POST-RANK volume (≤
+        # max_candidates rows per surface) — a narrow hash join against
+        # the one-row-per-entity table instead of shipping the strings
+        # through the full postings expansion
+        out_order = ["surface", "cand_entity", "dist", "match_uniqueness",
+                     "match_coverage", "proba", "rank", "candidate_title",
+                     "qid"] + extra_cols
+        return ranked_slim.join(
+            tabs["entmeta"], join_type="inner",
+            num_partitions=num_partitions, on=("cand_entity",)) \
+            .map_batches(lambda t: t.select(out_order),
+                         batch_format="pyarrow")
+
     if has_ctx:
         import pyarrow.compute as pc
 
@@ -669,15 +816,36 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
                                              "\x1f")
             return t.append_column("_sg", sg)
 
-        return bucketed_map_groups(
+        ranked_slim = bucketed_map_groups(
             both.map_batches(add_sg, batch_format="pyarrow"), "_sg",
             lambda g: _rank_surface_group(g.drop(columns=["_sg"]), cfg,
                                           geo_pts),
             nparts=max(16, num_partitions * 4), skip_singletons=False)
-    return bucketed_map_groups(
-        both, "surface",
-        lambda g: _rank_surface_group(g, cfg),
-        nparts=max(16, num_partitions * 4), skip_singletons=False)
+        return _attach_entmeta(ranked_slim, ["stype"])
+    # no-context path: same surface-hash bucketing idea as
+    # bucketed_map_groups, but Arrow end-to-end — the bucket hash runs
+    # over the block's surface DICTIONARY (distinct values), not every
+    # row, and the rank pass is one whole-bucket vectorized call
+    # (_rank_surface_block) instead of a per-surface pandas apply
+    nparts = max(16, num_partitions * 4)
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(t["surface"].combine_chunks())
+        buckets = np.array(
+            [zlib.crc32(u.encode("utf-8")) % nparts
+             for u in enc.dictionary.to_pylist()], dtype=np.int32)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(buckets[codes],
+                                                 pa.int32()))
+
+    ranked_slim = both.map_batches(_add_bucket, batch_format="pyarrow") \
+        .groupby("_part") \
+        .map_groups(lambda t: _rank_surface_block(
+            t.drop_columns(["_part"]), cfg), batch_format="pyarrow")
+    return _attach_entmeta(ranked_slim, [])
 
 
 def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,
