@@ -195,31 +195,76 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                               seed=seed).materialize()
     band_rows = minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
                                   id_col=id_col)
+    r = num_perm // bands
+    nparts = 64
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64")})
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["band_key"].to_numpy(zero_copy_only=False)
+                % np.uint64(nparts)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def bucket_pairs_vec(t: pa.Table) -> pa.Table:
+        """All candidate pairs of one coarse bucket in one numpy pass:
+        sort rows by (band_key, exact slice bytes, id), find group
+        boundaries, emit triu pairs per (band_key, slice) group —
+        band_key is a 64-bit hash of the slice, so grouping on the
+        exact slice values means a hash collision can never fabricate
+        a pair.  ``max_pairs_per_bucket`` caps pairs per band_key group
+        (the skew guard).  Replaces a per-group pandas apply that
+        dominated the dedup wall (one python DataFrame per band
+        bucket)."""
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n < 2:
             return empty
-        # band_key is a 64-bit hash of the slice; group by the exact
-        # slice bytes so a hash collision can never fabricate a pair
-        skey = g["bslice"].map(
-            lambda v: np.asarray(v, dtype=np.uint64).tobytes())
-        outs = []
-        budget = max_pairs_per_bucket
-        for _, sub in g.groupby(skey, sort=False):
-            if budget <= 0 or len(sub) < 2:
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sl = t["bslice"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(n, r)
+        order = np.lexsort(
+            (ids,) + tuple(sl[:, j] for j in range(r - 1, -1, -1)) + (bk,))
+        bk_s = bk[order]
+        ids_s = ids[order]
+        sl_s = sl[order]
+        new_bk = np.empty(n, dtype=bool)
+        new_bk[0] = True
+        new_bk[1:] = bk_s[1:] != bk_s[:-1]
+        new_grp = new_bk.copy()
+        for j in range(r):
+            new_grp[1:] |= sl_s[1:, j] != sl_s[:-1, j]
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        # per-group budget tracking keyed by the band_key group each
+        # slice group belongs to
+        bk_group_of = np.cumsum(new_bk) - 1
+        budgets: dict[int, int] = {}
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            ids = sub[id_col].to_numpy()
-            iu, ju = np.triu_indices(len(ids), k=1)
+            bg = int(bk_group_of[s])
+            budget = budgets.get(bg, max_pairs_per_bucket)
+            if budget <= 0:
+                continue
+            g_ids = np.unique(ids_s[s:e])
+            if len(g_ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(g_ids), k=1)
             take = min(budget, len(iu))
-            outs.append(pd.DataFrame({"id_a": ids[iu[:take]],
-                                      "id_b": ids[ju[:take]]}))
-            budget -= take
-        return pd.concat(outs, ignore_index=True) if outs else empty
+            out_a.append(g_ids[iu[:take]])
+            out_b.append(g_ids[ju[:take]])
+            budgets[bg] = budget - take
+        if not out_a:
+            return empty
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    cand = bucketed_map_groups(band_rows, "band_key", bucket_pairs) \
+    cand = band_rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part") \
+        .map_groups(lambda t: bucket_pairs_vec(t.drop_columns(["_part"])),
+                    batch_format="pyarrow") \
         .materialize()
     n_cand = cand.count()
     empty_out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -240,10 +285,19 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
             ids = t[id_col].to_numpy(zero_copy_only=False)
             return t.filter(pa.array(np.isin(ids, ray.get(need_ref))))
 
-        sd = sigs.map_batches(pick, batch_format="pyarrow").to_pandas()
-        sd = sd.sort_values(id_col)
-        ids_sorted = sd[id_col].to_numpy()
-        mat = np.stack([np.asarray(s, np.uint64) for s in sd["sig"]])
+        # zero-copy signature matrix: flatten the arrow list column
+        # instead of stacking per-row python lists
+        picked = [pa.Table.from_batches([b]) if isinstance(
+                      b, pa.RecordBatch) else b
+                  for b in sigs.map_batches(pick, batch_format="pyarrow")
+                  .iter_batches(batch_size=None, batch_format="pyarrow")]
+        st = pa.concat_tables(picked)
+        ids_np = st[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat_all = st["sig"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(len(st), num_perm)
+        o = np.argsort(ids_np, kind="stable")
+        ids_sorted = ids_np[o]
+        mat = mat_all[o]
         sa = mat[np.searchsorted(ids_sorted, pairs["id_a"].to_numpy())]
         sb = mat[np.searchsorted(ids_sorted, pairs["id_b"].to_numpy())]
         est = (sa == sb).mean(axis=1)
