@@ -1094,6 +1094,54 @@ GROUP BY c_custkey
 """
 
 
+def order_ship_calendar(sf_dir: str):
+    """FULL OUTER join of two per-day aggregates (order counts vs ship
+    counts) over the shared calendar — ship dates trail order dates,
+    so days exist on either side alone and both null-fill directions
+    are exercised.  Ray-Data-first shape: a full outer join of two
+    key-unique aggregates IS union + groupby-sum — each side
+    pre-aggregates per batch (the combiner), the union'd narrow
+    partials make ONE groupby shuffle, and ``COALESCE(x, 0)`` falls
+    out of summing the zero-filled columns.  No row-level data crosses
+    the exchange."""
+    def day_counts(col: str, side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            vc = pc.value_counts(
+                pc.strftime(t[col].combine_chunks(), format="%Y-%m-%d"))
+            days = vc.field("values")
+            counts = pc.cast(vc.field("counts"), pa.int64())
+            zeros = pa.array(np.zeros(len(days), np.int64), pa.int64())
+            return pa.table({
+                "cal_date": days,
+                "n_orders": counts if side == "orders" else zeros,
+                "n_ships": counts if side == "ships" else zeros,
+            })
+        return fn
+
+    o = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"]) \
+        .map_batches(day_counts("o_orderdate", "orders"),
+                     batch_format="pyarrow")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_shipdate"]) \
+        .map_batches(day_counts("l_shipdate", "ships"),
+                     batch_format="pyarrow")
+    return o.union(li).groupby("cal_date").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("n_ships", alias_name="n_ships"))
+
+
+ORACLE_ORDER_SHIP_CALENDAR = """
+SELECT COALESCE(o.d, l.d) AS cal_date,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(l.n_ships, 0) AS n_ships
+FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+             COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT strftime(l_shipdate, '%Y-%m-%d') AS d,
+             COUNT(*) AS n_ships FROM lineitem GROUP BY 1) l
+ON o.d = l.d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -1611,6 +1659,69 @@ def minhash_lsh_recall(sf_dir: str, sample_docs: int = 256,
                                 "n_found", "recall"])
     assert recall >= 0.9, f"LSH recall collapsed:\n{out}"
     return out
+
+
+def minhash_incremental_dedup(sf_dir: str, delta_mod: int = 7,
+                              jaccard_threshold: float = 0.7):
+    """Self-checking INCREMENTAL dedup — the daily-crawl shape: the
+    corpus index (full signatures + band rows partitioned by
+    ``band_key % num_buckets``) is built once over docs with
+    ``doc_id % delta_mod != 0``; the remaining docs arrive as the
+    DELTA and dedup against the index WITHOUT re-signing or rescanning
+    the corpus (band-bucket partition probe + id-pushdown signature
+    fetch).  The gate: the incremental verified pair set must EQUAL
+    the batch run's verified pairs restricted to pairs touching a
+    delta doc (pair caps disabled on both paths so the comparison is
+    exact).  The returned row carries the parity bit plus the I/O
+    stats that evidence the ∝-delta cost (corpus signatures fetched ≪
+    corpus size).  No SQL oracle; the assert IS the check."""
+    from sbb_ned_ray.stages.dedup import (
+        minhash_dedup_incremental,
+        minhash_verified_pairs,
+        save_minhash_index,
+    )
+
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(keep_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % delta_mod == 0) == keep_delta
+            return t.filter(pa.array(m))
+        return fn
+
+    corpus = docs.map_batches(_side(False), batch_format="pyarrow")
+    delta = docs.map_batches(_side(True), batch_format="pyarrow")
+    n_corpus = corpus.count()
+
+    big = 10 ** 9       # disable skew caps: exact parity needs them off
+    idx = save_minhash_index(corpus, "/tmp/sbb_ned_ray_artifacts/mhidx")
+    inc = minhash_dedup_incremental(idx, delta,
+                                    jaccard_threshold=jaccard_threshold,
+                                    max_pairs_per_bucket=big)
+    full = minhash_verified_pairs(docs, jaccard_threshold=jaccard_threshold,
+                                  max_pairs_per_bucket=big)
+    touching = full[(full["id_a"] % delta_mod == 0)
+                    | (full["id_b"] % delta_mod == 0)]
+    ref_set = {tuple(sorted(p)) for p in
+               zip(touching["id_a"], touching["id_b"])}
+    inc_set = {tuple(sorted(p)) for p in
+               zip(inc["pairs"]["id_a"], inc["pairs"]["id_b"])}
+    assert inc_set == ref_set, (
+        f"incremental != batch pairs touching delta: "
+        f"only_inc={sorted(inc_set - ref_set)[:5]} "
+        f"only_ref={sorted(ref_set - inc_set)[:5]}")
+    st = inc["stats"]
+    if n_corpus >= 100:
+        # the pushdown fetch must touch a strict subset of the corpus
+        assert st["corpus_sigs_fetched"] < n_corpus, st
+    return pd.DataFrame([(
+        n_corpus, st["n_delta"], st["n_pairs"], 1,
+        st["buckets_read"], st["buckets_total"],
+        st["corpus_sigs_fetched"], len(inc["clusters"]))],
+        columns=["n_corpus", "n_delta", "n_pairs", "parity",
+                 "buckets_read", "buckets_total", "corpus_sigs_fetched",
+                 "n_cluster_rows"])
 
 
 def simhash_dedup_docs(sf_dir: str):
@@ -3378,6 +3489,7 @@ QUERIES = {
     "sessionize_users": sessionize_users,
     "events_rolling_avg": events_rolling_avg,
     "customer_order_counts": customer_order_counts,
+    "order_ship_calendar": order_ship_calendar,
     "events_pivot": events_pivot,
     "cheapest_supplier_per_nation": cheapest_supplier_per_nation,
     "doc_token_counts": doc_token_counts,
@@ -3393,6 +3505,7 @@ QUERIES = {
     "ivf_scan_fraction": ivf_scan_fraction,
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_lsh_recall": minhash_lsh_recall,
+    "minhash_incremental_dedup": minhash_incremental_dedup,
     "simhash_dedup_docs": simhash_dedup_docs,
     "simhash_recall": simhash_recall,
     "doc_fingerprints": doc_fingerprints,
@@ -3472,6 +3585,7 @@ ORACLE_SQL = {
     "sessionize_users": ORACLE_SESSIONIZE,
     "events_rolling_avg": ORACLE_EVENTS_ROLLING,
     "customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
+    "order_ship_calendar": ORACLE_ORDER_SHIP_CALENDAR,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "cheapest_supplier_per_nation": ORACLE_CHEAPEST_SUPPLIER,
     "doc_token_counts": ORACLE_DOC_TOKEN_COUNTS,

@@ -161,42 +161,16 @@ def minhash_band_rows(sigs: ray.data.Dataset, num_perm: int = 64,
     return sigs.map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
-                      id_col: str = "doc_id", num_perm: int = 64,
-                      bands: int = 16, ngram: int = 5,
-                      jaccard_threshold: float = 0.8, seed: int = 42,
-                      max_pairs_per_bucket: int = 1000,
-                      driver_pair_limit: int = 200_000,
-                      verify_num_partitions: int | None = None
-                      ) -> pd.DataFrame:
-    """Near-dup clusters: returns DataFrame (doc_id, cluster_id) for docs
-    in near-dup clusters (cluster_id = min doc_id of cluster).
-
-    Pipeline: sign per batch (ONCE, materialized) → band rows carrying
-    only the band's signature SLICE (:func:`minhash_band_rows` — ~13×
-    less shuffle volume than shipping the full signature per band) →
-    groupby(band_key) → slice-equality candidate pairs (capped per
-    bucket — skew guard) → global pair dedup (narrow groupby) → verify
-    survivors on the FULL signatures via a hash join back to the
-    signature table → MinHash-estimate ≥ threshold → transitive closure
-    via :func:`sbb_ned_ray.stages.cluster.pairs_to_clusters` (driver
-    union-find for small pair sets, distributed label propagation above
-    ``driver_pair_limit`` — a duplicate-heavy corpus cannot OOM the
-    driver with its pair list).
-    """
-    if verify_num_partitions is None:
-        # each hash-shuffle join holds num_partitions aggregators; more
-        # partitions than CPUs deadlocks a small cluster and wins
-        # nothing on a large one until the pair set is itself large
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        verify_num_partitions = max(2, min(16, cpus // 2))
-    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
-                              num_perm=num_perm, ngram=ngram,
-                              seed=seed).materialize()
-    band_rows = minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
-                                  id_col=id_col)
-    r = num_perm // bands
-    nparts = 64
+def _band_candidates(band_rows: ray.data.Dataset, r: int, id_col: str,
+                     max_pairs_per_bucket: int,
+                     nparts: int = 64) -> ray.data.Dataset:
+    """Band rows → candidate (id_a, id_b) pairs: hash-partition on
+    band_key, then ONE numpy pass per coarse bucket (sort rows by
+    (band_key, exact slice bytes, id), boundary scan, triu pairs per
+    (band_key, slice) group — band_key is a 64-bit hash of the slice,
+    so grouping on the exact slice values means a hash collision can
+    never fabricate a pair).  ``max_pairs_per_bucket`` caps pairs per
+    band_key group (the skew guard)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         part = (t["band_key"].to_numpy(zero_copy_only=False)
@@ -204,15 +178,6 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
         return t.append_column("_part", pa.array(part, pa.int32()))
 
     def bucket_pairs_vec(t: pa.Table) -> pa.Table:
-        """All candidate pairs of one coarse bucket in one numpy pass:
-        sort rows by (band_key, exact slice bytes, id), find group
-        boundaries, emit triu pairs per (band_key, slice) group —
-        band_key is a 64-bit hash of the slice, so grouping on the
-        exact slice values means a hash collision can never fabricate
-        a pair.  ``max_pairs_per_bucket`` caps pairs per band_key group
-        (the skew guard).  Replaces a per-group pandas apply that
-        dominated the dedup wall (one python DataFrame per band
-        bucket)."""
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64())})
         n = t.num_rows
@@ -261,11 +226,71 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
         return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
                          "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    cand = band_rows.map_batches(add_part, batch_format="pyarrow") \
+    return band_rows.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part") \
         .map_groups(lambda t: bucket_pairs_vec(t.drop_columns(["_part"])),
-                    batch_format="pyarrow") \
-        .materialize()
+                    batch_format="pyarrow")
+
+
+def _sig_matrix(t: pa.Table, num_perm: int, id_col: str
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(ids sorted asc, signature matrix in that order) — zero-copy
+    flatten of the arrow list column, no per-row python lists."""
+    ids_np = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat_all = t["sig"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).reshape(len(t), num_perm)
+    o = np.argsort(ids_np, kind="stable")
+    return ids_np[o], mat_all[o]
+
+
+def _verify_pairs(pairs: pd.DataFrame, ids_sorted: np.ndarray,
+                  mat: np.ndarray, jaccard_threshold: float
+                  ) -> pd.DataFrame:
+    """MinHash-estimate verify of (id_a, id_b) pairs against a full
+    signature matrix (every pair id must be present in ids_sorted)."""
+    sa = mat[np.searchsorted(ids_sorted, pairs["id_a"].to_numpy())]
+    sb = mat[np.searchsorted(ids_sorted, pairs["id_b"].to_numpy())]
+    est = (sa == sb).mean(axis=1)
+    keep = est >= jaccard_threshold
+    return pairs.loc[keep].assign(est_jaccard=est[keep])
+
+
+def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, ngram: int = 5,
+                      jaccard_threshold: float = 0.8, seed: int = 42,
+                      max_pairs_per_bucket: int = 1000,
+                      driver_pair_limit: int = 200_000,
+                      verify_num_partitions: int | None = None
+                      ) -> pd.DataFrame:
+    """Near-dup clusters: returns DataFrame (doc_id, cluster_id) for docs
+    in near-dup clusters (cluster_id = min doc_id of cluster).
+
+    Pipeline: sign per batch (ONCE, materialized) → band rows carrying
+    only the band's signature SLICE (:func:`minhash_band_rows` — ~13×
+    less shuffle volume than shipping the full signature per band) →
+    groupby(band_key) → slice-equality candidate pairs (capped per
+    bucket — skew guard) → global pair dedup (narrow groupby) → verify
+    survivors on the FULL signatures via a hash join back to the
+    signature table → MinHash-estimate ≥ threshold → transitive closure
+    via :func:`sbb_ned_ray.stages.cluster.pairs_to_clusters` (driver
+    union-find for small pair sets, distributed label propagation above
+    ``driver_pair_limit`` — a duplicate-heavy corpus cannot OOM the
+    driver with its pair list).
+    """
+    if verify_num_partitions is None:
+        # each hash-shuffle join holds num_partitions aggregators; more
+        # partitions than CPUs deadlocks a small cluster and wins
+        # nothing on a large one until the pair set is itself large
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        verify_num_partitions = max(2, min(16, cpus // 2))
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, ngram=ngram,
+                              seed=seed).materialize()
+    band_rows = minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
+                                  id_col=id_col)
+    cand = _band_candidates(band_rows, num_perm // bands, id_col,
+                            max_pairs_per_bucket).materialize()
     n_cand = cand.count()
     empty_out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "cluster_id": pd.Series(dtype="int64")})
@@ -291,13 +316,8 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                       b, pa.RecordBatch) else b
                   for b in sigs.map_batches(pick, batch_format="pyarrow")
                   .iter_batches(batch_size=None, batch_format="pyarrow")]
-        st = pa.concat_tables(picked)
-        ids_np = st[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat_all = st["sig"].combine_chunks().flatten() \
-            .to_numpy(zero_copy_only=False).reshape(len(st), num_perm)
-        o = np.argsort(ids_np, kind="stable")
-        ids_sorted = ids_np[o]
-        mat = mat_all[o]
+        ids_sorted, mat = _sig_matrix(pa.concat_tables(picked),
+                                      num_perm, id_col)
         sa = mat[np.searchsorted(ids_sorted, pairs["id_a"].to_numpy())]
         sb = mat[np.searchsorted(ids_sorted, pairs["id_b"].to_numpy())]
         est = (sa == sb).mean(axis=1)
@@ -367,6 +387,320 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
     out["node"] = out["node"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")
     return out.rename(columns={"node": "doc_id"})
+
+
+def minhash_verified_pairs(docs: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           bands: int = 16, ngram: int = 5,
+                           jaccard_threshold: float = 0.8, seed: int = 42,
+                           max_pairs_per_bucket: int = 1000
+                           ) -> pd.DataFrame:
+    """The verified near-dup PAIR set (id_a, id_b, est_jaccard) — the
+    intermediate :func:`minhash_lsh_dedup` clusters over, exposed for
+    parity checks (the incremental path's reference) and for callers
+    that want edges, not components.  Driver-collected: use only where
+    the verified pair set fits the driver (tests / parity gates)."""
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, ngram=ngram,
+                              seed=seed).materialize()
+    cand = _band_candidates(
+        minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
+                          id_col=id_col),
+        num_perm // bands, id_col, max_pairs_per_bucket)
+    pairs = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
+    picked = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b
+              for b in sigs.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")]
+    ids_sorted, mat = _sig_matrix(pa.concat_tables(picked), num_perm,
+                                  id_col)
+    return _verify_pairs(pairs, ids_sorted, mat, jaccard_threshold) \
+        .reset_index(drop=True)
+
+
+MINHASH_INDEX_VERSION = 1
+
+
+def save_minhash_index(docs: ray.data.Dataset, artifact_dir: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, bands: int = 16, ngram: int = 5,
+                       seed: int = 42, num_buckets: int = 64) -> str:
+    """One-time corpus signature index for INCREMENTAL dedup: writes
+    the full signatures (``sigs/`` — fetched later via an id-pushdown
+    parquet filter, never scanned whole) and the band rows partitioned
+    by ``band_bucket = band_key % num_buckets`` (``bands/bucket=<b>/``
+    — a delta probe reads only the buckets its own band keys hash to).
+    Content-addressed (seeded min-n sample of (id, text-crc) + row
+    count + knobs + format version) and atomically renamed, the
+    ``build_ivf_layout`` pattern applied to the dedup index.  At corpus
+    scale this index is the difference between re-signing 100 TB per
+    crawl increment and touching only ``O(delta)`` band rows +
+    signatures."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import zlib
+
+    from sbb_ned_ray.stages.similarity import _splitmix64
+
+    os.makedirs(artifact_dir, exist_ok=True)
+    n_rows = docs.count()
+
+    def sample_part(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+        k = min(64, len(ids))
+        idx = np.argpartition(h, k - 1)[:k] if len(ids) > k \
+            else np.arange(len(ids))
+        texts = t[text_col].take(pa.array(idx, pa.int64())).to_pylist()
+        crc = np.array([zlib.crc32(x.encode("utf-8", "surrogatepass"))
+                        for x in texts], dtype=np.uint64)
+        return pa.table({"h": pa.array(h[idx], pa.uint64()),
+                         "id": pa.array(ids[idx], pa.int64()),
+                         "crc": pa.array(crc, pa.uint64())})
+
+    samp = docs.map_batches(sample_part, batch_format="pyarrow") \
+        .to_pandas().sort_values(["h", "id"]).head(64)
+    hsh = hashlib.sha256()
+    hsh.update(samp["h"].to_numpy(np.uint64).tobytes())
+    hsh.update(samp["id"].to_numpy(np.int64).tobytes())
+    hsh.update(samp["crc"].to_numpy(np.uint64).tobytes())
+    hsh.update(f"|mhidx-v{MINHASH_INDEX_VERSION}|{n_rows}|{num_perm}|"
+               f"{bands}|{ngram}|{seed}|{num_buckets}".encode())
+    fp = hsh.hexdigest()[:16]
+    out = os.path.join(artifact_dir, f"mhidx-{fp}")
+    done = os.path.join(out, "_MINHASH_INDEX_COMPLETE")
+    if os.path.exists(done):
+        return out
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, ngram=ngram,
+                              seed=seed).materialize()
+    sigs.write_parquet(os.path.join(tmp, "sigs"))
+    band_rows = minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
+                                  id_col=id_col)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["band_key"].to_numpy(zero_copy_only=False)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    band_rows.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp, "bands"),
+                       partition_cols=["bucket"])
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"fingerprint": fp, "n_rows": int(n_rows),
+                   "version": MINHASH_INDEX_VERSION,
+                   "num_perm": num_perm, "bands": bands, "ngram": ngram,
+                   "seed": seed, "num_buckets": num_buckets,
+                   "id_col": id_col, "text_col": text_col}, f)
+    with open(os.path.join(tmp, "_MINHASH_INDEX_COMPLETE"), "w") as f:
+        json.dump({"fingerprint": fp}, f)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def minhash_dedup_incremental(index_path: str, new_docs: ray.data.Dataset,
+                              jaccard_threshold: float = 0.8,
+                              max_pairs_per_bucket: int = 1000
+                              ) -> dict:
+    """Dedup a DELTA against a persisted corpus index without touching
+    the corpus: the daily-crawl shape at 100 TB.  Steps — sign the
+    delta (distributed, ∝ delta); collect its band rows to the driver
+    (bands × ~40 B per delta doc); read ONLY the band-bucket partitions
+    of the index the delta's band keys hash to, filtered to matching
+    ``band_key`` rows; candidate pairs = exact slice equality between
+    delta and corpus band rows (plus delta×delta, computed locally);
+    verify on full signatures — delta signatures are in memory, matched
+    corpus signatures arrive via an id-pushdown parquet filter on
+    ``sigs/`` (never a corpus scan); union-find over the verified
+    pairs.
+
+    Returns ``{"clusters": DataFrame(doc_id, cluster_id),
+    "pairs": DataFrame(id_a, id_b, est_jaccard), "stats": {...}}`` —
+    clusters cover every doc (delta or corpus) in a component touching
+    the delta; transitive closure is over INCREMENTAL edges only
+    (corpus-internal edges belong to the base run, by contract).
+    """
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(index_path, "manifest.json")) as f:
+        meta = json.load(f)
+    num_perm = meta["num_perm"]
+    bands = meta["bands"]
+    ngram = meta["ngram"]
+    seed = meta["seed"]
+    num_buckets = meta["num_buckets"]
+    id_col = meta["id_col"]
+    text_col = meta["text_col"]
+    r = num_perm // bands
+
+    empty_pairs = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                "id_b": pd.Series(dtype="int64"),
+                                "est_jaccard": pd.Series(dtype="float64")})
+    empty_clusters = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                   "cluster_id": pd.Series(dtype="int64")})
+
+    # 1. sign the delta and collect its band rows (delta-sized)
+    dsigs_ds = minhash_signatures(new_docs, text_col=text_col,
+                                  id_col=id_col, num_perm=num_perm,
+                                  ngram=ngram, seed=seed).materialize()
+    dsig_tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+                 else b
+                 for b in dsigs_ds.iter_batches(batch_size=None,
+                                                batch_format="pyarrow")]
+    stats = {"n_delta": 0, "buckets_read": 0, "buckets_total": num_buckets,
+             "corpus_band_rows_matched": 0, "corpus_sigs_fetched": 0,
+             "n_pairs": 0}
+    if not dsig_tabs:
+        return {"clusters": empty_clusters, "pairs": empty_pairs,
+                "stats": stats}
+    dsig = pa.concat_tables(dsig_tabs)
+    stats["n_delta"] = len(dsig)
+    dband_tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+                  else b
+                  for b in minhash_band_rows(
+                      dsigs_ds, num_perm=num_perm, bands=bands,
+                      id_col=id_col).iter_batches(batch_size=None,
+                                                  batch_format="pyarrow")]
+    dband = pa.concat_tables(dband_tabs)
+    n_db = dband.num_rows
+    d_keys = dband["band_key"].to_numpy(zero_copy_only=False)
+    d_ids = dband[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    d_slices = dband["bslice"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).reshape(n_db, r)
+    # driver probe map: (band_key, slice bytes) → delta ids
+    probe: dict[bytes, list[int]] = {}
+    for i in range(n_db):
+        kb = d_keys[i].tobytes() + d_slices[i].tobytes()
+        probe.setdefault(kb, []).append(int(d_ids[i]))
+    keys_sorted = np.unique(d_keys)
+    keys_ref = ray.put(keys_sorted)
+    probe_ref = ray.put(probe)
+
+    # 2. read only the touched band-bucket partitions, match band keys,
+    # emit (corpus_id, delta_id) candidate pairs per exact slice match
+    touched = np.unique(keys_sorted % np.uint64(num_buckets))
+    dirs = [os.path.join(index_path, "bands", f"bucket={int(b)}")
+            for b in touched]
+    dirs = [p for p in dirs if os.path.isdir(p)]
+    stats["buckets_read"] = len(dirs)
+    # read_parquet expands a single directory but not directories
+    # inside a path LIST — enumerate the partition files explicitly
+    paths = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+    cross = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64")})
+    matched_rows = 0
+    if paths:
+        def probe_batch(t: pa.Table) -> pa.Table:
+            # sentinel row (id_a = -1, id_b = matched-row count) carries
+            # the per-batch scan stat; real pairs have id_a >= 0
+            ks = ray.get(keys_ref)
+            bk = t["band_key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, bk)
+            pos[pos >= len(ks)] = len(ks) - 1
+            hit = ks[pos] == bk
+            out_c: list[int] = [-1]
+            out_d: list[int] = [int(hit.sum())]
+            if hit.any():
+                sub = t.filter(pa.array(hit))
+                pm = ray.get(probe_ref)
+                n = sub.num_rows
+                cids = sub[id_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                sk = sub["band_key"].to_numpy(zero_copy_only=False)
+                sl = sub["bslice"].combine_chunks().flatten() \
+                    .to_numpy(zero_copy_only=False).reshape(n, r)
+                for i in range(n):      # post-filter rows only (tiny)
+                    hits = pm.get(sk[i].tobytes() + sl[i].tobytes())
+                    if hits:
+                        out_c.extend([int(cids[i])] * len(hits))
+                        out_d.extend(hits)
+            return pa.table({"id_a": pa.array(out_c, pa.int64()),
+                             "id_b": pa.array(out_d, pa.int64())})
+
+        hit_tab = ray.data.read_parquet(paths) \
+            .map_batches(probe_batch, batch_format="pyarrow").to_pandas()
+        sentinel = hit_tab["id_a"] < 0
+        matched_rows = int(hit_tab.loc[sentinel, "id_b"].sum())
+        cross = hit_tab.loc[~sentinel, ["id_a", "id_b"]]
+    stats["corpus_band_rows_matched"] = matched_rows
+
+    # delta×delta candidates: same slice-equality rule, driver-local
+    dd_a, dd_b = [], []
+    for ids in probe.values():
+        if len(ids) < 2:
+            continue
+        u = np.unique(np.asarray(ids, dtype=np.int64))
+        if len(u) < 2:
+            continue
+        iu, ju = np.triu_indices(len(u), k=1)
+        take = min(max_pairs_per_bucket, len(iu))
+        dd_a.append(u[iu[:take]])
+        dd_b.append(u[ju[:take]])
+    dd = pd.DataFrame({
+        "id_a": np.concatenate(dd_a) if dd_a else np.array([], np.int64),
+        "id_b": np.concatenate(dd_b) if dd_b else np.array([], np.int64)})
+
+    pairs = pd.concat([cross, dd], ignore_index=True) \
+        .astype({"id_a": "int64", "id_b": "int64"}) \
+        .drop_duplicates(["id_a", "id_b"])
+    if pairs.empty:
+        return {"clusters": empty_clusters, "pairs": empty_pairs,
+                "stats": stats}
+
+    # 3. verify on full signatures: delta sigs in memory; corpus sigs
+    # via id-pushdown parquet filter (reads only matched row groups)
+    d_ids_sorted, d_mat = _sig_matrix(dsig, num_perm, id_col)
+    need_corpus = np.setdiff1d(
+        np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()),
+        d_ids_sorted).astype(np.int64)
+    stats["corpus_sigs_fetched"] = int(len(need_corpus))
+    if len(need_corpus):
+        ctab = pads.dataset(os.path.join(index_path, "sigs")) \
+            .to_table(filter=pads.field(id_col).isin(need_corpus.tolist()))
+        c_ids_sorted, c_mat = _sig_matrix(ctab, num_perm, id_col)
+        ids_all = np.concatenate([d_ids_sorted, c_ids_sorted])
+        mat_all = np.concatenate([d_mat, c_mat])
+        o = np.argsort(ids_all, kind="stable")
+        ids_sorted, mat = ids_all[o], mat_all[o]
+    else:
+        ids_sorted, mat = d_ids_sorted, d_mat
+    verified = _verify_pairs(pairs, ids_sorted, mat, jaccard_threshold) \
+        .reset_index(drop=True)
+    stats["n_pairs"] = int(len(verified))
+    if verified.empty:
+        return {"clusters": empty_clusters, "pairs": empty_pairs,
+                "stats": stats}
+
+    from sbb_ned_ray.stages.cluster import driver_union_find
+    comp = driver_union_find(
+        list(zip((int(a) for a in verified["id_a"]),
+                 (int(b) for b in verified["id_b"]))))
+    clusters = pd.DataFrame(
+        {"doc_id": np.fromiter(comp.keys(), dtype=np.int64,
+                               count=len(comp)),
+         "cluster_id": np.fromiter(comp.values(), dtype=np.int64,
+                                   count=len(comp))}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    return {"clusters": clusters, "pairs": verified, "stats": stats}
 
 
 def simhash_pairs(docs: ray.data.Dataset, text_col: str = "text",
