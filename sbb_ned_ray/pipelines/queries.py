@@ -1730,6 +1730,65 @@ def simhash_dedup_docs(sf_dir: str):
     return simhash_dedup(ds, max_hamming=3)
 
 
+def docs_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity quality bucketing (Wenzek et al. 2020):
+    train a bounded add-k bigram LM on the corpus (narrow count
+    shuffles, capped broadcast tables), score every doc's mean bigram
+    NLL, split each language into head/middle/tail by EXACT tercile
+    cutoffs (distributed value-counts histogram, rank rule on the
+    driver's per-group cumulative counts).  Output: per (lang, bucket)
+    doc counts + mean NLL.  Self-checks (the gate, driver-verified
+    while the corpus fits — bounded to ≤100k docs): the distributed
+    cutoffs and assignment equal a driver recomputation from raw
+    scores, and bucket mean NLL is monotone head ≤ middle ≤ tail per
+    lang.  No SQL oracle (the LM fit is not SQL-expressible); the
+    asserts ARE the check."""
+    import math
+
+    from sbb_ned_ray.stages.analysis import (
+        perplexity_buckets,
+        perplexity_tercile_cutoffs,
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = _read_split(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lm = train_bigram_lm(docs)
+    scored = score_perplexity(docs, lm).materialize()
+    cuts = perplexity_tercile_cutoffs(scored)
+    bucketed = perplexity_buckets(scored, cuts).materialize()
+
+    summary = bucketed.groupby(["lang", "ppl_bucket"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("nll_e6", alias_name="sum_nll_e6")).to_pandas()
+    summary["mean_nll_e6"] = (summary["sum_nll_e6"]
+                              // summary["n_docs"]).astype("int64")
+    summary = summary.drop(columns=["sum_nll_e6"]) \
+        .sort_values(["lang", "ppl_bucket"]).reset_index(drop=True)
+
+    n_total = int(summary["n_docs"].sum())
+    if n_total <= 100_000:
+        df = bucketed.to_pandas()
+        for lang, sub in df.groupby("lang"):
+            v = np.sort(sub["nll_e6"].to_numpy(np.int64))
+            n = len(v)
+            q1, q2 = int(v[math.ceil(n / 3) - 1]), \
+                int(v[math.ceil(2 * n / 3) - 1])
+            assert cuts[str(lang)] == (q1, q2), \
+                (lang, cuts[str(lang)], (q1, q2))
+            got = sub["ppl_bucket"].to_numpy()
+            want = np.where(sub["nll_e6"] <= q1, "head",
+                            np.where(sub["nll_e6"] <= q2, "middle",
+                                     "tail"))
+            assert (got == want).all(), f"bucket rule mismatch for {lang}"
+            means = [sub.loc[got == b, "nll_e6"].mean()
+                     for b in ("head", "middle", "tail")
+                     if (got == b).any()]
+            assert all(means[i] <= means[i + 1] + 1e-9
+                       for i in range(len(means) - 1)), (lang, means)
+    return summary
+
+
 def doc_fingerprints(sf_dir: str):
     """Document fingerprinting; oracle compares the md5 twin column
     (blake2b content_hash and the winnowing fingerprint list are not
@@ -3509,6 +3568,7 @@ QUERIES = {
     "simhash_dedup_docs": simhash_dedup_docs,
     "simhash_recall": simhash_recall,
     "doc_fingerprints": doc_fingerprints,
+    "docs_perplexity_buckets": docs_perplexity_buckets,
     "embedding_neardup": embedding_neardup,
     "embedding_srp_recall": embedding_srp_recall,
     "ngram_jaccard_docs": ngram_jaccard_docs,

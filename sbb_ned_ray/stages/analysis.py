@@ -207,3 +207,227 @@ def bm25_topk(docs: ray.data.Dataset, query_terms: list[str],
     top = top.reset_index(drop=True)
     top["bm25_rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[[id_col, "score_e6", "bm25_rank"]]
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity quality bucketing (Wenzek et al. 2020,
+# arXiv:1911.00359): score every document under a language model
+# trained on the corpus itself, then split each language into
+# head/middle/tail perplexity terciles.  CCNet uses a 5-gram KenLM;
+# this engine trains an add-k-smoothed token BIGRAM model with a
+# bounded vocabulary and bounded bigram table so the broadcast model
+# has a fixed memory footprint at any corpus size.
+# ---------------------------------------------------------------------------
+
+class BigramLM:
+    """Broadcastable add-k bigram model: sorted vocab array + unigram
+    counts (+ one <unk> bucket holding all out-of-vocab mass) and a
+    sorted int64 bigram-key table (``id_a * (V+1) + id_b``).
+    p(b|a) = (c_ab + k) / (c_a + k·(V+1)); bigrams evicted by the
+    ``max_bigrams`` cap score as c_ab = 0 (pure smoothing mass)."""
+
+    def __init__(self, vocab: "np.ndarray", ucnt: "np.ndarray",
+                 unk_count: int, bkeys: "np.ndarray", bcnt: "np.ndarray",
+                 add_k: float):
+        import numpy as np
+        self.vocab = vocab                  # sorted token strings
+        self.ucnt = np.append(ucnt, unk_count).astype(np.float64)
+        self.V = len(vocab)
+        self.bkeys = bkeys                  # sorted int64
+        self.bcnt = bcnt.astype(np.float64)
+        self.add_k = float(add_k)
+
+    def token_ids(self, toks: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+        if self.V == 0:
+            return np.zeros(len(toks), np.int64)      # everything <unk>
+        pos = np.searchsorted(self.vocab, toks)
+        pos[pos >= self.V] = 0
+        miss = self.vocab[pos] != toks
+        ids = pos.astype(np.int64)
+        ids[miss] = self.V                  # <unk>
+        return ids
+
+    def doc_nll(self, text: str) -> float:
+        """Mean negative log p(b|a) over the doc's bigram transitions
+        (docs with < 2 tokens score 0.0 — no transition evidence)."""
+        import numpy as np
+        toks = np.array(text.lower().split(), dtype=object)
+        if len(toks) < 2:
+            return 0.0
+        ids = self.token_ids(toks)
+        a, b = ids[:-1], ids[1:]
+        keys = a * np.int64(self.V + 1) + b
+        pos = np.searchsorted(self.bkeys, keys)
+        pos[pos >= len(self.bkeys)] = max(len(self.bkeys) - 1, 0)
+        c_ab = np.zeros(len(keys), np.float64)
+        if len(self.bkeys):
+            hit = self.bkeys[pos] == keys
+            c_ab[hit] = self.bcnt[pos[hit]]
+        denom = self.ucnt[a] + self.add_k * (self.V + 1)
+        nll = -(np.log(c_ab + self.add_k) - np.log(denom))
+        return float(nll.mean())
+
+
+def train_bigram_lm(docs: ray.data.Dataset, text_col: str = "text",
+                    vocab_size: int = 50_000,
+                    max_bigrams: int = 1_000_000,
+                    add_k: float = 0.5) -> BigramLM:
+    """Distributed LM fit: per-batch (token, count) / (bigram, count)
+    partials → one narrow groupby-sum each → ``sort().limit()`` keeps
+    the top-``vocab_size`` unigrams and top-``max_bigrams`` bigrams —
+    the shuffle carries counts, never text, and the driver holds only
+    the capped tables.  Whitespace-lowercase tokenization (the same
+    rule the scorer applies)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t[text_col].to_pylist():
+            toks.extend(x.lower().split())
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pa.table({"tok": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        for x in t[text_col].to_pylist():
+            w = x.lower().split()
+            pairs.extend(f"{a}\x1f{b}" for a, b in zip(w, w[1:]))
+        if not pairs:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.array(pairs, dtype=object), return_counts=True)
+        return pa.table({"bg": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    uni = docs.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+    total_tokens = uni.sum("cnt") or 0
+    top_u = uni.sort("cnt", descending=True).limit(vocab_size).to_pandas()
+    # deterministic tie-break inside the kept set; the cap boundary is
+    # count-ordered (ties at the boundary may differ across runs of a
+    # DIFFERENT partitioning — fixture vocabularies sit far below the
+    # cap, and at scale the boundary tokens carry negligible mass)
+    vocab = np.sort(top_u["tok"].to_numpy(dtype=object))
+    order = np.argsort(top_u["tok"].to_numpy(dtype=object), kind="stable")
+    ucnt = top_u["cnt"].to_numpy(np.int64)[order]
+    unk_count = int(total_tokens - ucnt.sum())
+
+    bi = docs.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby("bg").aggregate(Sum("cnt", alias_name="cnt")) \
+        .sort("cnt", descending=True).limit(max_bigrams).to_pandas()
+    if len(bi):
+        parts = bi["bg"].str.split("\x1f", n=1, expand=True)
+        lm0 = BigramLM(vocab, ucnt, unk_count,
+                       np.array([], np.int64), np.array([], np.int64),
+                       add_k)
+        ida = lm0.token_ids(parts[0].to_numpy(dtype=object))
+        idb = lm0.token_ids(parts[1].to_numpy(dtype=object))
+        keys = ida * np.int64(len(vocab) + 1) + idb
+        cnts = bi["cnt"].to_numpy(np.int64)
+        # <unk>-mapped bigrams can collide onto one key — sum them
+        df = pd.DataFrame({"k": keys, "c": cnts}).groupby("k")["c"] \
+            .sum().reset_index()
+        bkeys = df["k"].to_numpy(np.int64)
+        bcnt = df["c"].to_numpy(np.int64)
+    else:
+        bkeys = np.array([], np.int64)
+        bcnt = np.array([], np.int64)
+    return BigramLM(vocab, ucnt, unk_count, bkeys, bcnt, add_k)
+
+
+def score_perplexity(docs: ray.data.Dataset, lm: BigramLM,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     extra_cols: tuple = ("lang",)) -> ray.data.Dataset:
+    """Append ``nll_e6`` (mean bigram negative log-likelihood,
+    floor(x·1e6 + ½) int64 — the deterministic cross-run encoding) to
+    every doc.  The model travels once via ``ray.put``."""
+    import numpy as np
+
+    import ray
+    lm_ref = ray.put(lm)
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = ray.get(lm_ref)
+        nll = np.array([m.doc_nll(x) for x in t[text_col].to_pylist()])
+        cols = {id_col: t[id_col]}
+        for c in extra_cols:
+            if c in t.column_names:
+                cols[c] = t[c]
+        cols["nll_e6"] = pa.array(
+            np.floor(nll * 1e6 + 0.5).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def perplexity_tercile_cutoffs(scored: ray.data.Dataset,
+                               group_col: str = "lang"
+                               ) -> "dict[str, tuple[int, int]]":
+    """Exact per-group tercile cutoffs over ``nll_e6``: per-batch
+    (group, value, count) partials → one narrow groupby-sum → the
+    driver folds sorted cumulative counts per group (bytes ∝ distinct
+    (group, value) pairs, never rows).  Cutoff q_i = smallest value
+    whose cumulative count reaches ⌈i·n/3⌉ — the deterministic rank
+    rule a re-run reproduces bit-exactly."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"g": t[group_col].to_pylist(),
+                           "v": t["nll_e6"].to_numpy(
+                               zero_copy_only=False)})
+        agg = df.groupby(["g", "v"], sort=False).size().reset_index()
+        agg.columns = ["g", "v", "c"]
+        return pa.table({"g": pa.array(agg["g"], pa.string()),
+                         "v": pa.array(agg["v"], pa.int64()),
+                         "c": pa.array(agg["c"], pa.int64())})
+
+    hist = scored.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["g", "v"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    out: dict[str, tuple[int, int]] = {}
+    for g, sub in hist.groupby("g"):
+        sub = sub.sort_values("v")
+        cum = sub["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = sub["v"].to_numpy(np.int64)
+        q1 = vals[np.searchsorted(cum, math.ceil(n / 3))]
+        q2 = vals[np.searchsorted(cum, math.ceil(2 * n / 3))]
+        out[str(g)] = (int(q1), int(q2))
+    return out
+
+
+def perplexity_buckets(scored: ray.data.Dataset,
+                       cutoffs: "dict[str, tuple[int, int]]",
+                       group_col: str = "lang") -> ray.data.Dataset:
+    """head / middle / tail assignment from broadcast cutoffs —
+    CCNet keeps head+middle and drops (or down-weights) tail."""
+    import numpy as np
+
+    import ray
+    cref = ray.put(cutoffs)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cut = ray.get(cref)
+        g = t[group_col].to_pylist()
+        v = t["nll_e6"].to_numpy(zero_copy_only=False)
+        q1 = np.array([cut[x][0] for x in g], np.int64)
+        q2 = np.array([cut[x][1] for x in g], np.int64)
+        b = np.where(v <= q1, "head", np.where(v <= q2, "middle", "tail"))
+        return t.append_column("ppl_bucket", pa.array(b.tolist(),
+                                                      pa.string()))
+
+    return scored.map_batches(fn, batch_format="pyarrow")
