@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="Jaccard threshold (minhash)")
     dd.add_argument("--max-hamming", type=int, default=3,
                     help="Hamming radius (simhash)")
+    dd.add_argument("--save-index", metavar="DIR",
+                    help="minhash only: build the persisted signature "
+                         "index for --docs under DIR and exit (no "
+                         "clusters) — the base artifact for "
+                         "--incremental runs")
+    dd.add_argument("--incremental", metavar="INDEX_PATH",
+                    help="minhash only: treat --docs as a NEW-BATCH "
+                         "delta and dedup it against the persisted "
+                         "index without rescanning the corpus")
 
     pr = sub.add_parser("profile", help="one-pass corpus profile "
                                         "(sketch-based, JSON to stdout)")
@@ -174,6 +183,25 @@ def main(argv: list[str] | None = None) -> int:
                 simhash_clusters,
             )
             docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            if args.save_index:
+                from sbb_ned_ray.stages.dedup import save_minhash_index
+                path = save_minhash_index(docs, args.save_index)
+                print(json.dumps({"index": path}))
+                return 0
+            if args.incremental:
+                from sbb_ned_ray.stages.dedup import \
+                    minhash_dedup_incremental
+                res = minhash_dedup_incremental(
+                    args.incremental, docs,
+                    jaccard_threshold=args.threshold)
+                os.makedirs(args.out, exist_ok=True)
+                res["clusters"].to_parquet(
+                    os.path.join(args.out, "clusters.parquet"))
+                res["pairs"].to_parquet(
+                    os.path.join(args.out, "pairs.parquet"))
+                print(json.dumps({"method": "minhash-incremental",
+                                  "out": args.out, **res["stats"]}))
+                return 0
             if args.method == "exact":
                 # (doc_id, content_hash, is_duplicate) → keep cluster shape
                 out = exact_dedup(docs).to_pandas()

@@ -339,18 +339,21 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                      batch_format="pyarrow")
 
     def _rename(suffix: str):
-        # the hash join carries the signature as fixed-width BINARY —
-        # acero rejects list<> payload columns in join non-key fields
+        # the hash join carries the signature as variable BINARY —
+        # acero rejects list<> payload columns in join non-key fields.
+        # Row bytes come straight from the flattened uint64 buffer +
+        # an arithmetic offsets vector (no per-row tobytes loop).
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            sig_bytes = t["sig"].combine_chunks().flatten() \
-                .to_numpy(zero_copy_only=False).astype(np.uint64) \
-                .reshape(n, num_perm)
-            return pa.table({
-                f"id_{suffix}": t[t.column_names[0]],
-                f"sig_{suffix}": pa.array(
-                    [sig_bytes[i].tobytes() for i in range(n)],
-                    pa.binary())})
+            flat = t["sig"].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            offs = pa.py_buffer(
+                (np.arange(n + 1, dtype=np.int32) * (num_perm * 8))
+                .tobytes())
+            sig_bin = pa.Array.from_buffers(
+                pa.binary(), n, [None, offs, pa.py_buffer(flat.tobytes())])
+            return pa.table({f"id_{suffix}": t[t.column_names[0]],
+                             f"sig_{suffix}": sig_bin})
         return fn
 
     sig_a = sigs.map_batches(_rename("a"), batch_format="pyarrow")
