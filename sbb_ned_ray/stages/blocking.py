@@ -453,6 +453,77 @@ def _match_part_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
                          "dist": [d for d, _ in sel]})
 
 
+_MATCH_SCHEMA = pa.schema([
+    ("query_part", pa.string()), ("part", pa.string()),
+    ("dist", pa.float64()),
+])
+
+
+def _match_parts_block(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Whole-bucket :func:`_match_part_group` — every (query_part,
+    part) band collision of one coarse bucket in one numpy pass:
+    dictionary-encode both strings, dedup pairs, stoplist, ONE batched
+    float64 anagram matmul for the distances (the same kernel shape
+    ``AliasIndex.probe_part`` uses, so the floats match the broadcast
+    path more closely than the per-pair python dot did), then a single
+    lexsort + boundary scan for the per-part (dist, part) order and
+    SEARCH_K cap.  Anagram vectors are built once per DISTINCT string
+    in the bucket, not once per collision pair."""
+    if t.num_rows == 0:
+        return _MATCH_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.functions.normalization import anagram_matrix
+    q_enc = pc.dictionary_encode(t["query_part"].combine_chunks())
+    p_enc = pc.dictionary_encode(t["part"].combine_chunks())
+    q_uniq = np.asarray(q_enc.dictionary.to_pylist(), dtype=object)
+    p_uniq = np.asarray(p_enc.dictionary.to_pylist(), dtype=object)
+    qc = q_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    pcode = p_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    freq = t["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # dedup (query_part, part) pairs (freq is a per-part constant)
+    key = qc * len(p_uniq) + pcode
+    o = np.argsort(key, kind="stable")
+    first = np.empty(len(o), bool)
+    first[0] = True
+    first[1:] = key[o][1:] != key[o][:-1]
+    idx = o[first]
+    qc, pcode, freq = qc[idx], pcode[idx], freq[idx]
+
+    # frequency stoplist for short query parts
+    qlen = np.array([len(x) for x in q_uniq], np.int64)
+    keep = (qlen[qc] >= cfg.min_part_len_for_freq) \
+        | (freq <= cfg.max_frequency)
+    qc, pcode = qc[keep], pcode[keep]
+    if not len(qc):
+        return _MATCH_SCHEMA.empty_table()
+
+    qv = anagram_matrix(list(q_uniq)).astype(np.float64)
+    pv = anagram_matrix(list(p_uniq)).astype(np.float64)
+    cos = np.clip(np.einsum("ij,ij->i", qv[qc], pv[pcode]), -1.0, 1.0)
+    d = np.sqrt(np.maximum(0.0, 2.0 * (1.0 - cos)))
+    m = d < cfg.max_dist
+    qc, pcode, d = qc[m], pcode[m], d[m]
+    if not len(qc):
+        return _MATCH_SCHEMA.empty_table()
+
+    o2 = np.lexsort((p_uniq[pcode], d, qc))
+    qs, ps, ds = qc[o2], pcode[o2], d[o2]
+    new = np.empty(len(qs), bool)
+    new[0] = True
+    new[1:] = qs[1:] != qs[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(qs)) - np.repeat(
+        starts, np.diff(np.append(starts, len(qs))))
+    m2 = rank < SEARCH_K
+    return pa.table({
+        "query_part": pa.array(q_uniq[qs[m2]].tolist(), pa.string()),
+        "part": pa.array(p_uniq[ps[m2]].tolist(), pa.string()),
+        "dist": pa.array(ds[m2], pa.float64()),
+    })
+
+
 _RANK_SCHEMA = pa.schema([
     ("surface", pa.string()), ("cand_entity", pa.int64()),
     ("dist", pa.float64()), ("match_uniqueness", pa.float64()),
@@ -461,17 +532,13 @@ _RANK_SCHEMA = pa.schema([
 ])
 
 
-def _rank_surface_block(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """Whole-bucket rank for the no-context path, Arrow end-to-end: the
-    hit rows stay arrow (no object-array pandas conversion of the block
-    — measured 444 s cumulative at 24k entities just to hash/convert
-    33.6M-row pandas blocks), strings are dictionary-encoded once, the
-    per-(surface, query_part, entity) min-distance collapse runs as an
-    all-integer pandas groupby (khash on int64, no objects), and the
-    per-surface loop calls the same :func:`rank_hits` the broadcast
-    path uses over numpy slices.  Hit order inside a surface is
-    irrelevant to rank_hits, so the collapse is exact (parity-tested
-    against the broadcast path)."""
+def _rank_surface_block_rowloop(t: pa.Table, cfg: PipelineConfig
+                                ) -> pa.Table:
+    """Row-loop reference for :func:`_rank_surface_block` — calls the
+    shared :func:`rank_hits` once per surface.  Kept for the parity
+    test (tests/test_blocking_shuffle.py), not called in the pipeline:
+    at 24k entities the per-surface python loop over the 33.6M-row hit
+    table was 75 s of the blocking stage's wall."""
     if t.num_rows == 0:
         return _RANK_SCHEMA.empty_table()
     import pyarrow.compute as pc
@@ -563,6 +630,440 @@ def _rank_surface_block(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
         "match_coverage": pa.array(r_cov, pa.float64()),
         "proba": pa.array(r_proba, pa.float64()),
         "rank": pa.array(r_rank, pa.int32()),
+    })
+
+
+def _rank_surface_block(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Whole-bucket rank for the no-context path, vectorized end to
+    end — NO per-surface python loop (the 33.6M-row hit table at 24k
+    entities spent 75 s building python tuples per row in the
+    reference implementation, :func:`_rank_surface_block_rowloop`).
+
+    Replicates :func:`sbb_ned_ray.stages.candidates.rank_hits`
+    semantics over the whole bucket:
+
+    1. collapse part rows to per-(surface, query_part, entity) min
+       dist (all-integer pandas groupby — khash on int64);
+    2. ``total_hits`` per surface and ``part_hit_count`` per
+       (surface, part) from the collapsed rows;
+    3. exact full-surface matches expand to one zero-distance row per
+       query part NOT already matched (dict-order-preserving part
+       dedup, so the float uniqueness sums accumulate in the same
+       sequence as rank_hits' insertion-ordered dict);
+    4. per-(surface, entity) aggregates via sorted reduceat:
+       n_parts, max dist, Σ part-length, uniqueness
+       = Σ(total_hits / part_hit_count) × n_parts, coverage
+       = title_len / max(1, Σ part-length);
+    5. one lexsort over (surface, not-exact, −uniq, dist, −proba,
+       coverage, title_len, entity) + boundary scan for the per-
+       surface top-``max_candidates`` ranks.
+
+    An exact entity whose surface normalizes to zero query parts is
+    dropped (the row-loop reference raises on that input — it cannot
+    occur for keys that joined ``alias_exact``)."""
+    if t.num_rows == 0:
+        return _RANK_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    s_enc = pc.dictionary_encode(t["surface"].combine_chunks())
+    q_enc = pc.dictionary_encode(t["query_part"].combine_chunks())
+    s_uniq = np.asarray(s_enc.dictionary.to_pylist(), dtype=object)
+    q_uniq_list = q_enc.dictionary.to_pylist()
+    s_codes = s_enc.indices.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    q_codes = q_enc.indices.fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = t["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = t["dist"].to_numpy(zero_copy_only=False)
+    tlen = t["tlen"].to_numpy(zero_copy_only=False).astype(np.int64)
+    proba = t["proba"].to_numpy(zero_copy_only=False)
+    is_ex = t["is_exact"].to_numpy(zero_copy_only=False)
+
+    m = is_ex == 0
+    # 1. collapse: per (s, q, e) min dist (+ carried tlen/proba — one
+    # value per entity, any row's copy is the value)
+    pdf = pd.DataFrame({"s": s_codes[m], "q": q_codes[m], "e": eid[m],
+                        "d": dist[m], "t": tlen[m], "p": proba[m]})
+    col = pdf.groupby(["s", "q", "e"], sort=False) \
+        .agg(d=("d", "min"), t=("t", "first"), p=("p", "first")) \
+        .reset_index()
+    cs = col["s"].to_numpy()
+    cq = col["q"].to_numpy()
+    ce = col["e"].to_numpy()
+    cd = col["d"].to_numpy()
+    ct = col["t"].to_numpy()
+    cp = col["p"].to_numpy()
+    nS = len(s_uniq)
+    Qn0 = len(q_uniq_list)
+
+    # 2. total_hits per surface; part_hit_count per (s, q)
+    th = np.maximum(np.bincount(cs, minlength=nS), 1).astype(np.float64)
+
+    # 3. exact rows: dedup (s, e) pairs, then expand to query parts
+    es0 = s_codes[~m]
+    ee0 = eid[~m]
+    et0 = tlen[~m]
+    ep0 = proba[~m]
+    e_uniq = np.unique(np.concatenate([ce, ee0])) if len(ce) + len(ee0) \
+        else np.array([], np.int64)
+    E = max(len(e_uniq), 1)
+    if len(es0):
+        se_key = es0 * E + np.searchsorted(e_uniq, ee0)
+        o = np.argsort(se_key, kind="stable")
+        first = np.empty(len(o), bool)
+        first[0] = True
+        first[1:] = se_key[o][1:] != se_key[o][:-1]
+        keep0 = o[first]
+        es, ee, et, ep = es0[keep0], ee0[keep0], et0[keep0], ep0[keep0]
+    else:
+        es, ee, et, ep = es0, ee0, et0, ep0
+
+    part_code: dict[str, int] = {p: i for i, p in enumerate(q_uniq_list)}
+    extra_parts: list[str] = []
+    parts_of_s: dict[int, np.ndarray] = {}
+    for si in np.unique(es):
+        parts = filter_surface(normalize_chars(s_uniq[si]))
+        codes: list[int] = []
+        for p in dict.fromkeys(parts):          # order-preserving dedup
+            c = part_code.get(p)
+            if c is None:
+                c = Qn0 + len(extra_parts)
+                extra_parts.append(p)
+                part_code[p] = c
+            codes.append(c)
+        parts_of_s[int(si)] = np.asarray(codes, np.int64)
+    Q = Qn0 + len(extra_parts) + 1
+    plen = np.array([len(x) for x in q_uniq_list]
+                    + [len(x) for x in extra_parts], np.int64)
+
+    if len(es):
+        rep = np.array([len(parts_of_s[int(si)]) for si in es], np.int64)
+        xs = np.repeat(es, rep)
+        xe = np.repeat(ee, rep)
+        xt = np.repeat(et, rep)
+        xp = np.repeat(ep, rep)
+        xq = np.concatenate([parts_of_s[int(si)] for si in es]) \
+            if rep.sum() else np.array([], np.int64)
+        # keep only (s, q, e) not already matched by the part probe
+        col_keys = np.sort((cs * Q + cq) * E + np.searchsorted(e_uniq, ce))
+        x_keys = (xs * Q + xq) * E + np.searchsorted(e_uniq, xe)
+        if len(col_keys):
+            pos = np.searchsorted(col_keys, x_keys)
+            pos[pos >= len(col_keys)] = len(col_keys) - 1
+            missing = col_keys[pos] != x_keys
+        else:
+            missing = np.ones(len(x_keys), bool)
+        xs, xq, xe, xt, xp = (xs[missing], xq[missing], xe[missing],
+                              xt[missing], xp[missing])
+    else:
+        xs = xq = xe = np.array([], np.int64)
+        xt = np.array([], np.int64)
+        xp = np.array([], np.float64)
+
+    R_s = np.concatenate([cs, xs])
+    R_q = np.concatenate([cq, xq])
+    R_e = np.concatenate([ce, xe])
+    R_d = np.concatenate([cd, np.zeros(len(xs), np.float64)])
+    R_t = np.concatenate([ct, xt])
+    R_p = np.concatenate([cp, xp])
+    if not len(R_s):
+        return _RANK_SCHEMA.empty_table()
+
+    # per-row uniqueness weight: total_hits / part_hit_count.get(p, 1)
+    phc_keys, phc_cnt = np.unique(cs * Q + cq, return_counts=True)
+    row_sq = R_s * Q + R_q
+    if len(phc_keys):
+        pos = np.searchsorted(phc_keys, row_sq)
+        pos[pos >= len(phc_keys)] = len(phc_keys) - 1
+        found = phc_keys[pos] == row_sq
+        denom = np.ones(len(row_sq), np.float64)
+        denom[found] = phc_cnt[pos[found]]
+    else:
+        denom = np.ones(len(row_sq), np.float64)
+    w = th[R_s] / denom
+
+    # 4. per-(s, e) aggregates — stable sort keeps the rank_hits
+    # accumulation order (collapsed part rows first, exact fills after)
+    ge_key = R_s * E + np.searchsorted(e_uniq, R_e)
+    o = np.argsort(ge_key, kind="stable")
+    gk = ge_key[o]
+    new = np.empty(len(gk), bool)
+    new[0] = True
+    new[1:] = gk[1:] != gk[:-1]
+    starts = np.flatnonzero(new)
+    g_s = R_s[o][starts]
+    g_e = R_e[o][starts]
+    g_t = R_t[o][starts]
+    g_p = R_p[o][starts]
+    n_parts = np.diff(np.append(starts, len(gk)))
+    g_d = np.maximum.reduceat(R_d[o], starts)
+    g_plen = np.add.reduceat(plen[R_q[o]], starts)
+    # bincount accumulates weights sequentially in array order — the
+    # SAME left-to-right float association as rank_hits' python sum
+    # over its insertion-ordered dict (np.add.reduceat associates
+    # differently and flips last-bit ties; parity-tested)
+    gid = np.cumsum(new) - 1
+    g_uniq = np.bincount(gid, weights=w[o],
+                         minlength=len(starts)) * n_parts
+    g_cov = g_t.astype(np.float64) / np.maximum(1, g_plen)
+
+    # exact flag per (s, e)
+    if len(es):
+        ex_keys = np.sort(es * E + np.searchsorted(e_uniq, ee))
+        pos = np.searchsorted(ex_keys, gk[starts])
+        pos[pos >= len(ex_keys)] = len(ex_keys) - 1
+        g_notex = (ex_keys[pos] != gk[starts]).astype(np.int8)
+    else:
+        g_notex = np.ones(len(starts), np.int8)
+
+    # 5. rank: one lexsort + per-surface boundary scan
+    o2 = np.lexsort((g_e, g_t, g_cov, -g_p, g_d, -g_uniq, g_notex, g_s))
+    ss = g_s[o2]
+    new_s = np.empty(len(ss), bool)
+    new_s[0] = True
+    new_s[1:] = ss[1:] != ss[:-1]
+    gid_starts = np.flatnonzero(new_s)
+    rank = np.arange(len(ss)) - np.repeat(gid_starts,
+                                          np.diff(np.append(gid_starts,
+                                                            len(ss))))
+    keep = rank < cfg.max_candidates
+    o3 = o2[keep]
+    return pa.table({
+        "surface": pa.array(s_uniq[g_s[o3]].tolist(), pa.string()),
+        "cand_entity": pa.array(g_e[o3], pa.int64()),
+        "dist": pa.array(g_d[o3], pa.float64()),
+        "match_uniqueness": pa.array(g_uniq[o3], pa.float64()),
+        "match_coverage": pa.array(g_cov[o3], pa.float64()),
+        "proba": pa.array(g_p[o3], pa.float64()),
+        "rank": pa.array(rank[keep].astype(np.int32), pa.int32()),
+    })
+
+
+def _rank_local_expand(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Bucket ranker over NARROW co-shuffled inputs — the expansion the
+    old path shipped through the exchange (33.5M rows at 24k entities:
+    every (surface, part) × every entity of that part) happens HERE in
+    numpy gathers and never crosses the wire.  The bucket receives
+    three row kinds:
+
+    * kind 0 — (surface, query_part): the surface's part list, in
+      probe order (hash-bucketed by surface);
+    * kind 1 — (query_part, eid, dist, tlen, proba): the part-level
+      matches joined to postings, REPLICATED once per bucket that
+      contains a surface using the part (≤ nparts copies — bounded by
+      the matched-parts table, not by surface × part pairs);
+    * kind 2 — (surface, eid, tlen, proba): exact full-surface-key
+      matches (hash-bucketed by surface).
+
+    Semantics are rank_hits' exactly (same accumulation order as the
+    broadcast probe: a surface's parts in probe order, exact fills
+    after — parity-tested against :func:`_rank_surface_block_rowloop`
+    and the broadcast path)."""
+    if t.num_rows == 0:
+        return _RANK_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    s_enc = pc.dictionary_encode(t["surface"].combine_chunks())
+    q_enc = pc.dictionary_encode(t["query_part"].combine_chunks())
+    s_uniq = np.asarray(s_enc.dictionary.to_pylist(), dtype=object)
+    q_uniq_list = q_enc.dictionary.to_pylist()
+    sc_all = s_enc.indices.fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    qc_all = q_enc.indices.fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = t["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = t["dist"].to_numpy(zero_copy_only=False)
+    tlen = t["tlen"].to_numpy(zero_copy_only=False).astype(np.int64)
+    proba = t["proba"].to_numpy(zero_copy_only=False)
+    nS = max(len(s_uniq), 1)
+    Qn = max(len(q_uniq_list), 1)
+
+    # ---- kind-1: collapse per (q, e) min dist (surface-independent)
+    mq = kind == 1
+    me2 = kind == 2
+    e_uniq = np.unique(np.concatenate([eid[mq], eid[me2]]))
+    E = max(len(e_uniq), 1)
+    qq = qc_all[mq]
+    qe = np.searchsorted(e_uniq, eid[mq]) if mq.any() else \
+        np.array([], np.int64)
+    key_qe = qq * E + qe
+    o = np.argsort(key_qe, kind="stable")
+    kqe = key_qe[o]
+    if len(kqe):
+        new = np.empty(len(kqe), bool)
+        new[0] = True
+        new[1:] = kqe[1:] != kqe[:-1]
+        starts = np.flatnonzero(new)
+        cq2 = qq[o][starts]
+        ce2 = qe[o][starts]
+        cd2 = np.minimum.reduceat(dist[mq][o], starts)
+        ct2 = tlen[mq][o][starts]
+        cp2 = proba[mq][o][starts]
+        qe_keys = kqe[starts]                  # sorted unique (q, e)
+    else:
+        cq2 = ce2 = np.array([], np.int64)
+        cd2 = cp2 = np.array([], np.float64)
+        ct2 = np.array([], np.int64)
+        qe_keys = np.array([], np.int64)
+    bounds = np.arange(Qn + 1)
+    qstart = np.searchsorted(cq2, bounds[:-1])
+    qend = np.searchsorted(cq2, bounds[1:])
+    cnt = qend - qstart                        # hits per query part
+
+    # ---- kind-0: per-surface part lists (probe order), dedup (s, q)
+    ms = kind == 0
+    ss0 = sc_all[ms]
+    qs0 = qc_all[ms]
+    o = np.argsort(ss0, kind="stable")         # keep probe order per s
+    ss1, qs1 = ss0[o], qs0[o]
+    if len(ss1):
+        _, fi = np.unique(ss1 * Qn + qs1, return_index=True)
+        fi.sort()
+        ss1, qs1 = ss1[fi], qs1[fi]
+    th = np.maximum(np.bincount(
+        ss1, weights=cnt[qs1].astype(np.float64), minlength=nS), 1.0)
+    keep = cnt[qs1] > 0
+    ss2, qs2 = ss1[keep], qs1[keep]
+
+    # ---- local expansion: gather each part's entity slice per surface
+    rep = cnt[qs2]
+    total = int(rep.sum())
+    if total:
+        cum = np.concatenate([[0], np.cumsum(rep)[:-1]])
+        pos = np.arange(total) - np.repeat(cum, rep) \
+            + np.repeat(qstart[qs2], rep)
+        R_s = np.repeat(ss2, rep)
+        R_q = np.repeat(qs2, rep)
+        R_e = ce2[pos]
+        R_d = cd2[pos]
+        R_t = ct2[pos]
+        R_p = cp2[pos]
+        w = th[R_s] / cnt[R_q]
+    else:
+        R_s = R_q = R_e = np.array([], np.int64)
+        R_d = R_p = w = np.array([], np.float64)
+        R_t = np.array([], np.int64)
+
+    # ---- kind-2: exact rows — dedup (s, e), expand to query parts
+    es0 = sc_all[me2]
+    ee0 = np.searchsorted(e_uniq, eid[me2]) if me2.any() else \
+        np.array([], np.int64)
+    et0 = tlen[me2]
+    ep0 = proba[me2]
+    if len(es0):
+        se_key = es0 * E + ee0
+        o = np.argsort(se_key, kind="stable")
+        first = np.empty(len(o), bool)
+        first[0] = True
+        first[1:] = se_key[o][1:] != se_key[o][:-1]
+        k0 = o[first]
+        es, ee, et, ep = es0[k0], ee0[k0], et0[k0], ep0[k0]
+    else:
+        es = ee = np.array([], np.int64)
+        et = np.array([], np.int64)
+        ep = np.array([], np.float64)
+
+    part_code: dict[str, int] = {p: i for i, p in enumerate(q_uniq_list)}
+    extra_parts: list[str] = []
+    parts_of_s: dict[int, np.ndarray] = {}
+    for si in np.unique(es):
+        parts = filter_surface(normalize_chars(s_uniq[si]))
+        codes: list[int] = []
+        for p in dict.fromkeys(parts):
+            c = part_code.get(p)
+            if c is None:
+                c = Qn + len(extra_parts)
+                extra_parts.append(p)
+                part_code[p] = c
+            codes.append(c)
+        parts_of_s[int(si)] = np.asarray(codes, np.int64)
+    Q = Qn + len(extra_parts) + 1
+    plen = np.array([len(x) for x in q_uniq_list]
+                    + [len(x) for x in extra_parts], np.int64)
+    cnt_ext = np.concatenate([cnt, np.zeros(len(extra_parts) + 1,
+                                            np.int64)])
+
+    if len(es):
+        rep_x = np.array([len(parts_of_s[int(si)]) for si in es],
+                         np.int64)
+        xs = np.repeat(es, rep_x)
+        xe = np.repeat(ee, rep_x)
+        xt = np.repeat(et, rep_x)
+        xp = np.repeat(ep, rep_x)
+        xq = np.concatenate([parts_of_s[int(si)] for si in es]) \
+            if rep_x.sum() else np.array([], np.int64)
+        # fill only (s, q, e) not already produced by the expansion:
+        # present ⇔ (s, q) is a surface part AND (q, e) is a hit
+        sp_keys = np.sort(ss2 * Q + qs2)
+        f1 = np.zeros(len(xs), bool)
+        if len(sp_keys):
+            p1 = np.searchsorted(sp_keys, xs * Q + xq)
+            p1[p1 >= len(sp_keys)] = len(sp_keys) - 1
+            f1 = sp_keys[p1] == xs * Q + xq
+        f2 = np.zeros(len(xs), bool)
+        if len(qe_keys):
+            p2 = np.searchsorted(qe_keys, xq * E + xe)
+            p2[p2 >= len(qe_keys)] = len(qe_keys) - 1
+            f2 = qe_keys[p2] == xq * E + xe
+        missing = ~(f1 & f2)
+        xs, xq, xe, xt, xp = (xs[missing], xq[missing], xe[missing],
+                              xt[missing], xp[missing])
+        w_x = th[xs] / np.maximum(cnt_ext[xq], 1)
+        R_s = np.concatenate([R_s, xs])
+        R_q = np.concatenate([R_q, xq])
+        R_e = np.concatenate([R_e, xe])
+        R_d = np.concatenate([R_d, np.zeros(len(xs), np.float64)])
+        R_t = np.concatenate([R_t, xt])
+        R_p = np.concatenate([R_p, xp])
+        w = np.concatenate([w, w_x])
+    if not len(R_s):
+        return _RANK_SCHEMA.empty_table()
+
+    # ---- shared aggregation + rank (identical to _rank_surface_block)
+    ge_key = R_s * E + R_e
+    o = np.argsort(ge_key, kind="stable")
+    gk = ge_key[o]
+    new = np.empty(len(gk), bool)
+    new[0] = True
+    new[1:] = gk[1:] != gk[:-1]
+    starts = np.flatnonzero(new)
+    g_s = R_s[o][starts]
+    g_e = e_uniq[R_e[o][starts]]
+    g_t = R_t[o][starts]
+    g_p = R_p[o][starts]
+    n_parts = np.diff(np.append(starts, len(gk)))
+    g_d = np.maximum.reduceat(R_d[o], starts)
+    g_plen = np.add.reduceat(plen[R_q[o]], starts)
+    gid = np.cumsum(new) - 1
+    g_uniq = np.bincount(gid, weights=w[o],
+                         minlength=len(starts)) * n_parts
+    g_cov = g_t.astype(np.float64) / np.maximum(1, g_plen)
+    if len(es):
+        ex_keys = np.sort(es * E + ee)
+        p3 = np.searchsorted(ex_keys, gk[starts])
+        p3[p3 >= len(ex_keys)] = len(ex_keys) - 1
+        g_notex = (ex_keys[p3] != gk[starts]).astype(np.int8)
+    else:
+        g_notex = np.ones(len(starts), np.int8)
+    o2 = np.lexsort((g_e, g_t, g_cov, -g_p, g_d, -g_uniq, g_notex, g_s))
+    ss = g_s[o2]
+    new_s = np.empty(len(ss), bool)
+    new_s[0] = True
+    new_s[1:] = ss[1:] != ss[:-1]
+    gid_starts = np.flatnonzero(new_s)
+    rank = np.arange(len(ss)) - np.repeat(
+        gid_starts, np.diff(np.append(gid_starts, len(ss))))
+    keep2 = rank < cfg.max_candidates
+    o3 = o2[keep2]
+    return pa.table({
+        "surface": pa.array(s_uniq[g_s[o3]].tolist(), pa.string()),
+        "cand_entity": pa.array(g_e[o3], pa.int64()),
+        "dist": pa.array(g_d[o3], pa.float64()),
+        "match_uniqueness": pa.array(g_uniq[o3], pa.float64()),
+        "match_coverage": pa.array(g_cov[o3], pa.float64()),
+        "proba": pa.array(g_p[o3], pa.float64()),
+        "rank": pa.array(rank[keep2].astype(np.int32), pa.int32()),
     })
 
 
@@ -744,12 +1245,28 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
     # bounds the concurrent all-to-all operator count on each side (a
     # fully-lazy graph with 5+ hash shuffles deadlocks small nodes).
     from sbb_ned_ray.stages.dedup import bucketed_map_groups
-    part_matches = bucketed_map_groups(
-        parts.join(tabs["bands"], join_type="inner",
-                   num_partitions=num_partitions, on=("key",)),
-        "query_part", lambda g: _match_part_group(g, cfg),
-        nparts=max(16, num_partitions * 4),
-        skip_singletons=False).materialize()
+    nparts_pm = max(16, num_partitions * 4)
+
+    def _add_qbucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(t["query_part"].combine_chunks())
+        buckets = np.array(
+            [zlib.crc32(u.encode("utf-8")) % nparts_pm
+             for u in enc.dictionary.to_pylist()], dtype=np.int32)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(buckets[codes],
+                                                 pa.int32()))
+
+    part_matches = parts.join(tabs["bands"], join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("key",)) \
+        .map_batches(_add_qbucket, batch_format="pyarrow") \
+        .groupby("_part") \
+        .map_groups(lambda t: _match_parts_block(
+            t.drop_columns(["_part"]), cfg),
+            batch_format="pyarrow").materialize()
 
     # P3: expand matched parts → entity rows, then attach to surfaces on
     # query_part (both joins now run at post-filter volume).  The part
@@ -763,36 +1280,6 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         num_partitions=num_partitions, on=("part",)) \
         .map_batches(lambda t: t.drop_columns(["freq", "part"]),
                      batch_format="pyarrow")
-    hits = surface_parts.join(qp_hits, join_type="inner",
-                              num_partitions=num_partitions,
-                              on=("query_part",)) \
-        .map_batches(lambda t: t.append_column(
-            "is_exact",
-            pa.array(np.zeros(t.num_rows, dtype=np.int8)))
-            .select(hit_cols), batch_format="pyarrow")
-
-    # J3: exact full-surface-key rows
-    def sur_rows(t: pa.Table) -> pa.Table:
-        out = pa.table({
-            "surface": t["surface"],
-            "query_part": pa.array([None] * t.num_rows, pa.string()),
-            "dist": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
-            "eid": t["eid"],
-            "tlen": t["tlen"],
-            "proba": t["proba"],
-            "is_exact": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-        })
-        if has_ctx:
-            out = out.append_column("stype", t["stype"])
-            for col in _META_COLS:
-                out = out.append_column(col, t[col])
-        return out.select(hit_cols)
-
-    j_sur = key_rows.join(tabs["exact"], join_type="inner",
-                          num_partitions=num_partitions, on=("skey",)) \
-        .map_batches(sur_rows, batch_format="pyarrow")
-
-    both = hits.union(j_sur)
 
     def _attach_entmeta(ranked_slim, extra_cols: list[str]):
         # re-attach title/qid strings at POST-RANK volume (≤
@@ -808,8 +1295,52 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             .map_batches(lambda t: t.select(out_order),
                          batch_format="pyarrow")
 
+    nparts = max(16, num_partitions * 4)
+
+    def _surface_bucket(col: pa.ChunkedArray) -> np.ndarray:
+        import zlib
+
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(col.combine_chunks())
+        buckets = np.array(
+            [zlib.crc32(u.encode("utf-8")) % nparts
+             for u in enc.dictionary.to_pylist()], dtype=np.int32)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return buckets[codes]
+
     if has_ctx:
         import pyarrow.compute as pc
+
+        # context path keeps the expanded-join shape: the per-group
+        # ranker needs geo/temporal metadata columns per hit row
+        hits = surface_parts.join(qp_hits, join_type="inner",
+                                  num_partitions=num_partitions,
+                                  on=("query_part",)) \
+            .map_batches(lambda t: t.append_column(
+                "is_exact",
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+                .select(hit_cols), batch_format="pyarrow")
+
+        def sur_rows(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "surface": t["surface"],
+                "query_part": pa.array([None] * t.num_rows, pa.string()),
+                "dist": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+                "eid": t["eid"],
+                "tlen": t["tlen"],
+                "proba": t["proba"],
+                "is_exact": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            })
+            out = out.append_column("stype", t["stype"])
+            for col in _META_COLS:
+                out = out.append_column(col, t[col])
+            return out.select(hit_cols)
+
+        j_sur = key_rows.join(tabs["exact"], join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("skey",)) \
+            .map_batches(sur_rows, batch_format="pyarrow")
+        both = hits.union(j_sur)
 
         def add_sg(t: pa.Table) -> pa.Table:
             sg = pc.binary_join_element_wise(t["surface"], t["stype"],
@@ -822,28 +1353,93 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
                                           geo_pts),
             nparts=max(16, num_partitions * 4), skip_singletons=False)
         return _attach_entmeta(ranked_slim, ["stype"])
-    # no-context path: same surface-hash bucketing idea as
-    # bucketed_map_groups, but Arrow end-to-end — the bucket hash runs
-    # over the block's surface DICTIONARY (distinct values), not every
-    # row, and the rank pass is one whole-bucket vectorized call
-    # (_rank_surface_block) instead of a per-surface pandas apply
-    nparts = max(16, num_partitions * 4)
 
-    def _add_bucket(t: pa.Table) -> pa.Table:
-        import zlib
+    # no-context path: LOCAL-EXPAND ranking — the (surface, part) ×
+    # entity expansion never crosses the exchange.  Three narrow legs
+    # co-shuffle on the surface-hash bucket: the surface part lists,
+    # the (part → entity) matches replicated once per bucket that uses
+    # the part, and the exact-key rows; each bucket then expands and
+    # ranks in numpy (:func:`_rank_local_expand`).  At 24k entities /
+    # 20k pages the old expanded exchange was 33.5M rows; the legs are
+    # |surface_parts| + |qp_hits| × buckets-touched + |exact| rows.
+    def sp_leg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "surface": t["surface"],
+            "query_part": t["query_part"],
+            "dist": pa.array(np.zeros(n, np.float64)),
+            "eid": pa.array(np.full(n, -1, np.int64)),
+            "tlen": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "proba": pa.array(np.zeros(n, np.float64)),
+            "_part": pa.array(_surface_bucket(t["surface"]), pa.int32()),
+        })
 
-        import pyarrow.compute as pc
-        enc = pc.dictionary_encode(t["surface"].combine_chunks())
-        buckets = np.array(
-            [zlib.crc32(u.encode("utf-8")) % nparts
-             for u in enc.dictionary.to_pylist()], dtype=np.int32)
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        return t.append_column("_part", pa.array(buckets[codes],
-                                                 pa.int32()))
+    sp_rows = surface_parts.map_batches(sp_leg, batch_format="pyarrow") \
+        .materialize()
 
-    ranked_slim = both.map_batches(_add_bucket, batch_format="pyarrow") \
+    def qb_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"query_part": t["query_part"].to_pylist(),
+                           "_part": t["_part"].to_numpy(
+                               zero_copy_only=False)})
+        df = df.drop_duplicates()
+        return pa.table({"query_part": pa.array(df["query_part"],
+                                                pa.string()),
+                         "_part": pa.array(df["_part"], pa.int32())})
+
+    qparts_buckets = sp_rows.select_columns(["query_part", "_part"]) \
+        .map_batches(qb_partial, batch_format="pyarrow") \
+        .groupby(["query_part", "_part"]).count() \
+        .map_batches(lambda t: t.select(["query_part", "_part"]),
+                     batch_format="pyarrow")
+
+    def qp_leg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int8)),
+            "surface": pa.array([None] * n, pa.string()),
+            "query_part": t["query_part"],
+            "dist": pc2_cast_f64(t["dist"]),
+            "eid": t["eid"],
+            "tlen": pc2_cast_i32(t["tlen"]),
+            "proba": pc2_cast_f64(t["proba"]),
+            "_part": t["_part"],
+        })
+
+    import pyarrow.compute as _pc
+
+    def pc2_cast_f64(col):
+        return _pc.cast(col, pa.float64())
+
+    def pc2_cast_i32(col):
+        return _pc.cast(col, pa.int32())
+
+    qp_rows = qp_hits.join(qparts_buckets, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("query_part",)) \
+        .map_batches(qp_leg, batch_format="pyarrow")
+
+    def ex_leg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(np.full(n, 2, np.int8)),
+            "surface": t["surface"],
+            "query_part": pa.array([None] * n, pa.string()),
+            "dist": pa.array(np.zeros(n, np.float64)),
+            "eid": t["eid"],
+            "tlen": pc2_cast_i32(t["tlen"]),
+            "proba": pc2_cast_f64(t["proba"]),
+            "_part": pa.array(_surface_bucket(t["surface"]), pa.int32()),
+        })
+
+    ex_rows = key_rows.join(tabs["exact"], join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("skey",)) \
+        .map_batches(ex_leg, batch_format="pyarrow")
+
+    ranked_slim = sp_rows.union(qp_rows).union(ex_rows) \
         .groupby("_part") \
-        .map_groups(lambda t: _rank_surface_block(
+        .map_groups(lambda t: _rank_local_expand(
             t.drop_columns(["_part"]), cfg), batch_format="pyarrow")
     return _attach_entmeta(ranked_slim, [])
 

@@ -127,3 +127,119 @@ def test_alias_rows_vectorized_bitexact(tiny_fixture_dir):
         "aliases": pa.array([[]], pa.list_(pa.string())),
     })
     assert _alias_rows_vectorized(blank, False, meta).num_rows == 0
+
+
+def test_rank_surface_block_vectorized_matches_rowloop(ray_session):
+    """The vectorized whole-bucket ranker must reproduce the row-loop
+    rank_hits reference: same rows, same ranks, same floats (the
+    accumulation order is preserved by construction)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.stages.blocking import (
+        _rank_surface_block,
+        _rank_surface_block_rowloop,
+    )
+
+    rng = np.random.RandomState(11)
+    cfg = PipelineConfig()
+    surfaces = ["alpha beta", "gamma", "delta eps", "zeta", "eta theta"]
+    parts = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota"]
+    rows = {"surface": [], "query_part": [], "dist": [], "eid": [],
+            "tlen": [], "proba": [], "is_exact": []}
+    ent_meta = {e: (int(rng.randint(3, 20)), float(rng.rand()))
+                for e in range(40)}
+    for _ in range(600):                       # part rows w/ duplicates
+        s = surfaces[rng.randint(len(surfaces))]
+        e = int(rng.randint(40))
+        rows["surface"].append(s)
+        rows["query_part"].append(parts[rng.randint(len(parts))])
+        rows["dist"].append(float(rng.rand() * 0.2))
+        rows["eid"].append(e)
+        rows["tlen"].append(ent_meta[e][0])
+        rows["proba"].append(ent_meta[e][1])
+        rows["is_exact"].append(0)
+    for _ in range(30):                        # exact rows (some overlap)
+        s = surfaces[rng.randint(len(surfaces))]
+        e = int(rng.randint(40))
+        rows["surface"].append(s)
+        rows["query_part"].append(None)
+        rows["dist"].append(0.0)
+        rows["eid"].append(e)
+        rows["tlen"].append(ent_meta[e][0])
+        rows["proba"].append(ent_meta[e][1])
+        rows["is_exact"].append(1)
+    # one exact-only surface (no part rows at all)
+    rows["surface"].append("iota")
+    rows["query_part"].append(None)
+    rows["dist"].append(0.0)
+    rows["eid"].append(99)
+    rows["tlen"].append(4)
+    rows["proba"].append(0.9)
+    rows["is_exact"].append(1)
+    t = pa.table({
+        "surface": pa.array(rows["surface"], pa.string()),
+        "query_part": pa.array(rows["query_part"], pa.string()),
+        "dist": pa.array(rows["dist"], pa.float64()),
+        "eid": pa.array(rows["eid"], pa.int64()),
+        "tlen": pa.array(rows["tlen"], pa.int32()),
+        "proba": pa.array(rows["proba"], pa.float64()),
+        "is_exact": pa.array(rows["is_exact"], pa.int8()),
+    })
+    for max_cand in (3, 1000):
+        cfg2 = PipelineConfig(max_candidates=max_cand)
+        a = _rank_surface_block_rowloop(t, cfg2).to_pandas() \
+            .sort_values(["surface", "rank"]).reset_index(drop=True)
+        b = _rank_surface_block(t, cfg2).to_pandas() \
+            .sort_values(["surface", "rank"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in ("surface", "cand_entity", "rank"):
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+        for c in ("dist", "match_uniqueness", "match_coverage", "proba"):
+            assert np.allclose(a[c], b[c], atol=1e-12), c
+    assert _rank_surface_block(t.slice(0, 0), cfg).num_rows == 0
+
+
+def test_match_parts_block_matches_rowloop(ray_session):
+    """Vectorized bucket-level part probe vs the per-group reference:
+    same (query_part, part) selections, same order, distances within
+    matmul-vs-dot jitter."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from sbb_ned_ray.config import PipelineConfig
+    from sbb_ned_ray.stages.blocking import (
+        _match_part_group,
+        _match_parts_block,
+    )
+
+    rng = np.random.RandomState(5)
+    qparts = ["paris", "hilton", "ab", "berlin", "munich"]
+    parts = ["paris", "pariis", "hilton", "hiltons", "ab", "abc",
+             "berlin", "berliin", "munich", "zz"]
+    freqs = {p: int(rng.randint(1, 3000)) for p in parts}
+    rows = {"query_part": [], "part": [], "freq": []}
+    for _ in range(400):
+        rows["query_part"].append(qparts[rng.randint(len(qparts))])
+        p = parts[rng.randint(len(parts))]
+        rows["part"].append(p)
+        rows["freq"].append(freqs[p])
+    t = pa.table({"query_part": pa.array(rows["query_part"]),
+                  "part": pa.array(rows["part"]),
+                  "freq": pa.array(rows["freq"], pa.int64())})
+    cfg = PipelineConfig()
+    got = _match_parts_block(t, cfg).to_pandas() \
+        .sort_values(["query_part", "dist", "part"]).reset_index(drop=True)
+    df = t.to_pandas()
+    want = pd.concat([_match_part_group(g, cfg)
+                      for _, g in df.groupby("query_part", sort=False)],
+                     ignore_index=True) \
+        .sort_values(["query_part", "dist", "part"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["query_part"] == want["query_part"]).all()
+    assert (got["part"] == want["part"]).all()
+    assert np.allclose(got["dist"], want["dist"], atol=1e-9)
+    assert _match_parts_block(t.slice(0, 0), cfg).num_rows == 0
