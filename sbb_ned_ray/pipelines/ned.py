@@ -174,14 +174,16 @@ def run_ned_shuffle_kb(fixture_dir: str, config: PipelineConfig | None = None,
     fully-broadcast-free shape for a sentence KB that exceeds the
     object store.  Both produce identical links (parity-tested).
 
-    Cost profile (sf0.1, 32 CPUs, round 2): ~55-63 s vs ~8.6 s for the
-    broadcast flagship (was ~2.5 min in round 1 — the eager
-    materializations are gone, mentions are detected once and reused,
-    pools scale with the node, and scoring batches by candidate rows).
-    The residual gap is hash-join aggregator startup/rounds (~45 s
-    across the blocking joins) — a FIXED cost that amortizes at real KB
-    scale, which is the only regime this path is for; below the
-    object-store threshold use :func:`run_ned`.
+    Cost profile (20k pages, 32 CPUs, round 4 local-expand blocking):
+    18/23/60 s at 1.5k/6k/24k entities vs 3.7/6.9/18.4 s broadcast —
+    the ratio FALLS with KB size (4.9→3.4→3.3) because the blocking
+    exchange ships narrow legs (surface parts + part matches × buckets
+    + exact keys), never the (surface, part) × entity expansion
+    (BASELINE.md round-4).  The residual ~3× is hash-join/aggregator
+    startup across the narrow exchanges — a FIXED cost that amortizes
+    at real KB scale, which is the only regime this path is for; below
+    the object-store threshold use :func:`run_ned` (or let
+    :func:`run_ned_auto` choose).
     ``block_artifact_dir`` persists the KB blocking tables as parquet
     (build-index job); at toy KB sizes reading them back costs more
     than rebuilding, at real scale it is the difference between an

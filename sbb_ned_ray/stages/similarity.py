@@ -439,7 +439,7 @@ def _column_bytes(files: list[str], columns: list[str]) -> int:
 
 def ivf_pq_topk_indexed(layout_path: str, queries: np.ndarray,
                         query_ids: list[int], k: int = 10,
-                        nprobe: int = 4, shortlist_mult: int = 8,
+                        nprobe: int = 4, shortlist_mult: int = 32,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         return_stats: bool = False):
@@ -459,7 +459,13 @@ def ivf_pq_topk_indexed(layout_path: str, queries: np.ndarray,
     The union shortlist is scored against every query in pass B (a row
     outside a query's probe set can only ADD recall).  ``return_stats``
     reports the compressed bytes each pass scanned, so the
-    code-vs-vector I/O story is measured, not asserted."""
+    code-vs-vector I/O story is measured, not asserted.
+
+    ``shortlist_mult`` sizes the ADC shortlist (k·mult rows/query) —
+    the only recall lever for the exact re-rank.  32 holds recall@10 =
+    1.0 at 2 000 corpus vectors where 8 dropped to 0.88 (sf0.1 gate);
+    the re-rank reads shortlist rows only, so the cost of headroom is
+    a few hundred pushed-down rows per query."""
     cents = np.load(os.path.join(layout_path, "centroids.npy"))
     books = np.load(os.path.join(layout_path, "pq_books.npy"))
     m, ks, dsub = books.shape
@@ -738,7 +744,7 @@ def pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
 
 def pq_topk(emb: ray.data.Dataset, queries: np.ndarray,
             query_ids: list[int], k: int = 10, m: int = 8, ks: int = 256,
-            shortlist_mult: int = 8, sample_size: int = 2048,
+            shortlist_mult: int = 32, sample_size: int = 2048,
             seed: int = 42, id_col: str = "vec_id",
             vec_col: str = "embedding") -> pd.DataFrame:
     """PQ-accelerated cosine top-k: codebooks train once on a seeded
