@@ -3686,3 +3686,27 @@ ORACLE_SQL = {
     "docs_pruned_read": ORACLE_DOCS_PRUNED_READ,
     "entity_context_matrix": ORACLE_CONTEXT_MATRIX,
 }
+
+# sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
+# the driver-contract default (sf0.01).  Harnesses that sweep other
+# scale factors (tools/check_oracles.py) rebuild these per sf so the
+# SQL reads the SAME fixture the Ray query processes.
+_SF_ORACLES = {
+    "parse_ner_mentions": _oracle_parse_ner,
+    "clef_mentions": _oracle_parse_ner,
+    "ned_mentions": _oracle_ned_mentions,
+    "ned_extract_pages": _oracle_ned_extract_pages,
+    "ned_links": _oracle_ned_links,
+    "ned_links_auto": _oracle_ned_links,
+    "pages_per_host": _oracle_pages_per_host,
+}
+
+
+def oracle_sql_for(sf_dir: str) -> dict:
+    """ORACLE_SQL with the fixture-path oracles re-pointed at
+    ``sf_dir``'s fixture (materializing it if needed)."""
+    pages_dir_for_sf(sf_dir)
+    out = dict(ORACLE_SQL)
+    for name, fn in _SF_ORACLES.items():
+        out[name] = fn(sf_dir)
+    return out

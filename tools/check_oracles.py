@@ -55,6 +55,11 @@ def main():
     import __ray_entry__ as e
     qs = e.queries()
     oracles = e.oracle_sql()
+    # fixture-path oracles are baked for the driver's sf0.01 contract;
+    # re-point them at the swept sf so the SQL reads the same fixture
+    from sbb_ned_ray.pipelines.queries import oracle_sql_for
+    oracles.update({k: v for k, v in oracle_sql_for(sf_dir).items()
+                    if k in oracles})
 
     con = duckdb.connect()
     for t in TABLES:
