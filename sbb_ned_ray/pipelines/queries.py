@@ -2971,6 +2971,62 @@ GROUP BY 1, 2
 """
 
 
+def pages_split_by_host(sf_dir: str):
+    """Leakage-safe train/val/test split: every page of a HOST lands in
+    the same split (an eval page sharing a host with training pages
+    leaks template/boilerplate signal — the grouped-split rule of
+    web-corpus curation).  Assignment is a seedless md5 draw on the
+    host (train < 0.8 ≤ val < 0.9 ≤ test, both engines compute it
+    identically); output is per-(split, host) page counts, so the
+    oracle ALSO proves no host straddles splits.  Scale shape:
+    per-batch (host, count) partials → one narrow groupby; the split
+    decision is a pure function of the host, no shuffle of page
+    rows."""
+    import hashlib
+
+    pages = pages_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{pages}/pages", columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        auth = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        host = pc.utf8_lower(
+            pc.list_element(pc.split_pattern(auth, ":"), 0))
+        df = pa.table({"host": host}).to_pandas()
+        g = df.groupby("host", sort=False).size() \
+            .rename("n_pages").reset_index()
+        h4 = np.array([int(hashlib.md5(h.encode()).hexdigest()[:4], 16)
+                       for h in g["host"]])
+        g["split"] = np.where(h4 < 52428, "train",          # ⌊.8·2¹⁶⌋
+                              np.where(h4 < 58982, "val", "test"))
+        return pa.Table.from_pandas(g[["split", "host", "n_pages"]],
+                                    preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["split", "host"]) \
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+
+
+def _oracle_pages_split_by_host(sf_dir: str = "/root/testdata/sf0.01"
+                                ) -> str:
+    import os as _os
+
+    from sbb_ned_ray.fixtures.generator import spec_for_sf
+    path = _os.path.join("/tmp/sbb_ned_ray_fixtures",
+                         spec_for_sf(sf_dir).fingerprint(),
+                         "pages", "*.parquet")
+    return f"""
+SELECT CASE WHEN h4 < 52428 THEN 'train'
+            WHEN h4 < 58982 THEN 'val' ELSE 'test' END AS split,
+       host, COUNT(*) AS n_pages
+FROM (SELECT LOWER(SPLIT_PART(SPLIT_PART(url, '/', 3), ':', 1)) AS host,
+             CAST('0x' || SUBSTRING(md5(LOWER(SPLIT_PART(
+                  SPLIT_PART(url, '/', 3), ':', 1))), 1, 4) AS UBIGINT)
+                 AS h4
+      FROM read_parquet('{path}'))
+GROUP BY 1, 2
+"""
+
+
 def events_value_quantiles_sketch(sf_dir: str):
     """SELF-CHECKING (approximate, no SQL twin): DDSketch-style
     relative-error quantiles over events.value — per-batch log-bucket
@@ -3121,6 +3177,54 @@ FROM (SELECT source,
       FROM documents)
 WHERE h4 < cut
 GROUP BY source
+"""
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 25):
+    """Deterministic weighted sampling WITHOUT replacement per language
+    (Efraimidis–Spirakis A-ES): keep the k docs with the largest
+    ``u^(1/w)`` where ``w = n_chars`` and ``u`` is a seedless uniform
+    both engines derive identically from an md5 prefix of the doc id —
+    longer docs are proportionally likelier, reruns are bit-stable (the
+    corpus-subsampling step of training-data curation, weighted by
+    length/quality instead of uniform).  Scale shape: per-batch partial
+    top-k per language (the combiner), then one narrow groupby — the
+    shuffle carries ≤ k rows per (batch, lang), never the corpus."""
+    import hashlib
+    import math
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.array([(int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                           16) + 1) / 2 ** 32
+                      for i in df["doc_id"]])
+        w = np.maximum(df["n_chars"].to_numpy(np.int64), 1)
+        df = df.copy()
+        df["_key"] = u ** (1.0 / w)
+        # per-batch combiner: top-k per lang before the shuffle
+        return df.sort_values(["lang", "_key", "doc_id"],
+                              ascending=[True, False, True]) \
+            .groupby("lang", sort=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["_key", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return out[["lang", "doc_id", "n_chars"]]
+
+    return ds.map_batches(add_key, batch_format="pandas") \
+        .groupby("lang").map_groups(final_topk, batch_format="pandas")
+
+
+ORACLE_DOCS_WEIGHTED_SAMPLE = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+           POWER((CAST('0x' ||
+                       SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) + 1) / 4294967296.0,
+                 1.0 / GREATEST(n_chars, 1)) DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 25
 """
 
 
@@ -3603,10 +3707,12 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "nation_top_customer_names": nation_top_customer_names,
     "pages_per_host": pages_per_host,
+    "pages_split_by_host": pages_split_by_host,
     "events_value_quantiles_sketch": events_value_quantiles_sketch,
     "token_postings": token_postings,
     "docs_pack_windows": docs_pack_windows,
     "docs_mix_sources": docs_mix_sources,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_shard_shuffle": docs_shard_shuffle,
     "party_nation_counts": party_nation_counts,
     "events_ntile": events_ntile,
@@ -3675,9 +3781,11 @@ ORACLE_SQL = {
     "q17_small_quantity_revenue": ORACLE_Q17,
     "nation_top_customer_names": ORACLE_NATION_TOP_CUSTOMER_NAMES,
     "pages_per_host": _oracle_pages_per_host(),
+    "pages_split_by_host": _oracle_pages_split_by_host(),
     "token_postings": ORACLE_TOKEN_POSTINGS,
     "docs_pack_windows": ORACLE_DOCS_PACK_WINDOWS,
     "docs_mix_sources": ORACLE_DOCS_MIX_SOURCES,
+    "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_shard_shuffle": ORACLE_DOCS_SHARD_SHUFFLE,
     "party_nation_counts": ORACLE_PARTY_NATION_COUNTS,
     "events_ntile": ORACLE_EVENTS_NTILE,
@@ -3699,6 +3807,7 @@ _SF_ORACLES = {
     "ned_links": _oracle_ned_links,
     "ned_links_auto": _oracle_ned_links,
     "pages_per_host": _oracle_pages_per_host,
+    "pages_split_by_host": _oracle_pages_split_by_host,
 }
 
 
