@@ -839,7 +839,9 @@ def _rank_surface_block(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     })
 
 
-def _rank_local_expand(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def _rank_local_expand(t: pa.Table, cfg: PipelineConfig,
+                       geo_pts: list | None = None,
+                       with_ctx: bool = False) -> pa.Table:
     """Bucket ranker over NARROW co-shuffled inputs — the expansion the
     old path shipped through the exchange (33.5M rows at 24k entities:
     every (surface, part) × every entity of that part) happens HERE in
@@ -858,9 +860,19 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     Semantics are rank_hits' exactly (same accumulation order as the
     broadcast probe: a surface's parts in probe order, exact fills
     after — parity-tested against :func:`_rank_surface_block_rowloop`
-    and the broadcast path)."""
+    and the broadcast path).
+
+    ``with_ctx=True`` is the context-job variant: the leg "surface"
+    column carries ``surface\\x1ftype``, kind-1/2 rows carry the
+    geo/temporal metadata columns, aggregation is pre-truncation, and
+    ``apply_context_core`` re-ranks/filters each (surface, type) group
+    over the AGGREGATED candidates before the cap — the expansion
+    still never crosses the exchange."""
+    empty = _RANK_SCHEMA.empty_table()
+    if with_ctx:
+        empty = empty.append_column("stype", pa.array([], pa.string()))
     if t.num_rows == 0:
-        return _RANK_SCHEMA.empty_table()
+        return empty
     import pyarrow.compute as pc
 
     kind = t["kind"].to_numpy(zero_copy_only=False)
@@ -968,7 +980,8 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     extra_parts: list[str] = []
     parts_of_s: dict[int, np.ndarray] = {}
     for si in np.unique(es):
-        parts = filter_surface(normalize_chars(s_uniq[si]))
+        raw = s_uniq[si].split("\x1f", 1)[0] if with_ctx else s_uniq[si]
+        parts = filter_surface(normalize_chars(raw))
         codes: list[int] = []
         for p in dict.fromkeys(parts):
             c = part_code.get(p)
@@ -1018,7 +1031,7 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
         R_p = np.concatenate([R_p, xp])
         w = np.concatenate([w, w_x])
     if not len(R_s):
-        return _RANK_SCHEMA.empty_table()
+        return empty
 
     # ---- shared aggregation + rank (identical to _rank_surface_block)
     ge_key = R_s * E + R_e
@@ -1047,113 +1060,97 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     else:
         g_notex = np.ones(len(starts), np.int8)
     o2 = np.lexsort((g_e, g_t, g_cov, -g_p, g_d, -g_uniq, g_notex, g_s))
+    if not with_ctx:
+        ss = g_s[o2]
+        new_s = np.empty(len(ss), bool)
+        new_s[0] = True
+        new_s[1:] = ss[1:] != ss[:-1]
+        gid_starts = np.flatnonzero(new_s)
+        rank = np.arange(len(ss)) - np.repeat(
+            gid_starts, np.diff(np.append(gid_starts, len(ss))))
+        keep2 = rank < cfg.max_candidates
+        o3 = o2[keep2]
+        return pa.table({
+            "surface": pa.array(s_uniq[g_s[o3]].tolist(), pa.string()),
+            "cand_entity": pa.array(g_e[o3], pa.int64()),
+            "dist": pa.array(g_d[o3], pa.float64()),
+            "match_uniqueness": pa.array(g_uniq[o3], pa.float64()),
+            "match_coverage": pa.array(g_cov[o3], pa.float64()),
+            "proba": pa.array(g_p[o3], pa.float64()),
+            "rank": pa.array(rank[keep2].astype(np.int32), pa.int32()),
+        })
+
+    # context mode: the per-job geo/temporal filters run over the
+    # PRE-truncation ranking per (surface, type) group — the loop below
+    # is over AGGREGATED candidate rows (≤ pre-cap candidates per
+    # group), the same post-rank_hits work the expanded-join path's
+    # per-group ranker did, never over hit rows
+    ent_meta: dict[int, tuple] = {}
+    mmeta = mq | me2
+    lat_a = t["latitude"].to_numpy(zero_copy_only=False)
+    lon_a = t["longitude"].to_numpy(zero_copy_only=False)
+    dob_a = t["dateofbirth"].to_pylist()
+    inc_a = t["inception"].to_pylist()
+    for i in np.flatnonzero(mmeta):
+        ent_meta[int(eid[i])] = (
+            float(lat_a[i]) if not np.isnan(lat_a[i]) else np.nan,
+            float(lon_a[i]) if not np.isnan(lon_a[i]) else np.nan,
+            pd.Timestamp(dob_a[i]) if dob_a[i] is not None else None,
+            pd.Timestamp(inc_a[i]) if inc_a[i] is not None else None)
+
+    exact_of_sg: dict[int, set] = {}
+    for sc, ec in zip(es, ee):
+        exact_of_sg.setdefault(int(sc), set()).add(int(e_uniq[ec]))
+    tlen_of: dict[int, int] = {int(e): int(tl)
+                               for e, tl in zip(g_e, g_t)}
+
+    from sbb_ned_ray.stages.candidates import apply_context_core
+    out_rows: dict[str, list] = {c: [] for c in (
+        "surface", "cand_entity", "dist", "match_uniqueness",
+        "match_coverage", "proba", "rank", "stype")}
     ss = g_s[o2]
     new_s = np.empty(len(ss), bool)
     new_s[0] = True
     new_s[1:] = ss[1:] != ss[:-1]
     gid_starts = np.flatnonzero(new_s)
-    rank = np.arange(len(ss)) - np.repeat(
-        gid_starts, np.diff(np.append(gid_starts, len(ss))))
-    keep2 = rank < cfg.max_candidates
-    o3 = o2[keep2]
-    return pa.table({
-        "surface": pa.array(s_uniq[g_s[o3]].tolist(), pa.string()),
-        "cand_entity": pa.array(g_e[o3], pa.int64()),
-        "dist": pa.array(g_d[o3], pa.float64()),
-        "match_uniqueness": pa.array(g_uniq[o3], pa.float64()),
-        "match_coverage": pa.array(g_cov[o3], pa.float64()),
-        "proba": pa.array(g_p[o3], pa.float64()),
-        "rank": pa.array(rank[keep2].astype(np.int32), pa.int32()),
-    })
-
-
-def _rank_surface_group(g: pd.DataFrame, cfg: PipelineConfig,
-                        geo_pts: list | None = None) -> pd.DataFrame:
-    """One surface's joined hit rows → ranked candidates (replicates
-    probe_part caps + rank_hits).  When ``cfg.context`` is set the group
-    is one (surface, mention-type) and the per-job context filters run
-    over the pre-truncation ranking via ``apply_context_core`` with
-    metadata read from the joined posting columns."""
-    out_cols = ["surface", "cand_entity", "dist", "match_uniqueness",
-                "match_coverage", "proba", "rank"]
-    has_ctx = cfg.context is not None
-    if has_ctx:
-        out_cols.append("stype")
-
-    def _empty() -> pd.DataFrame:
-        # typed empty (the slim ranked table feeds a hash join — an
-        # all-object empty block would poison the join schema)
-        dtypes = {"surface": object, "cand_entity": np.int64,
-                  "dist": np.float64, "match_uniqueness": np.float64,
-                  "match_coverage": np.float64, "proba": np.float64,
-                  "rank": np.int32, "stype": object}
-        return pd.DataFrame({c: pd.Series(dtype=dtypes[c])
-                             for c in out_cols})
-
-    if g.empty:
-        return _empty()
-    surface = g["surface"].iloc[0]
-    stype = g["stype"].iloc[0] if has_ctx else None
-    exact_rows = g[g["is_exact"] == 1]
-    exact_ids = frozenset(int(e) for e in exact_rows["eid"])
-    part_rows = g[g["is_exact"] == 0]
-    # ALL parts of the surface (zero-hit parts included — they seed the
-    # exact-id entries and weight uniqueness/coverage identically to the
-    # broadcast path), recomputed from the pure normalizer
-    query_parts = tuple(filter_surface(normalize_chars(surface)))
-    meta: dict[int, tuple[int, float]] = {}
-    hits: list[tuple[int, str, float]] = []
-    # rows arrive pre-filtered by _match_part_group (stoplist, distance,
-    # SEARCH_K) with the part distance attached — only the per-entity
-    # min over the surviving parts happens per surface
-    for qp, pg in part_rows.groupby("query_part", sort=False):
-        ent_min: dict[int, float] = {}
-        for d, eid in zip(pg["dist"], pg["eid"]):
-            e = int(eid)
-            d = float(d)
-            if e not in ent_min or d < ent_min[e]:
-                ent_min[e] = d
-        for e, d in sorted(ent_min.items()):
-            hits.append((e, qp, d))
-    for r in part_rows.itertuples():
-        meta[int(r.eid)] = (int(r.tlen), float(r.proba))
-    for r in exact_rows.itertuples():
-        meta[int(r.eid)] = (int(r.tlen), float(r.proba))
-    meta_ctx: dict[int, tuple] = {}
-    if has_ctx:
-        # geo/temporal metadata carried through the posting join
-        for src in (part_rows, exact_rows):
-            for r in src.itertuples():
-                meta_ctx[int(r.eid)] = (
-                    float(r.latitude) if pd.notna(r.latitude) else np.nan,
-                    float(r.longitude) if pd.notna(r.longitude) else np.nan,
-                    r.dateofbirth if pd.notna(r.dateofbirth) else None,
-                    r.inception if pd.notna(r.inception) else None)
-    ranked = rank_hits(hits, cfg, exact_ids, query_parts,
-                       get_len=lambda e: meta[e][0],
-                       get_proba=lambda e: meta[e][1],
-                       keep_all=has_ctx)
-    if has_ctx and ranked:
-        from sbb_ned_ray.stages.candidates import apply_context_core
+    gid_ends = np.append(gid_starts[1:], len(ss))
+    for a, b in zip(gid_starts, gid_ends):
+        sgi = int(ss[a])
+        sg = s_uniq[sgi]
+        surface, stype = sg.split("\x1f", 1)
+        exact_ids = frozenset(exact_of_sg.get(sgi, ()))
+        rows = [(int(g_e[o2[i]]), float(g_d[o2[i]]),
+                 float(g_uniq[o2[i]]), float(g_cov[o2[i]]),
+                 float(g_p[o2[i]]), 0) for i in range(a, b)]
         ranked = apply_context_core(
-            ranked, cfg, stype, exact_ids, geo_pts or [],
-            get_latlon=lambda e: (meta_ctx[e][0], meta_ctx[e][1]),
-            get_birth=lambda e: meta_ctx[e][2],
-            get_inception=lambda e: meta_ctx[e][3],
-            get_len=lambda e: meta[e][0])
-        ranked = [(eid, dist, uniq, cov, proba, rank)
-                  for rank, (eid, dist, uniq, cov, proba, _) in
-                  enumerate(ranked[:cfg.max_candidates])]
-    if not ranked:
-        return _empty()
-    out = pd.DataFrame(ranked, columns=["cand_entity", "dist",
-                                        "match_uniqueness",
-                                        "match_coverage", "proba", "rank"])
-    out.insert(0, "surface", surface)
-    out["rank"] = out["rank"].astype(np.int32)
-    if has_ctx:
-        out["stype"] = stype
-    return out[out_cols]
+            rows, cfg, stype, exact_ids, geo_pts or [],
+            get_latlon=lambda e: ent_meta.get(e, (np.nan, np.nan))[:2],
+            get_birth=lambda e: ent_meta.get(e, (0, 0, None, None))[2],
+            get_inception=lambda e: ent_meta.get(e, (0, 0, None,
+                                                     None))[3],
+            get_len=lambda e: tlen_of.get(e, 0))
+        for rk, (e, d, u, cov, pr, _) in enumerate(
+                ranked[:cfg.max_candidates]):
+            out_rows["surface"].append(surface)
+            out_rows["cand_entity"].append(e)
+            out_rows["dist"].append(d)
+            out_rows["match_uniqueness"].append(u)
+            out_rows["match_coverage"].append(cov)
+            out_rows["proba"].append(pr)
+            out_rows["rank"].append(rk)
+            out_rows["stype"].append(stype)
+    return pa.table({
+        "surface": pa.array(out_rows["surface"], pa.string()),
+        "cand_entity": pa.array(out_rows["cand_entity"], pa.int64()),
+        "dist": pa.array(out_rows["dist"], pa.float64()),
+        "match_uniqueness": pa.array(out_rows["match_uniqueness"],
+                                     pa.float64()),
+        "match_coverage": pa.array(out_rows["match_coverage"],
+                                   pa.float64()),
+        "proba": pa.array(out_rows["proba"], pa.float64()),
+        "rank": pa.array(out_rows["rank"], pa.int32()),
+        "stype": pa.array(out_rows["stype"], pa.string()),
+    })
 
 
 _HIT_COLS = ["surface", "query_part", "dist", "eid", "tlen",
@@ -1179,11 +1176,8 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
     has_ctx = cfg.context is not None
     tabs = kb_tables if kb_tables is not None else \
         kb_block_tables(kb, cfg, num_partitions, with_meta=has_ctx)
-    hit_cols = list(_HIT_COLS)
     geo_pts: list = []
     if has_ctx:
-        hit_cols += ["stype"] + _META_COLS
-
         def qid_to_latlon(q):
             rows = kb.filter(
                 pa.compute.equal(kb["qid"], pa.scalar(q)))
@@ -1244,7 +1238,6 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
     # table is tiny (<= distinct parts x SEARCH_K rows) and cutting here
     # bounds the concurrent all-to-all operator count on each side (a
     # fully-lazy graph with 5+ hash shuffles deadlocks small nodes).
-    from sbb_ned_ray.stages.dedup import bucketed_map_groups
     nparts_pm = max(16, num_partitions * 4)
 
     def _add_qbucket(t: pa.Table) -> pa.Table:
@@ -1308,72 +1301,50 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         codes = enc.indices.to_numpy(zero_copy_only=False)
         return buckets[codes]
 
-    if has_ctx:
-        import pyarrow.compute as pc
-
-        # context path keeps the expanded-join shape: the per-group
-        # ranker needs geo/temporal metadata columns per hit row
-        hits = surface_parts.join(qp_hits, join_type="inner",
-                                  num_partitions=num_partitions,
-                                  on=("query_part",)) \
-            .map_batches(lambda t: t.append_column(
-                "is_exact",
-                pa.array(np.zeros(t.num_rows, dtype=np.int8)))
-                .select(hit_cols), batch_format="pyarrow")
-
-        def sur_rows(t: pa.Table) -> pa.Table:
-            out = pa.table({
-                "surface": t["surface"],
-                "query_part": pa.array([None] * t.num_rows, pa.string()),
-                "dist": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
-                "eid": t["eid"],
-                "tlen": t["tlen"],
-                "proba": t["proba"],
-                "is_exact": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-            })
-            out = out.append_column("stype", t["stype"])
-            for col in _META_COLS:
-                out = out.append_column(col, t[col])
-            return out.select(hit_cols)
-
-        j_sur = key_rows.join(tabs["exact"], join_type="inner",
-                              num_partitions=num_partitions,
-                              on=("skey",)) \
-            .map_batches(sur_rows, batch_format="pyarrow")
-        both = hits.union(j_sur)
-
-        def add_sg(t: pa.Table) -> pa.Table:
-            sg = pc.binary_join_element_wise(t["surface"], t["stype"],
-                                             "\x1f")
-            return t.append_column("_sg", sg)
-
-        ranked_slim = bucketed_map_groups(
-            both.map_batches(add_sg, batch_format="pyarrow"), "_sg",
-            lambda g: _rank_surface_group(g.drop(columns=["_sg"]), cfg,
-                                          geo_pts),
-            nparts=max(16, num_partitions * 4), skip_singletons=False)
-        return _attach_entmeta(ranked_slim, ["stype"])
-
-    # no-context path: LOCAL-EXPAND ranking — the (surface, part) ×
-    # entity expansion never crosses the exchange.  Three narrow legs
+    # LOCAL-EXPAND ranking (both paths) — the (surface, part) × entity
+    # expansion never crosses the exchange.  Three narrow legs
     # co-shuffle on the surface-hash bucket: the surface part lists,
     # the (part → entity) matches replicated once per bucket that uses
     # the part, and the exact-key rows; each bucket then expands and
     # ranks in numpy (:func:`_rank_local_expand`).  At 24k entities /
     # 20k pages the old expanded exchange was 33.5M rows; the legs are
     # |surface_parts| + |qp_hits| × buckets-touched + |exact| rows.
+    # Context jobs group by (surface, type): the legs' surface column
+    # carries ``surface\x1ftype`` and kind-1/2 rows carry the
+    # geo/temporal metadata columns for ``apply_context_core``.
+    import pyarrow.compute as _pcc
+
+    def _sgcol(t: pa.Table) -> pa.ChunkedArray:
+        if not has_ctx:
+            return t["surface"]
+        sg = _pcc.binary_join_element_wise(t["surface"], t["stype"],
+                                           "\x1f")
+        return pa.chunked_array([sg]) if isinstance(sg, pa.Array) else sg
+
+    def _meta_nulls(n: int) -> dict:
+        return {
+            "longitude": pa.nulls(n, pa.float64()),
+            "latitude": pa.nulls(n, pa.float64()),
+            "dateofbirth": pa.nulls(n, pa.timestamp("us")),
+            "inception": pa.nulls(n, pa.timestamp("us")),
+        }
+
     def sp_leg(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        return pa.table({
+        sg = _sgcol(t)
+        cols = {
             "kind": pa.array(np.zeros(n, np.int8)),
-            "surface": t["surface"],
+            "surface": sg,
             "query_part": t["query_part"],
             "dist": pa.array(np.zeros(n, np.float64)),
             "eid": pa.array(np.full(n, -1, np.int64)),
             "tlen": pa.array(np.zeros(n, np.int32), pa.int32()),
             "proba": pa.array(np.zeros(n, np.float64)),
-            "_part": pa.array(_surface_bucket(t["surface"]), pa.int32()),
-        })
+        }
+        if has_ctx:
+            cols.update(_meta_nulls(n))
+        cols["_part"] = pa.array(_surface_bucket(sg), pa.int32())
+        return pa.table(cols)
 
     sp_rows = surface_parts.map_batches(sp_leg, batch_format="pyarrow") \
         .materialize()
@@ -1393,9 +1364,15 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
         .map_batches(lambda t: t.select(["query_part", "_part"]),
                      batch_format="pyarrow")
 
+    def pc2_cast_f64(col):
+        return _pcc.cast(col, pa.float64())
+
+    def pc2_cast_i32(col):
+        return _pcc.cast(col, pa.int32())
+
     def qp_leg(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        return pa.table({
+        cols = {
             "kind": pa.array(np.ones(n, np.int8)),
             "surface": pa.array([None] * n, pa.string()),
             "query_part": t["query_part"],
@@ -1403,16 +1380,12 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
             "eid": t["eid"],
             "tlen": pc2_cast_i32(t["tlen"]),
             "proba": pc2_cast_f64(t["proba"]),
-            "_part": t["_part"],
-        })
-
-    import pyarrow.compute as _pc
-
-    def pc2_cast_f64(col):
-        return _pc.cast(col, pa.float64())
-
-    def pc2_cast_i32(col):
-        return _pc.cast(col, pa.int32())
+        }
+        if has_ctx:
+            for c in _META_COLS:
+                cols[c] = t[c]
+        cols["_part"] = t["_part"]
+        return pa.table(cols)
 
     qp_rows = qp_hits.join(qparts_buckets, join_type="inner",
                            num_partitions=num_partitions,
@@ -1421,16 +1394,21 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
 
     def ex_leg(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        return pa.table({
+        sg = _sgcol(t)
+        cols = {
             "kind": pa.array(np.full(n, 2, np.int8)),
-            "surface": t["surface"],
+            "surface": sg,
             "query_part": pa.array([None] * n, pa.string()),
             "dist": pa.array(np.zeros(n, np.float64)),
             "eid": t["eid"],
             "tlen": pc2_cast_i32(t["tlen"]),
             "proba": pc2_cast_f64(t["proba"]),
-            "_part": pa.array(_surface_bucket(t["surface"]), pa.int32()),
-        })
+        }
+        if has_ctx:
+            for c in _META_COLS:
+                cols[c] = t[c]
+        cols["_part"] = pa.array(_surface_bucket(sg), pa.int32())
+        return pa.table(cols)
 
     ex_rows = key_rows.join(tabs["exact"], join_type="inner",
                             num_partitions=num_partitions,
@@ -1440,8 +1418,9 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
     ranked_slim = sp_rows.union(qp_rows).union(ex_rows) \
         .groupby("_part") \
         .map_groups(lambda t: _rank_local_expand(
-            t.drop_columns(["_part"]), cfg), batch_format="pyarrow")
-    return _attach_entmeta(ranked_slim, [])
+            t.drop_columns(["_part"]), cfg, geo_pts=geo_pts,
+            with_ctx=has_ctx), batch_format="pyarrow")
+    return _attach_entmeta(ranked_slim, ["stype"] if has_ctx else [])
 
 
 def attach_candidates_salted(mentions_ds, ranked_ds, salt: int = 8,
