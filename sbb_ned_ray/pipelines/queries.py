@@ -3228,6 +3228,38 @@ SELECT lang, doc_id, n_chars FROM (
 """
 
 
+def docs_group_kfold(sf_dir: str, k: int = 5):
+    """Deterministic GROUP k-fold assignment: every doc of a SOURCE
+    lands in the same fold (md5 of the source mod k — the leakage-safe
+    cross-validation split; the decider trainer uses the same GroupKFold
+    discipline over pages).  Output is per-(fold, source) doc counts so
+    the oracle also proves no source straddles folds.  Pure per-batch
+    map + one narrow groupby — the fold is a function of the group key,
+    no row shuffle."""
+    import hashlib
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).size() \
+            .rename("n_docs").reset_index()
+        g["fold"] = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % k
+                     for s in g["source"]]
+        return g[["fold", "source", "n_docs"]]
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["fold", "source"]) \
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+ORACLE_DOCS_GROUP_KFOLD = """
+SELECT CAST('0x' || SUBSTRING(md5(source), 1, 8) AS UBIGINT) % 5
+           AS fold,
+       source, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def docs_shard_shuffle(sf_dir: str):
     """Deterministic shuffle-then-shard for training output
     (stages/textprep.shard_shuffle): md5-keyed shard + within-shard
@@ -3713,6 +3745,7 @@ QUERIES = {
     "docs_pack_windows": docs_pack_windows,
     "docs_mix_sources": docs_mix_sources,
     "docs_weighted_sample": docs_weighted_sample,
+    "docs_group_kfold": docs_group_kfold,
     "docs_shard_shuffle": docs_shard_shuffle,
     "party_nation_counts": party_nation_counts,
     "events_ntile": events_ntile,
@@ -3786,6 +3819,7 @@ ORACLE_SQL = {
     "docs_pack_windows": ORACLE_DOCS_PACK_WINDOWS,
     "docs_mix_sources": ORACLE_DOCS_MIX_SOURCES,
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
+    "docs_group_kfold": ORACLE_DOCS_GROUP_KFOLD,
     "docs_shard_shuffle": ORACLE_DOCS_SHARD_SHUFFLE,
     "party_nation_counts": ORACLE_PARTY_NATION_COUNTS,
     "events_ntile": ORACLE_EVENTS_NTILE,
