@@ -1153,8 +1153,6 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig,
     })
 
 
-_HIT_COLS = ["surface", "query_part", "dist", "eid", "tlen",
-             "proba", "is_exact"]
 _META_COLS = ["longitude", "latitude", "dateofbirth", "inception"]
 
 
