@@ -3660,7 +3660,11 @@ def entity_context_matrix(sf_dir: str):
         .sort_values(["label", "dim"]).reset_index(drop=True)
 
 
-QUERIES = {
+# Full name -> callable map.  The public QUERIES dict is built AFTER
+# ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
+# top) so a harness that snapshots only the first N entries always sees
+# the hash-checked queries (the driver's correctness gate takes 50).
+_QUERY_FNS = {
     "q1_pricing": q1_pricing,
     "q3_top_orders": q3_top_orders,
     "orders_per_nation": orders_per_nation,
@@ -3853,3 +3857,31 @@ def oracle_sql_for(sf_dir: str) -> dict:
     for name, fn in _SF_ORACLES.items():
         out[name] = fn(sf_dir)
     return out
+
+
+# The flagship NED chain leads so the driver's windowed gate always
+# covers it; every other oracle-backed query follows in registration
+# order; the self-checking (no-DuckDB-twin) queries come last.
+_FLAGSHIP_FIRST = [
+    "ned_links",
+    "ned_links_auto",
+    "ned_extract_pages",
+    "ned_mentions",
+    "clef_mentions",
+    "parse_ner_mentions",
+    "media_decode",
+    "media_decode_ppm",
+    "media_decode_png",
+    "media_decode_jpeg",
+    "media_decode_wav",
+]
+
+
+def _ordered_queries() -> dict:
+    order = [k for k in _FLAGSHIP_FIRST if k in _QUERY_FNS]
+    order += [k for k in _QUERY_FNS if k in ORACLE_SQL and k not in order]
+    order += [k for k in _QUERY_FNS if k not in order]
+    return {k: _QUERY_FNS[k] for k in order}
+
+
+QUERIES = _ordered_queries()
