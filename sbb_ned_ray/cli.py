@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
                                       "parquet (doc_id, cluster_id)")
     dd.add_argument("--docs", required=True,
                     help="parquet file/dir with (doc_id, text) columns")
-    dd.add_argument("--out", required=True, help="clusters output dir")
+    dd.add_argument("--out", help="clusters output dir (required unless "
+                                  "--save-index)")
     dd.add_argument("--method", choices=("exact", "minhash", "simhash"),
                     default="minhash")
     dd.add_argument("--threshold", type=float, default=0.8,
@@ -97,6 +98,19 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--top-k", type=int, default=20)
 
     args = p.parse_args(argv)
+    if args.cmd == "dedup":
+        # --save-index / --incremental are minhash-index operations:
+        # fail fast instead of silently ignoring --method, and only
+        # --save-index (which writes no clusters) may omit --out
+        if (args.save_index or args.incremental) \
+                and args.method != "minhash":
+            p.error("--save-index/--incremental require --method minhash "
+                    f"(got --method {args.method})")
+        if args.save_index and args.incremental:
+            p.error("--save-index and --incremental are mutually "
+                    "exclusive (build the index, then run the delta)")
+        if not args.out and not args.save_index:
+            p.error("--out is required unless --save-index")
     from sbb_ned_ray.config import PipelineConfig
     cfg = PipelineConfig()
 

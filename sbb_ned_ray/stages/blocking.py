@@ -889,7 +889,12 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig,
     tlen = t["tlen"].to_numpy(zero_copy_only=False).astype(np.int64)
     proba = t["proba"].to_numpy(zero_copy_only=False)
     nS = max(len(s_uniq), 1)
-    Qn = max(len(q_uniq_list), 1)
+    # Qn0 lays out code assignment / plen / cnt (must be the exact
+    # dictionary size or extra-part codes go off-by-one when the
+    # query_part dictionary is empty); Qn is only the (s, q) pair-key
+    # multiplier, where max(·, 1) keeps keys well-formed on empties
+    Qn0 = len(q_uniq_list)
+    Qn = max(Qn0, 1)
 
     # ---- kind-1: collapse per (q, e) min dist (surface-independent)
     mq = kind == 1
@@ -918,7 +923,7 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig,
         cd2 = cp2 = np.array([], np.float64)
         ct2 = np.array([], np.int64)
         qe_keys = np.array([], np.int64)
-    bounds = np.arange(Qn + 1)
+    bounds = np.arange(Qn0 + 1)
     qstart = np.searchsorted(cq2, bounds[:-1])
     qend = np.searchsorted(cq2, bounds[1:])
     cnt = qend - qstart                        # hits per query part
@@ -986,12 +991,12 @@ def _rank_local_expand(t: pa.Table, cfg: PipelineConfig,
         for p in dict.fromkeys(parts):
             c = part_code.get(p)
             if c is None:
-                c = Qn + len(extra_parts)
+                c = Qn0 + len(extra_parts)
                 extra_parts.append(p)
                 part_code[p] = c
             codes.append(c)
         parts_of_s[int(si)] = np.asarray(codes, np.int64)
-    Q = Qn + len(extra_parts) + 1
+    Q = Qn0 + len(extra_parts) + 1
     plen = np.array([len(x) for x in q_uniq_list]
                     + [len(x) for x in extra_parts], np.int64)
     cnt_ext = np.concatenate([cnt, np.zeros(len(extra_parts) + 1,

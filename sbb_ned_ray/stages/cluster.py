@@ -199,8 +199,12 @@ def pairs_to_clusters(pairs_ds: ray.data.Dataset,
     # would run the (expensive) candidate-pair pipeline twice.  The pair
     # set is narrow — two id columns — so pinning it is cheap even when
     # the pair COUNT is large.
+    empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "cluster_id": pd.Series(dtype="int64")})
     ids = pairs_ds.select_columns([id_a, id_b]).materialize()
     n_pairs = ids.count()
+    if n_pairs == 0:
+        return empty
     if n_pairs <= driver_pair_limit:
         df = ids.to_pandas().drop_duplicates()
         comp = driver_union_find(list(zip(df[id_a], df[id_b])))
@@ -213,6 +217,34 @@ def pairs_to_clusters(pairs_ds: ray.data.Dataset,
         comps = label_propagation_components(ids, src=id_a, dst=id_b)
         out = comps.to_pandas().rename(columns={"component": "cluster_id"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def pairs_to_clusters_ds(pairs_ds: ray.data.Dataset,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         node_col: str = "node",
+                         cluster_col: str = "cluster_id",
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """Candidate-pair Dataset → ``(node_col, cluster_col)`` Dataset —
+    the 100-TB output contract: the cluster assignment NEVER lands on
+    the driver (consume it with ``write_parquet`` / ``iter_batches``).
+    Always the distributed label propagation;
+    :func:`pairs_to_clusters` is the driver-DataFrame convenience
+    wrapper with a small-input fast path."""
+    ids = pairs_ds.select_columns([id_a, id_b]).materialize()
+    if ids.count() == 0:
+        id_type = pa.int64()
+        try:
+            id_type = ids.schema().base_schema.field(id_a).type
+        except Exception:
+            pass
+        return ray.data.from_arrow(pa.table({
+            node_col: pa.array([], id_type),
+            cluster_col: pa.array([], id_type)}))
+    comps = label_propagation_components(ids, src=id_a, dst=id_b,
+                                         num_partitions=num_partitions)
+    return comps.map_batches(
+        lambda t: t.rename_columns([node_col, cluster_col]),
+        batch_format="pyarrow")
 
 
 def cluster_links(links_df: pd.DataFrame) -> pd.DataFrame:

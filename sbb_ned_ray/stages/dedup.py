@@ -255,6 +255,75 @@ def _verify_pairs(pairs: pd.DataFrame, ids_sorted: np.ndarray,
     return pairs.loc[keep].assign(est_jaccard=est[keep])
 
 
+def _default_verify_partitions() -> int:
+    # each hash-shuffle join holds num_partitions aggregators; more
+    # partitions than CPUs deadlocks a small cluster and wins nothing
+    # on a large one until the pair set is itself large
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(16, cpus // 2))
+
+
+def _verify_pairs_ds(cand: ray.data.Dataset, sigs: ray.data.Dataset,
+                     num_perm: int, id_col: str,
+                     jaccard_threshold: float,
+                     num_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """Distributed MinHash verify: candidate (id_a, id_b) Dataset ⋈
+    full signatures (twice, once per side) → (id_a, id_b, est_jaccard)
+    Dataset of pairs at estimate ≥ threshold.  ``cand`` should already
+    be pair-deduped (the same pair surfaces from every agreeing band).
+    Fully distributed — nothing lands on the driver; shared by the
+    batch scale branch and the incremental/Dataset variants."""
+    if num_partitions is None:
+        num_partitions = _default_verify_partitions()
+
+    def _rename(suffix: str):
+        # the hash join carries the signature as variable BINARY —
+        # acero rejects list<> payload columns in join non-key fields.
+        # Row bytes come straight from the flattened uint64 buffer +
+        # an arithmetic offsets vector (no per-row tobytes loop).
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            flat = t["sig"].combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            offs = pa.py_buffer(
+                (np.arange(n + 1, dtype=np.int32) * (num_perm * 8))
+                .tobytes())
+            sig_bin = pa.Array.from_buffers(
+                pa.binary(), n, [None, offs, pa.py_buffer(flat.tobytes())])
+            return pa.table({f"id_{suffix}": t[id_col],
+                             f"sig_{suffix}": sig_bin})
+        return fn
+
+    sig_a = sigs.map_batches(_rename("a"), batch_format="pyarrow")
+    sig_b = sigs.map_batches(_rename("b"), batch_format="pyarrow")
+    joined = cand.join(sig_a, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("id_a",)) \
+        .join(sig_b, join_type="inner",
+              num_partitions=num_partitions, on=("id_b",))
+
+    def verify_est(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.frombuffer(
+            b"".join(t["sig_a"].to_pylist()), dtype=np.uint64) \
+            .reshape(t.num_rows, num_perm)
+        sb = np.frombuffer(
+            b"".join(t["sig_b"].to_pylist()), dtype=np.uint64) \
+            .reshape(t.num_rows, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    return joined.map_batches(verify_est, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, ngram: int = 5,
@@ -279,11 +348,7 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
     driver with its pair list).
     """
     if verify_num_partitions is None:
-        # each hash-shuffle join holds num_partitions aggregators; more
-        # partitions than CPUs deadlocks a small cluster and wins
-        # nothing on a large one until the pair set is itself large
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        verify_num_partitions = max(2, min(16, cpus // 2))
+        verify_num_partitions = _default_verify_partitions()
     sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
                               num_perm=num_perm, ngram=ngram,
                               seed=seed).materialize()
@@ -337,52 +402,8 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
     cand = cand.groupby(["id_a", "id_b"]).count() \
         .map_batches(lambda t: t.select(["id_a", "id_b"]),
                      batch_format="pyarrow")
-
-    def _rename(suffix: str):
-        # the hash join carries the signature as variable BINARY —
-        # acero rejects list<> payload columns in join non-key fields.
-        # Row bytes come straight from the flattened uint64 buffer +
-        # an arithmetic offsets vector (no per-row tobytes loop).
-        def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            flat = t["sig"].combine_chunks().flatten() \
-                .to_numpy(zero_copy_only=False).astype(np.uint64)
-            offs = pa.py_buffer(
-                (np.arange(n + 1, dtype=np.int32) * (num_perm * 8))
-                .tobytes())
-            sig_bin = pa.Array.from_buffers(
-                pa.binary(), n, [None, offs, pa.py_buffer(flat.tobytes())])
-            return pa.table({f"id_{suffix}": t[t.column_names[0]],
-                             f"sig_{suffix}": sig_bin})
-        return fn
-
-    sig_a = sigs.map_batches(_rename("a"), batch_format="pyarrow")
-    sig_b = sigs.map_batches(_rename("b"), batch_format="pyarrow")
-    joined = cand.join(sig_a, join_type="inner",
-                       num_partitions=verify_num_partitions,
-                       on=("id_a",)) \
-        .join(sig_b, join_type="inner",
-              num_partitions=verify_num_partitions, on=("id_b",))
-
-    def verify_est(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        sa = np.frombuffer(
-            b"".join(t["sig_a"].to_pylist()), dtype=np.uint64) \
-            .reshape(t.num_rows, num_perm)
-        sb = np.frombuffer(
-            b"".join(t["sig_b"].to_pylist()), dtype=np.uint64) \
-            .reshape(t.num_rows, num_perm)
-        est = (sa == sb).mean(axis=1)
-        keep = est >= jaccard_threshold
-        return pa.table({
-            "id_a": t["id_a"].filter(pa.array(keep)),
-            "id_b": t["id_b"].filter(pa.array(keep)),
-            "est_jaccard": pa.array(est[keep], pa.float64())})
-
-    pairs_ds = joined.map_batches(verify_est, batch_format="pyarrow")
+    pairs_ds = _verify_pairs_ds(cand, sigs, num_perm, id_col,
+                                jaccard_threshold, verify_num_partitions)
     out = pairs_to_clusters(pairs_ds, driver_pair_limit=driver_pair_limit)
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -390,6 +411,37 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, text_col: str = "text",
     out["node"] = out["node"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")
     return out.rename(columns={"node": "doc_id"})
+
+
+def minhash_lsh_dedup_ds(docs: ray.data.Dataset, text_col: str = "text",
+                         id_col: str = "doc_id", num_perm: int = 64,
+                         bands: int = 16, ngram: int = 5,
+                         jaccard_threshold: float = 0.8, seed: int = 42,
+                         max_pairs_per_bucket: int = 1000,
+                         verify_num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """:func:`minhash_lsh_dedup` with the 100-TB output contract: the
+    (doc_id, cluster_id) assignment is returned as a DATASET — consume
+    it with ``write_parquet`` / ``iter_batches``; nothing (pairs or
+    clusters) ever lands on the driver.  Every stage is the distributed
+    branch: band-slice candidates → narrow pair dedup → hash-join
+    signature verify (:func:`_verify_pairs_ds`) → label-propagation
+    components (:func:`pairs_to_clusters_ds`)."""
+    from sbb_ned_ray.stages.cluster import pairs_to_clusters_ds
+
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, ngram=ngram,
+                              seed=seed).materialize()
+    band_rows = minhash_band_rows(sigs, num_perm=num_perm, bands=bands,
+                                  id_col=id_col)
+    cand = _band_candidates(band_rows, num_perm // bands, id_col,
+                            max_pairs_per_bucket) \
+        .groupby(["id_a", "id_b"]).count() \
+        .map_batches(lambda t: t.select(["id_a", "id_b"]),
+                     batch_format="pyarrow")
+    verified = _verify_pairs_ds(cand, sigs, num_perm, id_col,
+                                jaccard_threshold, verify_num_partitions)
+    return pairs_to_clusters_ds(verified, node_col=id_col)
 
 
 def minhash_verified_pairs(docs: ray.data.Dataset, text_col: str = "text",
@@ -447,6 +499,7 @@ def save_minhash_index(docs: ray.data.Dataset, artifact_dir: str,
     import json
     import os
     import shutil
+    import uuid
     import zlib
 
     from sbb_ned_ray.stages.similarity import _splitmix64
@@ -481,7 +534,11 @@ def save_minhash_index(docs: ray.data.Dataset, artifact_dir: str,
     if os.path.exists(done):
         return out
 
-    tmp = out + ".tmp"
+    # builder-unique tmp: two concurrent builders of the same corpus
+    # (same fingerprint, e.g. parallel sf sweeps sharing one artifact
+    # dir) must not rmtree each other mid-write; whoever finishes the
+    # atomic os.replace first wins, the loser detects the done marker
+    tmp = out + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     shutil.rmtree(tmp, ignore_errors=True)
     sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
                               num_perm=num_perm, ngram=ngram,
@@ -515,32 +572,162 @@ def save_minhash_index(docs: ray.data.Dataset, artifact_dir: str,
     return out
 
 
+@ray.remote
+def _unique_u64_remote(*tabs) -> np.ndarray:
+    """Consolidate the ``band_key`` column of arrow blocks into one
+    sorted-unique uint64 array INSIDE a task — the driver only ever
+    holds the ObjectRef (the broadcast side of the delta semi-join
+    stays off the driver heap no matter how large the delta is)."""
+    arrs = [t["band_key"].to_numpy(zero_copy_only=False)
+            for t in tabs if t.num_rows]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
+@ray.remote
+def _touched_buckets_remote(keys: np.ndarray, num_buckets: int) -> list:
+    return sorted(int(b) for b in
+                  np.unique(keys % np.uint64(num_buckets)))
+
+
+def _sided_band_candidates(band_rows: ray.data.Dataset, r: int,
+                           id_col: str, max_pairs_per_bucket: int,
+                           nparts: int = 64) -> ray.data.Dataset:
+    """Side-tagged band rows (corpus ``side=0`` ∪ delta ``side=1``) →
+    incremental candidate pairs via the same hash-partitioned
+    one-numpy-pass-per-bucket shape as :func:`_band_candidates`.
+    Within each exact (band_key, slice) group it emits
+
+    * CROSS pairs ``(id_a=corpus id, id_b=delta id)`` — every
+      corpus×delta combination, and
+    * DELTA×DELTA pairs ``(id_a<id_b)`` — triu over the delta ids;
+
+    corpus-internal pairs are never emitted (they belong to the base
+    batch run, by the incremental contract).  ``max_pairs_per_bucket``
+    is ONE shared budget per ``band_key`` group covering cross and
+    delta-delta pairs together (cross consumed first), matching the
+    batch path's per-bucket skew-guard semantics — a hot band slice
+    (boilerplate/empty docs) is bounded on exactly the large-crawl
+    workload this path serves."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["band_key"].to_numpy(zero_copy_only=False)
+                % np.uint64(nparts)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def bucket_pairs_vec(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "is_cross": pa.array([], pa.int8())})
+        n = t.num_rows
+        if n < 2:
+            return empty
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        sl = t["bslice"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(n, r)
+        order = np.lexsort(
+            (ids,) + tuple(sl[:, j] for j in range(r - 1, -1, -1)) + (bk,))
+        bk_s, ids_s, side_s, sl_s = \
+            bk[order], ids[order], side[order], sl[order]
+        new_bk = np.empty(n, dtype=bool)
+        new_bk[0] = True
+        new_bk[1:] = bk_s[1:] != bk_s[:-1]
+        new_grp = new_bk.copy()
+        for j in range(r):
+            new_grp[1:] |= sl_s[1:, j] != sl_s[:-1, j]
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        bk_group_of = np.cumsum(new_bk) - 1
+        budgets: dict[int, int] = {}
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_x: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            bg = int(bk_group_of[s])
+            budget = budgets.get(bg, max_pairs_per_bucket)
+            if budget <= 0:
+                continue
+            g_ids, g_side = ids_s[s:e], side_s[s:e]
+            c_ids = np.unique(g_ids[g_side == 0])
+            d_ids = np.unique(g_ids[g_side == 1])
+            if not len(d_ids):
+                continue
+            # cross pairs first (the budget's primary claimant)
+            if len(c_ids):
+                ci, di = np.meshgrid(np.arange(len(c_ids)),
+                                     np.arange(len(d_ids)), indexing="ij")
+                ci, di = ci.ravel(), di.ravel()
+                take = min(budget, len(ci))
+                out_a.append(c_ids[ci[:take]])
+                out_b.append(d_ids[di[:take]])
+                out_x.append(np.ones(take, np.int8))
+                budget -= take
+            if budget > 0 and len(d_ids) > 1:
+                iu, ju = np.triu_indices(len(d_ids), k=1)
+                take = min(budget, len(iu))
+                out_a.append(d_ids[iu[:take]])
+                out_b.append(d_ids[ju[:take]])
+                out_x.append(np.zeros(take, np.int8))
+                budget -= take
+            budgets[bg] = budget
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "is_cross": pa.array(np.concatenate(out_x), pa.int8())})
+
+    return band_rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part") \
+        .map_groups(lambda t: bucket_pairs_vec(t.drop_columns(["_part"])),
+                    batch_format="pyarrow")
+
+
 def minhash_dedup_incremental(index_path: str, new_docs: ray.data.Dataset,
                               jaccard_threshold: float = 0.8,
-                              max_pairs_per_bucket: int = 1000
+                              max_pairs_per_bucket: int = 1000,
+                              driver_pair_limit: int = 200_000
                               ) -> dict:
     """Dedup a DELTA against a persisted corpus index without touching
-    the corpus: the daily-crawl shape at 100 TB.  Steps — sign the
-    delta (distributed, ∝ delta); collect its band rows to the driver
-    (bands × ~40 B per delta doc); read ONLY the band-bucket partitions
-    of the index the delta's band keys hash to, filtered to matching
-    ``band_key`` rows; candidate pairs = exact slice equality between
-    delta and corpus band rows (plus delta×delta, computed locally);
-    verify on full signatures — delta signatures are in memory, matched
-    corpus signatures arrive via an id-pushdown parquet filter on
-    ``sigs/`` (never a corpus scan); union-find over the verified
-    pairs.
+    the corpus: the daily-crawl shape at 100 TB.  Fully distributed on
+    the delta side — the delta's signatures and band rows stay in the
+    object store end to end; the driver holds only ObjectRefs, the
+    touched-bucket list (≤ ``num_buckets`` ints) and the verified-hit
+    ids.  Steps:
+
+    1. sign the delta and band it (distributed, ∝ delta);
+    2. consolidate the delta's UNIQUE band keys into one object-store
+       array inside a task (:func:`_unique_u64_remote`);
+    3. read ONLY the band-bucket partitions those keys hash to,
+       broadcast-semi-joined to matching ``band_key`` rows;
+    4. co-group matched corpus rows with the delta's band rows on the
+       band key (:func:`_sided_band_candidates`) — candidate pairs =
+       exact slice equality, cross (corpus×delta) and delta×delta,
+       ONE shared ``max_pairs_per_bucket`` budget per band group;
+    5. verify on full signatures — delta signatures from step 1,
+       matched corpus signatures via an id-pushdown parquet filter on
+       ``sigs/`` (never a corpus scan); below ``driver_pair_limit``
+       candidate pairs the verify is a driver-vectorized estimate over
+       exactly the needed signatures, above it the distributed
+       hash-join verify (:func:`_verify_pairs_ds`);
+    6. transitive closure over the verified INCREMENTAL edges only
+       (corpus-internal edges belong to the base run, by contract).
 
     Returns ``{"clusters": DataFrame(doc_id, cluster_id),
-    "pairs": DataFrame(id_a, id_b, est_jaccard), "stats": {...}}`` —
-    clusters cover every doc (delta or corpus) in a component touching
-    the delta; transitive closure is over INCREMENTAL edges only
-    (corpus-internal edges belong to the base run, by contract).
+    "pairs": DataFrame(id_a, id_b, est_jaccard), "stats": {...}}``;
+    cross pairs carry ``id_a`` = corpus id, ``id_b`` = delta id.
     """
     import json
     import os
 
     import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max
 
     with open(os.path.join(index_path, "manifest.json")) as f:
         meta = json.load(f)
@@ -559,47 +746,29 @@ def minhash_dedup_incremental(index_path: str, new_docs: ray.data.Dataset,
     empty_clusters = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                    "cluster_id": pd.Series(dtype="int64")})
 
-    # 1. sign the delta and collect its band rows (delta-sized)
-    dsigs_ds = minhash_signatures(new_docs, text_col=text_col,
-                                  id_col=id_col, num_perm=num_perm,
-                                  ngram=ngram, seed=seed).materialize()
-    dsig_tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
-                 else b
-                 for b in dsigs_ds.iter_batches(batch_size=None,
-                                                batch_format="pyarrow")]
-    stats = {"n_delta": 0, "buckets_read": 0, "buckets_total": num_buckets,
+    # 1. sign + band the delta (stays distributed; the driver sees a count)
+    dsigs = minhash_signatures(new_docs, text_col=text_col,
+                               id_col=id_col, num_perm=num_perm,
+                               ngram=ngram, seed=seed).materialize()
+    stats = {"n_delta": int(dsigs.count()), "buckets_read": 0,
+             "buckets_total": num_buckets,
              "corpus_band_rows_matched": 0, "corpus_sigs_fetched": 0,
              "n_pairs": 0}
-    if not dsig_tabs:
+    if stats["n_delta"] == 0:
         return {"clusters": empty_clusters, "pairs": empty_pairs,
                 "stats": stats}
-    dsig = pa.concat_tables(dsig_tabs)
-    stats["n_delta"] = len(dsig)
-    dband_tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
-                  else b
-                  for b in minhash_band_rows(
-                      dsigs_ds, num_perm=num_perm, bands=bands,
-                      id_col=id_col).iter_batches(batch_size=None,
-                                                  batch_format="pyarrow")]
-    dband = pa.concat_tables(dband_tabs)
-    n_db = dband.num_rows
-    d_keys = dband["band_key"].to_numpy(zero_copy_only=False)
-    d_ids = dband[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    d_slices = dband["bslice"].combine_chunks().flatten() \
-        .to_numpy(zero_copy_only=False).reshape(n_db, r)
-    # driver probe map: (band_key, slice bytes) → delta ids
-    probe: dict[bytes, list[int]] = {}
-    for i in range(n_db):
-        kb = d_keys[i].tobytes() + d_slices[i].tobytes()
-        probe.setdefault(kb, []).append(int(d_ids[i]))
-    keys_sorted = np.unique(d_keys)
-    keys_ref = ray.put(keys_sorted)
-    probe_ref = ray.put(probe)
+    dband = minhash_band_rows(dsigs, num_perm=num_perm, bands=bands,
+                              id_col=id_col).materialize()
 
-    # 2. read only the touched band-bucket partitions, match band keys,
-    # emit (corpus_id, delta_id) candidate pairs per exact slice match
-    touched = np.unique(keys_sorted % np.uint64(num_buckets))
-    dirs = [os.path.join(index_path, "bands", f"bucket={int(b)}")
+    # 2. unique delta band keys — consolidated in a task, driver keeps
+    # the ObjectRef (the probe's broadcast side, ~8 B per unique key)
+    keys_ref = _unique_u64_remote.remote(
+        *dband.select_columns(["band_key"]).to_arrow_refs())
+    touched = ray.get(_touched_buckets_remote.remote(keys_ref, num_buckets))
+
+    # 3. broadcast semi-join: touched bucket partitions → rows whose
+    # band_key appears in the delta's key set
+    dirs = [os.path.join(index_path, "bands", f"bucket={b}")
             for b in touched]
     dirs = [p for p in dirs if os.path.isdir(p)]
     stats["buckets_read"] = len(dirs)
@@ -608,101 +777,102 @@ def minhash_dedup_incremental(index_path: str, new_docs: ray.data.Dataset,
     paths = [os.path.join(d, f) for d in dirs
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
 
-    cross = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                          "id_b": pd.Series(dtype="int64")})
-    matched_rows = 0
+    def match_corpus(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        if not len(ks) or not len(bk):
+            return t.slice(0, 0)
+        pos = np.searchsorted(ks, bk)
+        pos[pos >= len(ks)] = len(ks) - 1
+        return t.filter(pa.array(ks[pos] == bk))
+
+    def tag_side(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8),
+                                 pa.int8()))
+        return fn
+
+    sided = dband.map_batches(tag_side(1), batch_format="pyarrow")
     if paths:
-        def probe_batch(t: pa.Table) -> pa.Table:
-            # sentinel row (id_a = -1, id_b = matched-row count) carries
-            # the per-batch scan stat; real pairs have id_a >= 0
-            ks = ray.get(keys_ref)
-            bk = t["band_key"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ks, bk)
-            pos[pos >= len(ks)] = len(ks) - 1
-            hit = ks[pos] == bk
-            out_c: list[int] = [-1]
-            out_d: list[int] = [int(hit.sum())]
-            if hit.any():
-                sub = t.filter(pa.array(hit))
-                pm = ray.get(probe_ref)
-                n = sub.num_rows
-                cids = sub[id_col].to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
-                sk = sub["band_key"].to_numpy(zero_copy_only=False)
-                sl = sub["bslice"].combine_chunks().flatten() \
-                    .to_numpy(zero_copy_only=False).reshape(n, r)
-                for i in range(n):      # post-filter rows only (tiny)
-                    hits = pm.get(sk[i].tobytes() + sl[i].tobytes())
-                    if hits:
-                        out_c.extend([int(cids[i])] * len(hits))
-                        out_d.extend(hits)
-            return pa.table({"id_a": pa.array(out_c, pa.int64()),
-                             "id_b": pa.array(out_d, pa.int64())})
+        cmatch = ray.data.read_parquet(paths) \
+            .map_batches(match_corpus, batch_format="pyarrow") \
+            .map_batches(tag_side(0), batch_format="pyarrow") \
+            .materialize()
+        stats["corpus_band_rows_matched"] = int(cmatch.count())
+        if stats["corpus_band_rows_matched"]:
+            sided = sided.union(cmatch)
 
-        hit_tab = ray.data.read_parquet(paths) \
-            .map_batches(probe_batch, batch_format="pyarrow").to_pandas()
-        sentinel = hit_tab["id_a"] < 0
-        matched_rows = int(hit_tab.loc[sentinel, "id_b"].sum())
-        cross = hit_tab.loc[~sentinel, ["id_a", "id_b"]]
-    stats["corpus_band_rows_matched"] = matched_rows
-
-    # delta×delta candidates: same slice-equality rule, driver-local
-    dd_a, dd_b = [], []
-    for ids in probe.values():
-        if len(ids) < 2:
-            continue
-        u = np.unique(np.asarray(ids, dtype=np.int64))
-        if len(u) < 2:
-            continue
-        iu, ju = np.triu_indices(len(u), k=1)
-        take = min(max_pairs_per_bucket, len(iu))
-        dd_a.append(u[iu[:take]])
-        dd_b.append(u[ju[:take]])
-    dd = pd.DataFrame({
-        "id_a": np.concatenate(dd_a) if dd_a else np.array([], np.int64),
-        "id_b": np.concatenate(dd_b) if dd_b else np.array([], np.int64)})
-
-    pairs = pd.concat([cross, dd], ignore_index=True) \
-        .astype({"id_a": "int64", "id_b": "int64"}) \
-        .drop_duplicates(["id_a", "id_b"])
-    if pairs.empty:
+    # 4. co-grouped candidates + narrow pair dedup (is_cross is a pair
+    # invariant — corpus and delta ids are disjoint — so Max is a carry)
+    cand = _sided_band_candidates(sided, r, id_col, max_pairs_per_bucket) \
+        .groupby(["id_a", "id_b"]) \
+        .aggregate(Max("is_cross", alias_name="is_cross")).materialize()
+    n_cand = int(cand.count())
+    if n_cand == 0:
         return {"clusters": empty_clusters, "pairs": empty_pairs,
                 "stats": stats}
 
-    # 3. verify on full signatures: delta sigs in memory; corpus sigs
-    # via id-pushdown parquet filter (reads only matched row groups)
-    d_ids_sorted, d_mat = _sig_matrix(dsig, num_perm, id_col)
-    need_corpus = np.setdiff1d(
-        np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()),
-        d_ids_sorted).astype(np.int64)
+    # 5. signature fetch: corpus side by id pushdown (hit-sized)
+    cross_ids_df = cand.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t["is_cross"], pa.scalar(1, pa.int8())))
+        .select(["id_a"]), batch_format="pyarrow") \
+        .groupby("id_a").count().to_pandas()
+    need_corpus = (cross_ids_df["id_a"].to_numpy(np.int64)
+                   if len(cross_ids_df) else np.empty(0, np.int64))
     stats["corpus_sigs_fetched"] = int(len(need_corpus))
+    sigs_all = dsigs
     if len(need_corpus):
-        ctab = pads.dataset(os.path.join(index_path, "sigs")) \
-            .to_table(filter=pads.field(id_col).isin(need_corpus.tolist()))
-        c_ids_sorted, c_mat = _sig_matrix(ctab, num_perm, id_col)
-        ids_all = np.concatenate([d_ids_sorted, c_ids_sorted])
-        mat_all = np.concatenate([d_mat, c_mat])
-        o = np.argsort(ids_all, kind="stable")
-        ids_sorted, mat = ids_all[o], mat_all[o]
+        csigs = ray.data.read_parquet(
+            os.path.join(index_path, "sigs"),
+            filter=pads.field(id_col).isin(need_corpus.tolist()))
+        sigs_all = dsigs.union(csigs)
+
+    pairs_narrow = cand.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    if n_cand <= driver_pair_limit:
+        pairs = pairs_narrow.to_pandas()
+        need = np.union1d(pairs["id_a"].to_numpy(),
+                          pairs["id_b"].to_numpy()).astype(np.int64)
+        need_ref = ray.put(need)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+        picked = [pa.Table.from_batches([b]) if isinstance(
+                      b, pa.RecordBatch) else b
+                  for b in sigs_all.map_batches(
+                      pick, batch_format="pyarrow")
+                  .iter_batches(batch_size=None, batch_format="pyarrow")]
+        ids_sorted, mat = _sig_matrix(pa.concat_tables(picked),
+                                      num_perm, id_col)
+        verified = _verify_pairs(pairs, ids_sorted, mat,
+                                 jaccard_threshold).reset_index(drop=True)
+        verified_ds = None
     else:
-        ids_sorted, mat = d_ids_sorted, d_mat
-    verified = _verify_pairs(pairs, ids_sorted, mat, jaccard_threshold) \
-        .reset_index(drop=True)
+        verified_ds = _verify_pairs_ds(pairs_narrow, sigs_all, num_perm,
+                                       id_col, jaccard_threshold) \
+            .materialize()
+        verified = verified_ds.to_pandas()
+        if "id_a" not in verified.columns:
+            verified = empty_pairs.copy()
+        verified = verified.sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
     stats["n_pairs"] = int(len(verified))
     if verified.empty:
         return {"clusters": empty_clusters, "pairs": empty_pairs,
                 "stats": stats}
 
-    from sbb_ned_ray.stages.cluster import driver_union_find
-    comp = driver_union_find(
-        list(zip((int(a) for a in verified["id_a"]),
-                 (int(b) for b in verified["id_b"]))))
-    clusters = pd.DataFrame(
-        {"doc_id": np.fromiter(comp.keys(), dtype=np.int64,
-                               count=len(comp)),
-         "cluster_id": np.fromiter(comp.values(), dtype=np.int64,
-                                   count=len(comp))}) \
-        .sort_values("doc_id").reset_index(drop=True)
+    # 6. closure over incremental edges (bounded-collect helper: driver
+    # union-find small, distributed label propagation large)
+    src = verified_ds if verified_ds is not None \
+        else ray.data.from_pandas(verified)
+    clusters = pairs_to_clusters(src, driver_pair_limit=driver_pair_limit) \
+        .rename(columns={"node": "doc_id"})
+    clusters["doc_id"] = clusters["doc_id"].astype("int64")
+    clusters["cluster_id"] = clusters["cluster_id"].astype("int64")
     return {"clusters": clusters, "pairs": verified, "stats": stats}
 
 
@@ -791,12 +961,41 @@ def simhash_clusters(docs: ray.data.Dataset,
     return out.rename(columns={"node": "doc_id"})
 
 
+def simhash_clusters_ds(docs: ray.data.Dataset,
+                        **kwargs) -> ray.data.Dataset:
+    """SimHash near-dup clusters as a DATASET (doc_id, cluster_id) —
+    label propagation end to end, no driver collect (the 100-TB
+    output contract; :func:`simhash_clusters` is the driver-DataFrame
+    convenience wrapper)."""
+    from sbb_ned_ray.stages.cluster import pairs_to_clusters_ds
+    return pairs_to_clusters_ds(simhash_pairs(docs, **kwargs),
+                                node_col="doc_id")
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     a = set(char_ngrams(text_a.lower(), n))
     b = set(char_ngrams(text_b.lower(), n))
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+_SRP_PLANE_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _srp_planes(dim: int, n_tables: int, n_projections: int,
+                seed: int) -> np.ndarray:
+    """Deterministic SRP plane matrix, cached per worker process (the
+    worker-global idiom of ``stages/fused.py`` — plane generation is
+    pure in its key, so a cache hit is bit-identical to a rebuild)."""
+    key = (dim, n_tables, n_projections, seed)
+    planes = _SRP_PLANE_CACHE.get(key)
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal(
+            (dim, n_tables * n_projections)).astype(np.float32)
+        _SRP_PLANE_CACHE[key] = planes
+    return planes
 
 
 def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
@@ -821,20 +1020,23 @@ def embedding_pairs(emb: ray.data.Dataset, id_col: str = "vec_id",
     guard, same contract as minhash/simhash) so one hot bucket cannot
     emit an unbounded pair list."""
     def bucketize(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-        dim = vecs.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal(
-            (dim, n_tables * n_projections)).astype(np.float32)
+        from sbb_ned_ray.stages.similarity import _vecs_np
+
+        # zero-copy flatten of the arrow list column (no per-row python
+        # lists) + worker-global plane cache: the SRP plane matrix is
+        # deterministic in (dim, tables, bits, seed), so generate it
+        # once per worker process, not once per batch
+        n_rows = batch.num_rows
+        vecs = _vecs_np(batch, vec_col, np.float32)
+        planes = _srp_planes(vecs.shape[1], n_tables, n_projections, seed)
         signs = (vecs @ planes) > 0
         out_key, out_idx = [], []
         for t in range(n_tables):
-            keys = np.zeros(len(ids), dtype=np.int64)
+            keys = np.zeros(n_rows, dtype=np.int64)
             for b in range(n_projections):
                 keys |= signs[:, t * n_projections + b].astype(np.int64) << b
             out_key.append(keys | (np.int64(t) << n_projections))
-            out_idx.append(np.arange(len(ids), dtype=np.int64))
+            out_idx.append(np.arange(n_rows, dtype=np.int64))
         take = pa.array(np.concatenate(out_idx), pa.int64())
         return pa.table({
             "bucket": pa.array(np.concatenate(out_key), pa.int64()),
@@ -887,11 +1089,21 @@ def embedding_clusters(emb: ray.data.Dataset,
     return out.rename(columns={"node": "vec_id"})
 
 
-def semantic_dedup(emb: ray.data.Dataset, eps: float = 0.45,
-                   n_clusters: int = 8, sample_size: int = 1024,
-                   seed: int = 42, id_col: str = "vec_id",
-                   vec_col: str = "embedding",
-                   max_cluster_rows: int = 4096) -> pd.DataFrame:
+def embedding_clusters_ds(emb: ray.data.Dataset,
+                          **kwargs) -> ray.data.Dataset:
+    """Embedding near-dup clusters as a DATASET (vec_id, cluster_id) —
+    no driver collect (:func:`embedding_clusters` is the convenience
+    wrapper)."""
+    from sbb_ned_ray.stages.cluster import pairs_to_clusters_ds
+    return pairs_to_clusters_ds(embedding_pairs(emb, **kwargs),
+                                node_col="vec_id")
+
+
+def semantic_dedup_ds(emb: ray.data.Dataset, eps: float = 0.45,
+                      n_clusters: int = 8, sample_size: int = 1024,
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      max_cluster_rows: int = 4096) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by coarse k-means clustering + within-cluster exact
     cosine pruning — the embedding-space analogue of the reference's
@@ -914,11 +1126,14 @@ def semantic_dedup(emb: ray.data.Dataset, eps: float = 0.45,
     its first-by-id cap rows compared; the overflow rows are kept
     unconditionally (dedup recall degrades, never correctness).
 
-    Returns a DataFrame ``(id, sem_cluster, dup_group, keep)`` with
-    one row per input row; ``dup_group`` is the min id of the row's
-    duplicate component (its own id if unique).  Cross-cluster
-    duplicates are invisible by design — that recall/cost trade-off
-    IS the operator (measured by the ``semantic_dedup_recall`` gate).
+    Returns a DATASET ``(id, sem_cluster, dup_group, keep)`` with one
+    row per input row — the 100-TB output contract: consume it with
+    ``write_parquet`` / ``iter_batches``; nothing lands on the driver
+    (:func:`semantic_dedup` is the driver-DataFrame convenience
+    wrapper).  ``dup_group`` is the min id of the row's duplicate
+    component (its own id if unique).  Cross-cluster duplicates are
+    invisible by design — that recall/cost trade-off IS the operator
+    (measured by the ``semantic_dedup_recall`` gate).
     """
     from sbb_ned_ray.stages.similarity import (
         _unit,
@@ -983,7 +1198,16 @@ def semantic_dedup(emb: ray.data.Dataset, eps: float = 0.45,
             id_col: ids, "sem_cluster": g["sem_cluster"].iloc[0],
             "dup_group": dup_group, "keep": keep})
 
-    out = emb.map_batches(assign, batch_format="pyarrow") \
+    return emb.map_batches(assign, batch_format="pyarrow") \
         .groupby("sem_cluster") \
-        .map_groups(prune, batch_format="pandas").to_pandas()
+        .map_groups(prune, batch_format="pandas")
+
+
+def semantic_dedup(emb: ray.data.Dataset, **kwargs) -> pd.DataFrame:
+    """Driver-DataFrame convenience wrapper over
+    :func:`semantic_dedup_ds` (small-corpus contract — the collect is
+    one row per INPUT row; at corpus scale consume the Dataset variant
+    with ``write_parquet`` instead)."""
+    id_col = kwargs.get("id_col", "vec_id")
+    out = semantic_dedup_ds(emb, **kwargs).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
