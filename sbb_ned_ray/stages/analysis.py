@@ -269,16 +269,47 @@ class BigramLM:
         return float(nll.mean())
 
 
+def _topk_by_count(agg: ray.data.Dataset, key_col: str, cnt_col: str,
+                   k: int) -> "pd.DataFrame":
+    """Partial top-k over an AGGREGATED (key, cnt) Dataset under the
+    (cnt desc, key asc) total order: each block keeps its own top-k
+    with that comparator — the upstream groupby gives blocks disjoint
+    keys, so the union of per-block top-k provably contains the global
+    top-k — then one tiny driver merge of ≤ k × n_blocks rows.
+    Replaces a global ``sort().limit()`` (an all-to-all exchange of
+    the whole distinct-key table — billions of rows at web scale) with
+    a block-local selection; deterministic under any partitioning
+    because the comparator is a total order."""
+    import pandas as pd
+
+    def blk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= k:
+            return df
+        return df.sort_values([cnt_col, key_col],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    parts = agg.map_batches(blk, batch_size=None,
+                            batch_format="pandas").to_pandas()
+    if key_col not in parts.columns:        # fully-empty aggregate
+        parts = pd.DataFrame({key_col: pd.Series(dtype=object),
+                              cnt_col: pd.Series(dtype="int64")})
+    return parts.sort_values([cnt_col, key_col],
+                             ascending=[False, True], kind="mergesort") \
+        .head(k).reset_index(drop=True)
+
+
 def train_bigram_lm(docs: ray.data.Dataset, text_col: str = "text",
                     vocab_size: int = 50_000,
                     max_bigrams: int = 1_000_000,
                     add_k: float = 0.5) -> BigramLM:
     """Distributed LM fit: per-batch (token, count) / (bigram, count)
-    partials → one narrow groupby-sum each → ``sort().limit()`` keeps
-    the top-``vocab_size`` unigrams and top-``max_bigrams`` bigrams —
-    the shuffle carries counts, never text, and the driver holds only
-    the capped tables.  Whitespace-lowercase tokenization (the same
-    rule the scorer applies)."""
+    partials → one narrow groupby-sum each → :func:`_topk_by_count`
+    keeps the top-``vocab_size`` unigrams and top-``max_bigrams``
+    bigrams WITHOUT a global sort — the shuffle carries counts, never
+    text, and the driver holds only the capped tables.
+    Whitespace-lowercase tokenization (the same rule the scorer
+    applies)."""
     import numpy as np
     import pandas as pd
 
@@ -312,19 +343,16 @@ def train_bigram_lm(docs: ray.data.Dataset, text_col: str = "text",
         .groupby("tok").aggregate(Sum("cnt", alias_name="cnt")) \
         .materialize()
     total_tokens = uni.sum("cnt") or 0
-    top_u = uni.sort("cnt", descending=True).limit(vocab_size).to_pandas()
-    # deterministic tie-break inside the kept set; the cap boundary is
-    # count-ordered (ties at the boundary may differ across runs of a
-    # DIFFERENT partitioning — fixture vocabularies sit far below the
-    # cap, and at scale the boundary tokens carry negligible mass)
+    top_u = _topk_by_count(uni, "tok", "cnt", vocab_size)
     vocab = np.sort(top_u["tok"].to_numpy(dtype=object))
     order = np.argsort(top_u["tok"].to_numpy(dtype=object), kind="stable")
     ucnt = top_u["cnt"].to_numpy(np.int64)[order]
     unk_count = int(total_tokens - ucnt.sum())
 
-    bi = docs.map_batches(bi_partial, batch_format="pyarrow") \
-        .groupby("bg").aggregate(Sum("cnt", alias_name="cnt")) \
-        .sort("cnt", descending=True).limit(max_bigrams).to_pandas()
+    bi = _topk_by_count(
+        docs.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("bg").aggregate(Sum("cnt", alias_name="cnt")),
+        "bg", "cnt", max_bigrams)
     if len(bi):
         parts = bi["bg"].str.split("\x1f", n=1, expand=True)
         lm0 = BigramLM(vocab, ucnt, unk_count,

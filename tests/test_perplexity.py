@@ -79,3 +79,49 @@ def test_tercile_cutoffs_exact_and_partition_invariant(ray_session):
         else:
             assert (first["nll_e6"] == df["nll_e6"]).all()
             assert (first["ppl_bucket"] == df["ppl_bucket"]).all()
+
+
+def test_topk_by_count_is_exact_and_partition_invariant(ray_session):
+    """The partial top-k that replaced the global sort must pick the
+    exact global top-k under the (cnt desc, key asc) total order, for
+    any block layout and at a tie-heavy cap boundary."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from sbb_ned_ray.stages.analysis import _topk_by_count
+
+    # many boundary ties: counts cycle 1..5 over 200 keys
+    keys = [f"k{i:03d}" for i in range(200)]
+    cnts = [(i % 5) + 1 for i in range(200)]
+    want = pd.DataFrame({"tok": keys, "cnt": cnts}) \
+        .sort_values(["cnt", "tok"], ascending=[False, True],
+                     kind="mergesort").head(37).reset_index(drop=True)
+    for nparts in (1, 3, 16):
+        ds = rd.from_arrow(pa.table({
+            "tok": pa.array(keys), "cnt": pa.array(cnts, pa.int64())})) \
+            .repartition(nparts)
+        got = _topk_by_count(ds, "tok", "cnt", 37)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_train_bigram_lm_capped_vocab_matches_global_rule(ray_session):
+    """With vocab_size below the distinct-token count the kept vocab
+    must equal the global (cnt desc, tok asc) top-k — the containment
+    guarantee of the per-block selection."""
+    import numpy as np
+
+    from sbb_ned_ray.stages.analysis import train_bigram_lm
+
+    rows = []
+    for i in range(60):
+        # token j appears in docs j.. (frequency grows with j)
+        toks = [f"w{j:02d}" for j in range(i % 20, 20)]
+        rows.append((i, " ".join(toks), "en"))
+    for nparts in (2, 8):
+        docs = _docs(rows, nparts)
+        lm = train_bigram_lm(docs, vocab_size=7)
+        # global rule: w19 is most frequent, then w18, ... keep 7
+        want = sorted(f"w{j:02d}" for j in range(13, 20))
+        assert lm.vocab.tolist() == want
