@@ -58,6 +58,35 @@ def _band_keys(part: str, cfg: PipelineConfig, hasher: MinHasher) -> list[int]:
     return list(hasher.band_keys(sig, cfg.lsh_bands))
 
 
+def _probe_key_arrays(parts: list, cfg: PipelineConfig,
+                      hasher: MinHasher) -> tuple:
+    """Distinct parts → (key strings, source row index) emitting one
+    identity key (``p:<part>``) followed by ``cfg.lsh_bands`` band keys
+    (``b:<key>``) per part — the probe layout shared by the KB band
+    table and the mention-side probe keys.  The per-part MinHash stays
+    per-string (it hashes char n-grams); everything else — the key
+    strings, the repeat gather — is one vectorized pass instead of
+    per-row list appends (the factorize-explode treatment of
+    :func:`_alias_rows_vectorized`; emission order is bit-equal to the
+    row loop, parity-tested)."""
+    n = len(parts)
+    B = cfg.lsh_bands
+    if n == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    bks = np.fromiter(
+        (bk for p in parts for bk in _band_keys(p, cfg, hasher)),
+        dtype=np.uint64, count=n * B)
+    keys = np.empty(n * (B + 1), dtype=object)
+    ident = np.zeros(n * (B + 1), dtype=bool)
+    ident[:: B + 1] = True
+    keys[ident] = ("p:" + pd.Series(parts, dtype=object)) \
+        .to_numpy(dtype=object)
+    keys[~ident] = ("b:" + pd.Series(bks).astype(str)) \
+        .to_numpy(dtype=object)
+    idx = np.repeat(np.arange(n, dtype=np.int64), B + 1)
+    return keys, idx
+
+
 def _alias_rows_rowloop(t: pa.Table, with_meta: bool,
                         meta_cols: list[str]) -> pa.Table:
     """Row-loop reference for :func:`_alias_rows_vectorized` — kept for
@@ -258,20 +287,15 @@ def kb_block_tables(kb: pa.Table, cfg: PipelineConfig,
     hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ks, ps, fs = [], [], []
-        for p, f in zip(t["part"].to_pylist(), t["freq"].to_pylist()):
-            ks.append(f"p:{p}")          # identity key → exact part probe
-            ps.append(p)
-            fs.append(f)
-            for bk in _band_keys(p, cfg, hasher):
-                ks.append(f"b:{bk}")     # LSH band key → fuzzy probe
-                ps.append(p)
-                fs.append(f)
-        # freq rides along so the part-level matcher can stoplist hot
-        # parts BEFORE the postings expansion (no extra freq join)
-        return pa.table({"key": pa.array(ks, pa.string()),
-                         "part": pa.array(ps, pa.string()),
-                         "freq": pa.array(fs, pa.int64())})
+        # identity key (exact part probe) + LSH band keys (fuzzy probe)
+        # per part; freq rides along so the part-level matcher can
+        # stoplist hot parts BEFORE the postings expansion (no extra
+        # freq join)
+        keys, idx = _probe_key_arrays(t["part"].to_pylist(), cfg, hasher)
+        take = pa.array(idx, pa.int64())
+        return pa.table({"key": pa.array(keys.tolist(), pa.string()),
+                         "part": t["part"].combine_chunks().take(take),
+                         "freq": t["freq"].combine_chunks().take(take)})
 
     bands = freqs.map_batches(band_rows, batch_format="pyarrow")
     # entity metadata table (one NARROW row per entity): title/qid
@@ -363,63 +387,60 @@ def _surface_part_tables(surfaces_ds, cfg: PipelineConfig,
     the target's exact key (exact join side), attached to the SAME
     surface so the group ranker unions the hits."""
 
+    # normalize each (already-distinct) surface ONCE per batch, then
+    # build both leg tables by ragged explode — per-row list appends
+    # replaced by one repeat-gather per column (the
+    # _alias_rows_vectorized treatment; emission order bit-equal to the
+    # old row loop, parity-tested in tests/test_blocking_shuffle.py)
+    def _explode(t: pa.Table, value_lists: list, value_name: str
+                 ) -> pa.Table:
+        lens = np.fromiter((len(x) for x in value_lists), np.int64,
+                           count=len(value_lists))
+        flat = np.array([v for x in value_lists for v in x], dtype=object)
+        take = pa.array(np.repeat(np.arange(len(value_lists),
+                                            dtype=np.int64), lens),
+                        pa.int64())
+        out = pa.table({
+            "surface": t["surface"].combine_chunks().take(take),
+            value_name: pa.array(flat.tolist(), pa.string())})
+        if with_type:
+            out = out.append_column(
+                "stype", t["stype"].combine_chunks().take(take))
+        return out
+
     def part_rows(t: pa.Table) -> pa.Table:
         rd = _get_redirects(redirects_ref)
-        s_out, p_out, t_out = [], [], []
-        types = t["stype"].to_pylist() if with_type else None
-
-        def emit(row_no: int, s: str, p: str):
-            s_out.append(s)
-            p_out.append(p)
-            if with_type:
-                t_out.append(types[row_no])
-
-        for row_no, s in enumerate(t["surface"].to_pylist()):
+        plists = []
+        for s in t["surface"].to_pylist():
             parts = filter_surface(normalize_chars(s))
-            for p in parts:
-                emit(row_no, s, p)
+            row = list(parts)
             if rd:
                 target = rd.get(" ".join(parts))
                 if target is not None:
-                    for p in filter_surface(
-                            normalize_chars(target.replace("_", " "))):
-                        if p not in parts:
-                            emit(row_no, s, p)
-        out = pa.table({"surface": pa.array(s_out, pa.string()),
-                        "query_part": pa.array(p_out, pa.string())})
-        if with_type:
-            out = out.append_column("stype", pa.array(t_out, pa.string()))
-        return out
+                    row.extend(p for p in filter_surface(
+                        normalize_chars(target.replace("_", " ")))
+                        if p not in parts)
+            plists.append(row)
+        return _explode(t, plists, "query_part")
 
     def key_rows(t: pa.Table) -> pa.Table:
         rd = _get_redirects(redirects_ref)
-        ss, ks, ts = [], [], []
-        types = t["stype"].to_pylist() if with_type else None
-
-        def emit(row_no: int, s: str, k: str):
-            ss.append(s)
-            ks.append(k)
-            if with_type:
-                ts.append(types[row_no])
-
-        for row_no, s in enumerate(t["surface"].to_pylist()):
+        klists = []
+        for s in t["surface"].to_pylist():
             parts = filter_surface(normalize_chars(s))
-            if not parts:
-                continue
-            key = " ".join(parts)
-            emit(row_no, s, key)
-            if rd:
-                target = rd.get(key)
-                if target is not None:
-                    t_parts = filter_surface(
-                        normalize_chars(target.replace("_", " ")))
-                    if t_parts:
-                        emit(row_no, s, " ".join(t_parts))
-        out = pa.table({"surface": pa.array(ss, pa.string()),
-                        "skey": pa.array(ks, pa.string())})
-        if with_type:
-            out = out.append_column("stype", pa.array(ts, pa.string()))
-        return out
+            row = []
+            if parts:
+                key = " ".join(parts)
+                row.append(key)
+                if rd:
+                    target = rd.get(key)
+                    if target is not None:
+                        t_parts = filter_surface(
+                            normalize_chars(target.replace("_", " ")))
+                        if t_parts:
+                            row.append(" ".join(t_parts))
+            klists.append(row)
+        return _explode(t, klists, "skey")
 
     return (surfaces_ds.map_batches(part_rows, batch_format="pyarrow"),
             surfaces_ds.map_batches(key_rows, batch_format="pyarrow"))
@@ -1219,15 +1240,12 @@ def ranked_candidates_via_shuffle(mentions_ds, kb: pa.Table,
     def probe_keys(t: pa.Table) -> pa.Table:
         from sbb_ned_ray.functions.hashing import MinHasher
         hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
-        ps, ks = [], []
-        for p in t["query_part"].to_pylist():
-            ps.append(p)
-            ks.append(f"p:{p}")
-            for bk in _band_keys(p, cfg, hasher):
-                ps.append(p)
-                ks.append(f"b:{bk}")
-        return pa.table({"query_part": pa.array(ps, pa.string()),
-                         "key": pa.array(ks, pa.string())})
+        keys, idx = _probe_key_arrays(t["query_part"].to_pylist(),
+                                      cfg, hasher)
+        return pa.table({
+            "query_part": t["query_part"].combine_chunks().take(
+                pa.array(idx, pa.int64())),
+            "key": pa.array(keys.tolist(), pa.string())})
 
     parts = surface_parts \
         .groupby("query_part").count() \

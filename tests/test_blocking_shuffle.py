@@ -243,3 +243,91 @@ def test_match_parts_block_matches_rowloop(ray_session):
     assert (got["part"] == want["part"]).all()
     assert np.allclose(got["dist"], want["dist"], atol=1e-9)
     assert _match_parts_block(t.slice(0, 0), cfg).num_rows == 0
+
+
+def test_probe_key_arrays_bitexact():
+    """The vectorized probe-key emitter must reproduce the old row
+    loop's (key, part) emission exactly — identity key then the band
+    keys, per part, in order."""
+    from sbb_ned_ray.functions.hashing import MinHasher
+    from sbb_ned_ray.stages.blocking import _band_keys, _probe_key_arrays
+
+    cfg = PipelineConfig()
+    hasher = MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
+    parts = ["goethe", "johann", "müller", "x", "goethe"]
+
+    ks_ref, ps_ref = [], []
+    for p in parts:
+        ks_ref.append(f"p:{p}")
+        ps_ref.append(p)
+        for bk in _band_keys(p, cfg, hasher):
+            ks_ref.append(f"b:{bk}")
+            ps_ref.append(p)
+
+    keys, idx = _probe_key_arrays(parts, cfg, hasher)
+    assert keys.tolist() == ks_ref
+    assert [parts[i] for i in idx] == ps_ref
+    k0, i0 = _probe_key_arrays([], cfg, hasher)
+    assert len(k0) == 0 and len(i0) == 0
+
+
+def test_surface_part_tables_bitexact(ray_session):
+    """The exploded part/key legs must equal the old row-loop emission
+    including row order, with and without redirects/types."""
+    import ray
+    import ray.data as rd
+
+    from sbb_ned_ray.functions.normalization import (
+        filter_surface,
+        normalize_chars,
+    )
+    from sbb_ned_ray.stages.blocking import _surface_part_tables
+
+    cfg = PipelineConfig()
+    surfaces = ["Johann Wolfgang Goethe", "Göthe", "v. Bismarck",
+                "...", "Alte-Stadt Basel"]
+    stypes = ["PER", "PER", "PER", "LOC", "LOC"]
+    redirects = {"göthe": "Johann_Wolfgang_Goethe",
+                 "alte stadt basel": "Basel"}
+
+    def ref_rows(with_type, rd_map):
+        p_rows, k_rows = [], []
+        for s, st in zip(surfaces, stypes):
+            parts = filter_surface(normalize_chars(s))
+            for p in parts:
+                p_rows.append((s, p) + ((st,) if with_type else ()))
+            if rd_map:
+                tgt = rd_map.get(" ".join(parts))
+                if tgt is not None:
+                    for p in filter_surface(
+                            normalize_chars(tgt.replace("_", " "))):
+                        if p not in parts:
+                            p_rows.append(
+                                (s, p) + ((st,) if with_type else ()))
+            if parts:
+                key = " ".join(parts)
+                k_rows.append((s, key) + ((st,) if with_type else ()))
+                if rd_map:
+                    tgt = rd_map.get(key)
+                    if tgt is not None:
+                        t_parts = filter_surface(
+                            normalize_chars(tgt.replace("_", " ")))
+                        if t_parts:
+                            k_rows.append((s, " ".join(t_parts))
+                                          + ((st,) if with_type else ()))
+        return p_rows, k_rows
+
+    for with_type in (False, True):
+        for rd_map in ({}, redirects):
+            cols = {"surface": pa.array(surfaces)}
+            if with_type:
+                cols["stype"] = pa.array(stypes)
+            ds = rd.from_arrow(pa.table(cols))
+            ref_p, ref_k = ref_rows(with_type, rd_map)
+            ref_ref = ray.put(rd_map) if rd_map else None
+            sp, kr = _surface_part_tables(ds, cfg, with_type=with_type,
+                                          redirects_ref=ref_ref)
+            got_p = [tuple(r.values()) for r in sp.take_all()]
+            got_k = [tuple(r.values()) for r in kr.take_all()]
+            assert got_p == ref_p, (with_type, bool(rd_map))
+            assert got_k == ref_k, (with_type, bool(rd_map))
