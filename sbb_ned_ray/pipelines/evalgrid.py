@@ -99,8 +99,11 @@ def ranked_topk_metrics(links: pd.DataFrame, mentions_gt: pd.DataFrame,
 def ned_eval_grid(fixture_dir: str, config: PipelineConfig | None = None,
                   grid: dict | None = None) -> pd.DataFrame:
     """Sweep the decision knobs over the flagship pipeline; one row per
-    grid point with pairwise precision/recall/F1 and link counts,
-    sorted best-F1 first (ties: fewer candidates, lower dist)."""
+    grid point with pairwise precision/recall/F1, the ranked
+    hipe-scorer micro-F1 @1/@3 (the reference's notebook grids are
+    @k-aware, ``clef_hipe_2020.py:554-614``) and link counts, sorted
+    best-F1 first (ties: fewer candidates, lower dist).  One decode
+    per point: pairwise and @k metrics share the same ranked frame."""
     import os
 
     import ray
@@ -109,7 +112,6 @@ def ned_eval_grid(fixture_dir: str, config: PipelineConfig | None = None,
         build_ned_links,
         cluster_links,
         pairwise_f1,
-        top_links,
     )
     from sbb_ned_ray.sources.pages import read_kb_sentences, read_kb_table
     from sbb_ned_ray.state.alias_index import build_alias_index
@@ -121,24 +123,38 @@ def ned_eval_grid(fixture_dir: str, config: PipelineConfig | None = None,
         sentences=read_kb_sentences(fixture_dir)))
     gt = pq.read_table(
         os.path.join(fixture_dir, "mention_pairs_gt.parquet"))
+    mentions_gt = pq.read_table(
+        os.path.join(fixture_dir, "mentions_gt.parquet")).to_pandas()
 
     rows = []
     for md, mc, th in product(grid["max_dist"], grid["max_candidates"],
                               grid["threshold"]):
         cfg_i = dataclasses.replace(cfg, max_dist=md, max_candidates=mc,
                                     threshold=th)
-        links = top_links(build_ned_links(
-            fixture_dir, cfg_i, index_ref=index_ref)).to_pandas()
+        ranked = build_ned_links(
+            fixture_dir, cfg_i, index_ref=index_ref).to_pandas()
+        links = ranked.loc[ranked["out_rank"] == 0] if not ranked.empty \
+            else ranked
         links = cluster_links(links) if not links.empty else links
         m = (pairwise_f1(links, gt) if not links.empty else
              {"tp": 0, "fp": 0, "fn": int(gt.num_rows), "tn": 0,
               "precision": 0.0, "recall": 0.0, "f1": 0.0})
+        if not ranked.empty:
+            topk = ranked_topk_metrics(ranked, mentions_gt, ks=(1, 3))
+            at1 = int(topk.loc[topk["k"] == 1, "micro_f1_e6"].iloc[0])
+            at3 = int(topk.loc[topk["k"] == 3, "micro_f1_e6"].iloc[0])
+            r_at3 = int(topk.loc[topk["k"] == 3, "micro_r_e6"].iloc[0])
+        else:
+            at1 = at3 = r_at3 = 0
         rows.append({"max_dist": md, "max_candidates": mc,
                      "threshold": th, "n_links": int(len(links)),
                      **{k: m[k] for k in ("tp", "fp", "fn", "tn")},
                      "precision_e6": int(m["precision"] * 1e6 + 0.5),
                      "recall_e6": int(m["recall"] * 1e6 + 0.5),
-                     "f1_e6": int(m["f1"] * 1e6 + 0.5)})
+                     "f1_e6": int(m["f1"] * 1e6 + 0.5),
+                     "micro_f1_at1_e6": at1,
+                     "micro_f1_at3_e6": at3,
+                     "micro_r_at3_e6": r_at3})
     out = pd.DataFrame(rows).sort_values(
         ["f1_e6", "max_candidates", "max_dist"],
         ascending=[False, True, True]).reset_index(drop=True)

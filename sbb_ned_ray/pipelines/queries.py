@@ -2354,6 +2354,19 @@ def ned_links_bert(sf_dir: str):
 
 
 _BERT_TRAINED_CACHE: dict = {}
+_BERT_ART_CACHE: dict = {}
+
+
+def _bert_trained_artifacts(train_dir: str, tspec):
+    """Train-once cross-encoder artifacts shared by every
+    trained-model scoreboard query (links, pairwise F1, ranked @k)."""
+    from sbb_ned_ray.pipelines.train_bert import train_cross_encoder
+
+    arts = _BERT_ART_CACHE.get((train_dir, tspec))
+    if arts is None:
+        arts = train_cross_encoder(train_dir, PipelineConfig(), tspec)
+        _BERT_ART_CACHE[(train_dir, tspec)] = arts
+    return arts
 
 
 def _bert_trained_links(sf_dir: str):
@@ -2385,7 +2398,7 @@ def _bert_trained_links(sf_dir: str):
     cached = _BERT_TRAINED_CACHE.get((train_dir, eval_dir, tspec))
     if cached is not None:
         return cached, eval_dir
-    arts = train_cross_encoder(train_dir, PipelineConfig(), tspec)
+    arts = _bert_trained_artifacts(train_dir, tspec)
     links = run_ned_trained(eval_dir, arts, PipelineConfig(), tspec)
     # both scoreboard queries (links + f1) share one decode: the links
     # frame is small (one row per mention) and the fixture/spec key is
@@ -2424,11 +2437,52 @@ def ned_eval_f1_bert_trained(sf_dir: str):
     }])
 
 
+def ned_eval_topk_bert_trained(sf_dir: str, ks: tuple = (1, 3, 5)):
+    """SELF-CHECKING ranked @k metrics on the TRAINED-model path: the
+    hipe-scorer micro/macro P/R/F1 @1/@3/@5 over the trained
+    cross-encoder's FULL per-mention ranking (``ned_eval_topk`` is the
+    stub-path twin; the reference's notebook grids consume exactly
+    this regime, ``clef_hipe_2020.py:554-614``).  Asserts recall@k is
+    monotone and @1 micro-F1 ≥ 0.95 — consistent with the ≥ 0.99
+    pairwise gate the trained path already carries
+    (``ned_eval_f1_bert_trained``)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.fixtures.generator import (
+        materialize_fixture,
+        spec_for_sf,
+    )
+    from sbb_ned_ray.pipelines.evalgrid import ranked_topk_metrics
+    from sbb_ned_ray.pipelines.train_bert import (
+        TrainSpec,
+        run_ned_trained_ranked,
+    )
+
+    eval_spec = spec_for_sf("/root/testdata/sf0.001")
+    train_dir = materialize_fixture(
+        dataclasses.replace(eval_spec, page_seed=101))
+    eval_dir = materialize_fixture(eval_spec)
+    tspec = TrainSpec()
+    arts = _bert_trained_artifacts(train_dir, tspec)
+    ranked = run_ned_trained_ranked(eval_dir, arts, PipelineConfig(),
+                                    tspec)
+    gt = pq.read_table(f"{eval_dir}/mentions_gt.parquet").to_pandas()
+    out = ranked_topk_metrics(ranked, gt, ks=ks)
+    r = out["micro_r_e6"].to_numpy()
+    assert (np.diff(r) >= 0).all(), f"recall@k not monotone:\n{out}"
+    assert out["micro_f1_e6"].iloc[0] >= 950_000, \
+        f"trained @1 micro-F1 inconsistent with the pairwise gate:\n{out}"
+    return out
+
+
 def ned_eval_grid(sf_dir: str):
     """Reference-style hyperparameter grid (Makefile.CLEF2022:224-258):
-    pairwise F1 swept over max_dist x max_candidates x threshold on the
-    sf0.001-scale fixture (rows-only; the grid SHAPE and determinism are
-    the check — one decode per point, one shared broadcast index)."""
+    pairwise F1 + ranked micro-F1 @1/@3 swept over max_dist x
+    max_candidates x threshold on the sf0.001-scale fixture (rows-only;
+    the grid SHAPE and determinism are the check — one decode per
+    point, one shared broadcast index)."""
     from sbb_ned_ray.fixtures.generator import (
         materialize_fixture,
         spec_for_sf,
@@ -3725,6 +3779,7 @@ _QUERY_FNS = {
     "ned_links_bert": ned_links_bert,
     "ned_links_bert_trained": ned_links_bert_trained,
     "ned_eval_f1_bert_trained": ned_eval_f1_bert_trained,
+    "ned_eval_topk_bert_trained": ned_eval_topk_bert_trained,
     "ned_extract_pages": ned_extract_pages,
     "ned_mentions": ned_mentions,
     "ned_links": ned_links,

@@ -206,3 +206,18 @@ def run_ned_trained(pages_dir: str, artifacts: dict,
                                      "surface", "candidate_title", "qid",
                                      "proba_1", "n_pairs", "out_rank"])
     return cluster_links(df)
+
+
+def run_ned_trained_ranked(pages_dir: str, artifacts: dict,
+                           config: PipelineConfig | None = None,
+                           spec: TrainSpec | None = None):
+    """Flagship NED with the TRAINED cross-encoder returning the FULL
+    per-mention ranking (every ``out_rank`` row, not just the top-1
+    decision) — the input shape the hipe-scorer-style ranked @k
+    metrics consume (``evalgrid.ranked_topk_metrics``)."""
+    from sbb_ned_ray.pipelines.ned import build_ned_links
+    from sbb_ned_ray.stages.bert_scorer import BertPairScorer
+
+    cfg = trained_scorer_config(config or PipelineConfig(), artifacts, spec)
+    return build_ned_links(pages_dir, cfg, scorer_cls=BertPairScorer,
+                           split_scorer=True).to_pandas()
