@@ -1724,6 +1724,37 @@ def minhash_incremental_dedup(sf_dir: str, delta_mod: int = 7,
                  "n_cluster_rows"])
 
 
+def minhash_dedup_ds_contract(sf_dir: str):
+    """SELF-CHECKING 100-TB output contract for the Dataset-returning
+    dedup variant: ``minhash_lsh_dedup_ds`` (distributed verify +
+    label-propagation components end to end — nothing collects on the
+    driver) is consumed the way a corpus job would, ``write_parquet``
+    then read back, and must equal the driver-DataFrame wrapper's
+    clusters exactly.  No SQL oracle; the assert IS the check."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sbb_ned_ray.stages.dedup import minhash_lsh_dedup, \
+        minhash_lsh_dedup_ds
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"]) \
+        .materialize()
+    want = minhash_lsh_dedup(ds, jaccard_threshold=0.7) \
+        .sort_values("doc_id").reset_index(drop=True)
+    out_dir = tempfile.mkdtemp(prefix="mh_ds_contract_")
+    minhash_lsh_dedup_ds(ds, jaccard_threshold=0.7).write_parquet(out_dir)
+    got = pq.read_table(out_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+    assert len(got) == len(want) and len(want) > 0, (len(got), len(want))
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["cluster_id"].to_numpy()
+            == want["cluster_id"].to_numpy()).all()
+    return pd.DataFrame([(len(got), int(got["cluster_id"].nunique()), 1)],
+                        columns=["n_rows", "n_clusters", "parity"])
+
+
 def simhash_dedup_docs(sf_dir: str):
     from sbb_ned_ray.stages.dedup import simhash_dedup
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
@@ -3759,6 +3790,7 @@ _QUERY_FNS = {
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_lsh_recall": minhash_lsh_recall,
     "minhash_incremental_dedup": minhash_incremental_dedup,
+    "minhash_dedup_ds_contract": minhash_dedup_ds_contract,
     "simhash_dedup_docs": simhash_dedup_docs,
     "simhash_recall": simhash_recall,
     "doc_fingerprints": doc_fingerprints,

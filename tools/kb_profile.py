@@ -1,14 +1,17 @@
 """KB-size amortization profile: broadcast vs co-shuffle blocking wall
-time at three KB sizes (1 500 / 6 000 / 24 000 entities) over the same
-20k-page input — the evidence that the shuffle path's fixed join cost
-amortizes as the KB grows (round-3 verdict item 4: "one more KB
-doubling").
+time at growing KB sizes (default 1 500 / 6 000 / 24 000 entities;
+``--sizes 24000,96000`` extends to the 96k point where the estimated
+broadcast index approaches the object-store budget and ``run_ned_auto``
+genuinely flips) over the same 20k-page input — the evidence that the
+shuffle path's fixed join cost amortizes as the KB grows.
 
 Each (size, path) sample runs in a FRESH child process/Ray session
 (BASELINE.md measurement discipline); samples are interleaved across
-sizes and the per-cell minimum is reported.
+sizes and the per-cell minimum is reported.  The summary row also
+records which path the auto selector picks at each size.
 
-Usage: python tools/kb_profile.py [--child N_ENTITIES PATH] [--samples K]
+Usage: python tools/kb_profile.py [--child N_ENTITIES PATH]
+                                  [--samples K] [--sizes A,B,...]
 """
 
 from __future__ import annotations
@@ -60,12 +63,12 @@ def run_child(n_entities: int, path: str) -> None:
     ray.shutdown()
 
 
-def main(samples: int = 2) -> None:
-    for ne in SIZES:                       # generate fixtures untimed
+def main(samples: int = 2, sizes: tuple = SIZES) -> None:
+    for ne in sizes:                       # generate fixtures untimed
         _fixture(ne)
     best: dict[tuple, float] = {}
     plan = [(ne, p) for _ in range(samples)
-            for ne in SIZES for p in ("shuffle", "broadcast")]
+            for ne in sizes for p in ("shuffle", "broadcast")]
     for ne, p in plan:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -76,11 +79,28 @@ def main(samples: int = 2) -> None:
         best[key] = min(best.get(key, 1e9), s["sec"])
         print(json.dumps(s), flush=True)
         time.sleep(2)
+
+    # the auto selector's decision per size (one Ray session, untimed)
+    import ray
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             logging_level="ERROR")
+    from sbb_ned_ray.pipelines.ned import select_ned_path
+    auto = {}
+    for ne in sizes:
+        path, info = select_ned_path(_fixture(ne))
+        auto[ne] = {"auto_path": path,
+                    "estimated_index_mb": round(
+                        info["estimated_index_bytes"] / 2 ** 20, 1),
+                    "broadcast_budget_mb": round(
+                        info["broadcast_budget_bytes"] / 2 ** 20, 1)}
+    ray.shutdown()
+
     rows = []
-    for ne in SIZES:
+    for ne in sizes:
         sh, br = best[(ne, "shuffle")], best[(ne, "broadcast")]
         rows.append({"n_entities": ne, "shuffle_sec": sh,
-                     "broadcast_sec": br, "ratio": round(sh / br, 2)})
+                     "broadcast_sec": br, "ratio": round(sh / br, 2),
+                     **auto[ne]})
     print(json.dumps({"profile": rows, "num_cpus": NUM_CPUS}))
 
 
@@ -91,6 +111,11 @@ if __name__ == "__main__":
         run_child(int(sys.argv[2]), sys.argv[3])
     else:
         k = 2
+        sizes = SIZES
         if "--samples" in sys.argv:
             k = int(sys.argv[sys.argv.index("--samples") + 1])
-        main(k)
+        if "--sizes" in sys.argv:
+            sizes = tuple(int(x) for x in
+                          sys.argv[sys.argv.index("--sizes") + 1]
+                          .split(","))
+        main(k, sizes)
