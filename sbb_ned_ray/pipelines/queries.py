@@ -2418,7 +2418,6 @@ def _bert_trained_links(sf_dir: str):
     from sbb_ned_ray.pipelines.train_bert import (
         TrainSpec,
         run_ned_trained,
-        train_cross_encoder,
     )
 
     eval_spec = spec_for_sf("/root/testdata/sf0.001")
