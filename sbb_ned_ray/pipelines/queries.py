@@ -3797,6 +3797,55 @@ def link_graph_pagerank(sf_dir: str):
         ["qid", "rank_e9"]].reset_index(drop=True)
 
 
+def host_graph_harmonic(sf_dir: str):
+    """SELF-CHECKING harmonic centrality over the host ↔ entity link
+    graph via HyperBall (Boldi & Vigna 2013 — the Common-Crawl host
+    ranking shape): one small HLL counter per node, one edge sweep per
+    radius, no all-pairs BFS.  The check: exact BFS harmonic
+    centrality on a deterministic sample of entity nodes must sit
+    within HLL error of the estimates (median relative error well
+    under the 1.04/sqrt(2**p) band), and the estimated top hubs must
+    contain the exact top hubs.  The asserts ARE the check (iterative
+    + approximate — no SQL twin)."""
+    from sbb_ned_ray.stages.graph import (bipartite_link_edges,
+                                          harmonic_centrality,
+                                          harmonic_centrality_exact)
+    pages_dir = pages_dir_for_sf(sf_dir)
+
+    def add_host(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["url"].str.split("/").str[2],
+                             "qid": df["qid"]})
+
+    links = ray.data.read_parquet(
+        f"{pages_dir}/mentions_gt.parquet",
+        columns=["url", "qid"]).map_batches(add_host,
+                                            batch_format="pandas")
+    g = bipartite_link_edges(links, "host", "qid")
+    n, n_left = g["n_nodes"], g["n_left"]
+    est = harmonic_centrality(g["edges"], n, p=10, max_iters=32)
+
+    src, dst, _ = g["edges_np"]
+    ent_ids = np.arange(n_left, n, dtype=np.int64)
+    targets = ent_ids[::max(1, len(ent_ids) // 40)][:40]
+    want = harmonic_centrality_exact(src, dst, n, targets=targets)
+    pos = want > 0
+    rel = np.abs(est[targets][pos] - want[pos]) / want[pos]
+    assert len(rel) and float(np.median(rel)) < 0.08, \
+        float(np.median(rel))
+    # the exact top-3 of the sampled targets must land in the
+    # estimate's top-10 of the same sample (rank agreement)
+    top_want = set(targets[np.argsort(-want)[:3]].tolist())
+    top_est = set(targets[np.argsort(-est[targets])[:10]].tolist())
+    assert top_want <= top_est, (top_want, top_est)
+    ent = pd.DataFrame({"node_id": ent_ids,
+                        "qid": g["right_values"],
+                        "harmonic_e6": np.round(
+                            est[ent_ids] * 1e6).astype(np.int64)})
+    return ent.sort_values(["harmonic_e6", "qid"],
+                           ascending=[False, True]).head(10)[
+        ["qid", "harmonic_e6"]].reset_index(drop=True)
+
+
 # Full name -> callable map.  The public QUERIES dict is built AFTER
 # ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
 # top) so a harness that snapshots only the first N entries always sees
@@ -3902,6 +3951,7 @@ _QUERY_FNS = {
     "heavy_hitter_users_per_type": heavy_hitter_users_per_type,
     "entity_context_matrix": entity_context_matrix,
     "link_graph_pagerank": link_graph_pagerank,
+    "host_graph_harmonic": host_graph_harmonic,
 }
 
 ORACLE_SQL = {

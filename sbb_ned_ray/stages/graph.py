@@ -248,6 +248,144 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
     raise ValueError(f"unknown pagerank method: {method}")
 
 
+@ray.remote
+def _ball_block(tab: pa.Table, regs: np.ndarray) -> np.ndarray:
+    """One HyperBall sweep over one edge block: for every edge
+    (src → dst), fold dst's counter into src's (row-wise register
+    max).  Returns a dense partial the driver tree-maxes."""
+    src = tab["src"].to_numpy(zero_copy_only=False)
+    dst = tab["dst"].to_numpy(zero_copy_only=False)
+    out = np.zeros_like(regs)
+    np.maximum.at(out, src, regs[dst])
+    return out
+
+
+@ray.remote
+def _max_arrays(*arrs: np.ndarray) -> np.ndarray:
+    out = arrs[0].copy()
+    for a in arrs[1:]:
+        np.maximum(out, a, out)
+    return out
+
+
+def _hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized per-row HLL estimate (one counter per graph node),
+    same bias/linear-counting rules as ``sketches.hll_estimate``."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.exp2(-regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    lc = (est <= 2.5 * m) & (zeros > 0)
+    est[lc] = m * np.log(m / zeros[lc])
+    return est
+
+
+def hyperball(edges: ray.data.Dataset, n_nodes: int, p: int = 8,
+              max_iters: int = 32, src_col: str = "src",
+              dst_col: str = "dst") -> dict:
+    """HyperBall (Boldi & Vigna 2013, "In-core computation of
+    geometric centralities with HyperBall"): one small HLL counter per
+    node; iteration r folds every out-neighbor's counter into the
+    node's (register max over edges), so after r sweeps node v's
+    counter estimates ``|{u : d(v,u) <= r}|`` — the neighborhood
+    function without any all-pairs BFS.  Harmonic centrality
+    accumulates ``(N_v(r) - N_v(r-1)) / r`` per sweep.
+
+    This is the broadcast path of the family (same shape as
+    :func:`pagerank_broadcast`): the edge table is materialized once
+    and never moves; per sweep the ``n_nodes x 2**p`` uint8 counter
+    matrix ships via ``ray.put`` and each edge block contributes one
+    dense partial, tree-MAX-reduced.  Node state is ``n * 2**p``
+    bytes — 100M hosts at p=6 is 6.4 GB, inside a worker heap; beyond
+    that the counters partition by node id and the sweep becomes the
+    ``pagerank_shuffle`` join+groupby with an elementwise-max
+    aggregate (same exchange pattern, not materialized here).
+    Converges (stops early) when no register changes — at most the
+    graph's diameter sweeps.
+
+    Returns ``{"harmonic": (n,) float64, "ball_sizes": final
+    neighborhood-function estimates, "iters": sweeps run}``.
+    Estimates carry standard HLL error (~1.04/sqrt(2**p)).
+    """
+    from sbb_ned_ray.stages.sketches import hll_idx_rho
+
+    m = 1 << p
+    em = _norm_edges(edges, src_col, dst_col, None).materialize()
+    refs = em.to_arrow_refs()
+    regs = np.zeros((n_nodes, m), dtype=np.uint8)
+    idx, rho = hll_idx_rho(np.arange(n_nodes, dtype=np.int64), p)
+    regs[np.arange(n_nodes), idx] = rho.astype(np.uint8)
+
+    prev = _hll_estimate_rows(regs)            # N_v(0) ~= 1
+    harmonic = np.zeros(n_nodes, np.float64)
+    it = 0
+    for it in range(1, max_iters + 1):
+        regs_ref = ray.put(regs)
+        parts = [_ball_block.remote(r, regs_ref) for r in refs]
+        while len(parts) > 8:
+            parts = [_max_arrays.remote(*parts[i:i + 8])
+                     for i in range(0, len(parts), 8)]
+        folded = ray.get(parts)
+        new = regs.copy()
+        for a in folded:
+            np.maximum(new, a, new)
+        if np.array_equal(new, regs):
+            it -= 1
+            break
+        regs = new
+        cur = _hll_estimate_rows(regs)
+        harmonic += np.maximum(cur - prev, 0.0) / it
+        prev = cur
+    return {"harmonic": harmonic, "ball_sizes": prev, "iters": it}
+
+
+def harmonic_centrality(edges: ray.data.Dataset, n_nodes: int,
+                        p: int = 8, max_iters: int = 32,
+                        src_col: str = "src", dst_col: str = "dst"
+                        ) -> np.ndarray:
+    """Harmonic centrality ``H(v) = sum_{u != v} 1 / d(u, v)``
+    (distances TO v), the ranking Common Crawl publishes for hosts:
+    HyperBall run on the TRANSPOSED graph, so node v's ball grows over
+    the nodes that can REACH v."""
+    return hyperball(edges, n_nodes, p=p, max_iters=max_iters,
+                     src_col=dst_col, dst_col=src_col)["harmonic"]
+
+
+def harmonic_centrality_exact(src: np.ndarray, dst: np.ndarray,
+                              n_nodes: int,
+                              targets: np.ndarray | None = None
+                              ) -> np.ndarray:
+    """Exact reference: BFS per target node over the transposed graph
+    (``H(v)`` needs distances d(u, v), i.e. reverse reachability).
+    O(targets * (n + edges)) — for tests and the query's spot-check
+    sample, never for scale."""
+    order = np.argsort(dst, kind="stable")
+    s_dst = dst[order]
+    s_src = src[order]
+    starts = np.searchsorted(s_dst, np.arange(n_nodes + 1))
+    if targets is None:
+        targets = np.arange(n_nodes, dtype=np.int64)
+    out = np.zeros(len(targets), np.float64)
+    for ti, v in enumerate(targets):
+        dist = np.full(n_nodes, -1, np.int64)
+        dist[v] = 0
+        frontier = np.array([v], np.int64)
+        d = 0
+        h = 0.0
+        while len(frontier):
+            d += 1
+            nxt = np.concatenate(
+                [s_src[starts[u]:starts[u + 1]] for u in frontier]) \
+                if len(frontier) else np.empty(0, np.int64)
+            nxt = np.unique(nxt)
+            nxt = nxt[dist[nxt] == -1]
+            dist[nxt] = d
+            h += len(nxt) / d
+            frontier = nxt
+        out[ti] = h
+    return out
+
+
 def bipartite_link_edges(links: ray.data.Dataset, left_col: str,
                          right_col: str) -> dict:
     """(url-ish, entity-ish) link rows → symmetric weighted bipartite

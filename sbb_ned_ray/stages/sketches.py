@@ -50,8 +50,10 @@ def hash64(values: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
-    """One batch -> a 2**p-byte register array (max rho per register).
+def hll_idx_rho(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-value HLL (register index, rank) pairs — the update kernel
+    shared by :func:`hll_partial` and the per-node HyperBall counters
+    (``stages/graph.py``).
 
     Standard HLL (Flajolet et al. 2007): the low ``p`` hash bits pick
     the register, the remaining ``64 - p`` bits' leading-zero count + 1
@@ -61,9 +63,6 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
     2**60 - 1 -> 2**60, overstating the MSB by one).
     """
     m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if len(values) == 0:
-        return regs
     h = hash64(values)
     idx = (h & np.uint64(m - 1)).astype(np.int64)
     w = h >> np.uint64(p)
@@ -80,6 +79,17 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
     lo = (w & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     msb = np.where(hi != 0, 32 + _msb32(hi), _msb32(lo))
     rho = np.where(w != 0, nbits - msb, nbits + 1).astype(np.int64)
+    return idx, rho
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """One batch -> a 2**p-byte register array (max rho per register);
+    see :func:`hll_idx_rho` for the kernel."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    idx, rho = hll_idx_rho(values, p)
     np.maximum.at(regs, idx, rho.astype(np.uint8))
     return regs
 

@@ -72,3 +72,61 @@ def test_bipartite_edge_builder():
     assert (3, 0, 1.0) in fwd and (0, 3, 1.0) in fwd  # a.example↔Q2
     assert (2, 1, 1.0) in fwd and (1, 2, 1.0) in fwd  # b.example↔Q1
     assert len(df) == 6
+
+
+# ---------------------------------------------------------------------------
+# HyperBall / harmonic centrality
+# ---------------------------------------------------------------------------
+
+from sbb_ned_ray.stages.graph import (harmonic_centrality,
+                                      harmonic_centrality_exact, hyperball)
+
+
+def _path_edges():
+    # directed path 0 -> 1 -> 2 -> 3
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64()),
+        "w": pa.array([1.0, 1.0, 1.0])}))
+
+
+def test_hyperball_path_graph_ball_sizes_and_diameter():
+    res = hyperball(_path_edges(), 4, p=10, max_iters=16)
+    # forward balls: node 0 reaches all 4, node 3 only itself
+    sizes = np.round(res["ball_sizes"]).astype(int)
+    assert sizes.tolist() == [4, 3, 2, 1]
+    assert res["iters"] == 3  # diameter sweeps, then converged
+
+
+def test_harmonic_exact_path_graph():
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([1, 2, 3], np.int64)
+    # H(v) = sum over u reaching v of 1/d(u,v)
+    want = [0.0, 1.0, 1.5, 1.0 + 0.5 + 1 / 3]
+    got = harmonic_centrality_exact(src, dst, 4)
+    assert np.allclose(got, want)
+
+
+def test_hyperball_harmonic_tracks_exact():
+    # deterministic pseudo-random digraph, 60 nodes / 240 edges
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 60, 240).astype(np.int64)
+    dst = rng.randint(0, 60, 240).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "w": pa.array(np.ones(len(src)))}))
+    est = harmonic_centrality(edges, 60, p=10, max_iters=32)
+    want = harmonic_centrality_exact(src, dst, 60)
+    pos = want > 0
+    rel = np.abs(est[pos] - want[pos]) / want[pos]
+    # deterministic hash -> deterministic estimate; p=10 keeps the
+    # HLL error well inside 10% on this graph
+    assert np.median(rel) < 0.05, float(np.median(rel))
+    assert rel.max() < 0.25, float(rel.max())
+    # the estimate must rank the true top-5 hubs inside its top-10
+    top_want = set(np.argsort(-want)[:5].tolist())
+    top_est = set(np.argsort(-est)[:10].tolist())
+    assert top_want <= top_est
