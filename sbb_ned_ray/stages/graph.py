@@ -42,24 +42,51 @@ import ray.data
 
 def pagerank_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
                 n_nodes: int, damping: float = 0.85,
-                iters: int = 20) -> np.ndarray:
+                iters: int = 20,
+                seeds: tuple[np.ndarray, np.ndarray] | None = None
+                ) -> np.ndarray:
     """Dense single-process reference: weighted PageRank with uniform
     dangling-mass redistribution.  The distributed paths must match
-    this bit-close (same float64 operation order per node)."""
+    this bit-close (same float64 operation order per node).
+
+    ``seeds=(node_ids, weights)`` switches to PERSONALIZED PageRank —
+    teleport (and dangling mass) land only on the seed set,
+    renormalized to sum 1.  With trusted seed hosts this is TrustRank
+    (Gyöngyi et al. 2004), the standard web-spam demotion signal in
+    crawl curation; seed sets are small by construction, which is why
+    the sparse spec stays honest on every execution path."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float64)
+    t = _teleport_dense(n_nodes, seeds)
     wout = np.bincount(src, weights=w, minlength=n_nodes)
-    ranks = np.full(n_nodes, 1.0 / n_nodes)
-    base = (1.0 - damping) / n_nodes
+    ranks = t.copy()
+    base = (1.0 - damping) * t
     sink = wout == 0.0
     safe = np.where(sink, 1.0, wout)
     for _ in range(iters):
         push = np.where(sink, 0.0, ranks) / safe
         agg = np.bincount(dst, weights=w * push[src], minlength=n_nodes)
         dangling = ranks[sink].sum()
-        ranks = base + damping * (agg + dangling / n_nodes)
+        ranks = base + damping * (agg + dangling * t)
     return ranks
+
+
+def _teleport_dense(n_nodes: int,
+                    seeds: tuple[np.ndarray, np.ndarray] | None
+                    ) -> np.ndarray:
+    """Dense teleport vector from the sparse ``(ids, weights)`` seed
+    spec (uniform when None), normalized to sum 1."""
+    if seeds is None:
+        return np.full(n_nodes, 1.0 / n_nodes)
+    ids = np.asarray(seeds[0], np.int64)
+    wts = np.asarray(seeds[1], np.float64)
+    t = np.zeros(n_nodes, np.float64)
+    np.add.at(t, ids, wts)
+    s = t.sum()
+    if s <= 0:
+        raise ValueError("teleport seed weights must sum > 0")
+    return t / s
 
 
 @ray.remote
@@ -113,25 +140,29 @@ def _norm_edges(edges: ray.data.Dataset, src_col: str, dst_col: str,
 def pagerank_broadcast(edges: ray.data.Dataset, n_nodes: int,
                        damping: float = 0.85, iters: int = 20,
                        src_col: str = "src", dst_col: str = "dst",
-                       weight_col: str | None = "w") -> np.ndarray:
+                       weight_col: str | None = "w",
+                       seeds: tuple[np.ndarray, np.ndarray] | None = None
+                       ) -> np.ndarray:
     """Broadcast-ranks path: edges stay put, the node vector travels.
     Returns the dense rank vector (node state fits by this path's
-    precondition)."""
+    precondition).  ``seeds`` → personalized PageRank / TrustRank, see
+    :func:`pagerank_np`."""
+    t = _teleport_dense(n_nodes, seeds)
     em = _norm_edges(edges, src_col, dst_col, weight_col).materialize()
     refs = em.to_arrow_refs()
     if not refs:
-        return np.full(n_nodes, 1.0 / n_nodes)
+        return t.copy()
     wout = _tree_sum([_wout_block.remote(r, n_nodes) for r in refs])
     sink = wout == 0.0
     safe = np.where(sink, 1.0, wout)
-    ranks = np.full(n_nodes, 1.0 / n_nodes)
-    base = (1.0 - damping) / n_nodes
+    ranks = t.copy()
+    base = (1.0 - damping) * t
     for _ in range(iters):
         push_ref = ray.put(np.where(sink, 0.0, ranks) / safe)
         agg = _tree_sum([_push_block.remote(r, push_ref, n_nodes)
                          for r in refs])
         dangling = ranks[sink].sum()
-        ranks = base + damping * (agg + dangling / n_nodes)
+        ranks = base + damping * (agg + dangling * t)
     return ranks
 
 
@@ -139,15 +170,32 @@ def pagerank_shuffle(edges: ray.data.Dataset, n_nodes: int,
                      damping: float = 0.85, iters: int = 20,
                      src_col: str = "src", dst_col: str = "dst",
                      weight_col: str | None = "w",
-                     num_partitions: int = 16) -> ray.data.Dataset:
+                     num_partitions: int = 16,
+                     seeds: tuple[np.ndarray, np.ndarray] | None = None
+                     ) -> ray.data.Dataset:
     """Co-shuffle path for node sets too big to broadcast: per
     iteration rank ⋈ edges on ``src`` → ``groupby(dst).sum`` →
     ``left_outer`` onto the static node table.  Returns the
     ``(node_id, rank)`` Dataset; only the scalar dangling mass ever
-    reaches the driver."""
+    reaches the driver.  ``seeds`` → personalized PageRank /
+    TrustRank: the teleport column on the static node table comes from
+    the sparse seed spec (seed sets are small, so the spec broadcasts
+    fine even on this path)."""
     from ray.data.aggregate import Sum
 
     em = _norm_edges(edges, src_col, dst_col, weight_col).materialize()
+    if seeds is not None:
+        ids = np.asarray(seeds[0], np.int64)
+        wts = np.asarray(seeds[1], np.float64)
+        s = wts.sum()
+        if s <= 0:
+            raise ValueError("teleport seed weights must sum > 0")
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(len(uniq), np.float64)
+        np.add.at(acc, inv, wts / s)
+        seed_map_ref = ray.put((uniq, acc))
+    else:
+        seed_map_ref = None
 
     # static node table with out-weight: node ids are dense by contract
     def mk_nodes(t: pa.Table) -> pa.Table:
@@ -168,13 +216,23 @@ def pagerank_shuffle(edges: ray.data.Dataset, n_nodes: int,
         n = t.num_rows
         wo = t["wout"].to_numpy(zero_copy_only=False).astype(np.float64)
         wo = np.nan_to_num(wo, nan=0.0)
+        nid = t["node_id"].to_numpy(zero_copy_only=False)
+        if seed_map_ref is not None:
+            sids, swts = ray.get(seed_map_ref)
+            tele = np.zeros(n, np.float64)
+            pos = np.searchsorted(sids, nid)
+            pos_c = np.minimum(pos, len(sids) - 1)
+            hit = sids[pos_c] == nid
+            tele[hit] = swts[pos_c[hit]]
+        else:
+            tele = np.full(n, 1.0 / n_nodes)
         return pa.table({
-            "node_id": t["node_id"].cast(pa.int64()),
+            "node_id": pa.array(nid, pa.int64()),
             "wout": pa.array(wo, pa.float64()),
-            "rank": pa.array(np.full(n, 1.0 / n_nodes), pa.float64())})
+            "tele": pa.array(tele, pa.float64()),
+            "rank": pa.array(tele.copy(), pa.float64())})
 
     ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
-    base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         # scalar dangling mass (tiny driver-side aggregate)
         dang_rows = ranks.map_batches(
@@ -209,12 +267,14 @@ def pagerank_shuffle(edges: ray.data.Dataset, n_nodes: int,
             s = np.nan_to_num(
                 t["s"].to_numpy(zero_copy_only=False).astype(np.float64),
                 nan=0.0)
-            new = base + damping * (s + _d / n_nodes)
+            tele = t["tele"].to_numpy(zero_copy_only=False)
+            new = (1.0 - damping) * tele + damping * (s + _d * tele)
             return pa.table({"node_id": t["node_id"].cast(pa.int64()),
                              "wout": t["wout"].cast(pa.float64()),
+                             "tele": pa.array(tele, pa.float64()),
                              "rank": pa.array(new, pa.float64())})
 
-        ranks = ranks.select_columns(["node_id", "wout"]) \
+        ranks = ranks.select_columns(["node_id", "wout", "tele"]) \
             .join(sums, join_type="left_outer",
                   num_partitions=num_partitions, on=("node_id",)) \
             .map_batches(step, batch_format="pyarrow").materialize()
@@ -226,17 +286,22 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = "w", method: str = "auto",
              node_broadcast_limit: int = 50_000_000,
-             num_partitions: int = 16) -> ray.data.Dataset:
+             num_partitions: int = 16,
+             seeds: tuple[np.ndarray, np.ndarray] | None = None
+             ) -> ray.data.Dataset:
     """Weighted PageRank → ``(node_id, rank)`` Dataset.  ``auto`` picks
     the broadcast path while the node vector is comfortably below the
     object-store budget (same selector philosophy as
-    ``run_ned_auto``), else the co-shuffle path."""
+    ``run_ned_auto``), else the co-shuffle path.  ``seeds=(ids,
+    weights)`` → personalized PageRank / TrustRank (teleport restricted
+    to the seed set) on either path."""
     if method == "auto":
         method = ("broadcast" if n_nodes <= node_broadcast_limit
                   else "shuffle")
     if method == "broadcast":
         ranks = pagerank_broadcast(edges, n_nodes, damping, iters,
-                                   src_col, dst_col, weight_col)
+                                   src_col, dst_col, weight_col,
+                                   seeds=seeds)
         ids = np.arange(n_nodes, dtype=np.int64)
         return ray.data.from_arrow(pa.table(
             {"node_id": pa.array(ids, pa.int64()),
@@ -244,7 +309,7 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
     if method == "shuffle":
         return pagerank_shuffle(edges, n_nodes, damping, iters,
                                 src_col, dst_col, weight_col,
-                                num_partitions)
+                                num_partitions, seeds=seeds)
     raise ValueError(f"unknown pagerank method: {method}")
 
 

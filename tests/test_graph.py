@@ -130,3 +130,48 @@ def test_hyperball_harmonic_tracks_exact():
     top_want = set(np.argsort(-want)[:5].tolist())
     top_est = set(np.argsort(-est)[:10].tolist())
     assert top_want <= top_est
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank / TrustRank (seeded teleport)
+# ---------------------------------------------------------------------------
+
+
+def test_trustrank_paths_match_dense():
+    seeds = (np.array([0, 2], np.int64), np.array([3.0, 1.0]))
+    want = pagerank_np(SRC, DST, W, N, iters=12, seeds=seeds)
+    got_b = pagerank(_edges_ds(), N, iters=12, method="broadcast",
+                     seeds=seeds).to_pandas().sort_values("node_id")
+    got_s = pagerank(_edges_ds(), N, iters=12, method="shuffle",
+                     num_partitions=2, seeds=seeds) \
+        .to_pandas().sort_values("node_id")
+    assert np.allclose(got_b["rank"].to_numpy(), want, rtol=0, atol=1e-14)
+    assert np.allclose(got_s["rank"].to_numpy(), want, rtol=0, atol=1e-10)
+    assert abs(want.sum() - 1.0) < 1e-12  # mass conserved
+
+
+def test_trustrank_concentrates_on_seed_side():
+    # two disconnected 2-cycles; teleport only into the first —
+    # nodes 2/3 must end with zero rank (nothing reaches them)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 0, 3, 2], pa.int64()),
+        "w": pa.array([1.0, 1.0, 1.0, 1.0])}))
+    seeds = (np.array([0], np.int64), np.array([1.0]))
+    got = pagerank(edges, 4, iters=25, method="broadcast",
+                   seeds=seeds).to_pandas().sort_values("node_id")
+    r = got["rank"].to_numpy()
+    assert r[0] > 0.4 and r[1] > 0.3
+    assert r[2] == 0.0 and r[3] == 0.0
+
+
+def test_trustrank_duplicate_seed_ids_accumulate():
+    seeds_dup = (np.array([1, 1, 4], np.int64), np.array([1.0, 1.0, 2.0]))
+    seeds_acc = (np.array([1, 4], np.int64), np.array([2.0, 2.0]))
+    a = pagerank_np(SRC, DST, W, N, iters=8, seeds=seeds_dup)
+    b = pagerank_np(SRC, DST, W, N, iters=8, seeds=seeds_acc)
+    assert np.allclose(a, b, rtol=0, atol=0)
+    got_s = pagerank(_edges_ds(), N, iters=8, method="shuffle",
+                     num_partitions=2, seeds=seeds_dup) \
+        .to_pandas().sort_values("node_id")
+    assert np.allclose(got_s["rank"].to_numpy(), a, rtol=0, atol=1e-10)
