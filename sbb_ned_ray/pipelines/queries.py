@@ -3846,6 +3846,145 @@ def host_graph_harmonic(sf_dir: str):
         ["qid", "harmonic_e6"]].reset_index(drop=True)
 
 
+def _entity_links(sf_dir: str):
+    """(url, qid) mention rows from the ground-truth fixture — the
+    membership table behind the co-occurrence graph family."""
+    pages_dir = pages_dir_for_sf(sf_dir)
+    return ray.data.read_parquet(f"{pages_dir}/mentions_gt.parquet",
+                                 columns=["url", "qid"])
+
+
+_COOC_SQL_PREFIX = """
+WITH hq AS (SELECT DISTINCT url, qid FROM read_parquet('{path}')),
+gd AS (SELECT url, count(*) AS c FROM hq GROUP BY url),
+hq2 AS (SELECT hq.* FROM hq JOIN gd USING(url) WHERE gd.c <= 64),
+deg AS (SELECT qid, count(*) AS d FROM hq2 GROUP BY qid),
+p AS (SELECT a.qid AS qa, b.qid AS qb, count(*) AS w
+      FROM hq2 a JOIN hq2 b ON a.url = b.url AND a.qid < b.qid
+      GROUP BY 1, 2)
+"""
+
+
+def _cooc_fixture_path(sf_dir: str) -> str:
+    import os as _os
+
+    from sbb_ned_ray.fixtures.generator import spec_for_sf
+    return _os.path.join("/tmp/sbb_ned_ray_fixtures",
+                         spec_for_sf(sf_dir).fingerprint(),
+                         "mentions_gt.parquet")
+
+
+def _oracle_entity_cooc(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _COOC_SQL_PREFIX.format(path=_cooc_fixture_path(sf_dir)) + """
+SELECT qa AS qid_a, qb AS qid_b, w FROM p WHERE w >= 2
+ORDER BY qid_a, qid_b
+"""
+
+
+def _oracle_entity_jaccard(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _COOC_SQL_PREFIX.format(path=_cooc_fixture_path(sf_dir)) + """
+SELECT qa AS qid_a, qb AS qid_b, w AS inter, da.d + db.d - w AS uni
+FROM p JOIN deg da ON da.qid = qa JOIN deg db ON db.qid = qb
+WHERE w >= 2
+ORDER BY qid_a, qid_b
+"""
+
+
+def _oracle_entity_triangles(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _COOC_SQL_PREFIX.format(path=_cooc_fixture_path(sf_dir)) + """
+, e AS (SELECT qa, qb FROM p WHERE w >= 2)
+SELECT (SELECT count(*) FROM (SELECT qa AS x FROM e UNION SELECT qb FROM e))
+           AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM e e1
+          JOIN e e2 ON e2.qa = e1.qa AND e2.qb > e1.qb
+          JOIN e e3 ON e3.qa = e1.qb AND e3.qb = e2.qb) AS triangles
+"""
+
+
+def entity_cooc_graph(sf_dir: str):
+    """Entity co-occurrence (co-mention) graph: qid pairs mentioned on
+    ≥2 common pages, with the shared-page count as the edge weight —
+    the Milne-Witten-style relatedness projection of the link graph
+    (the global-structure sibling of the reference's link-count
+    a-priori statistics, ``qurator/sbb_ned/ground_truth/
+    data_processor.py``).  Oracle-checked (integer weights, exact)."""
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    edges = cooccurrence_edges(_entity_links(sf_dir), "url", "qid",
+                               min_weight=2).to_pandas()
+    edges = edges.rename(columns={"node_a": "qid_a", "node_b": "qid_b"})
+    return edges.sort_values(["qid_a", "qid_b"]).reset_index(drop=True)
+
+
+def entity_jaccard_relatedness(sf_dir: str):
+    """Neighbor-set Jaccard relatedness over page membership: for qid
+    pairs sharing ≥2 pages, exact |pages(a) ∩ pages(b)| and
+    |pages(a) ∪ pages(b)| (the relatedness score inter/uni is
+    derivable; integers keep the oracle contract rounding-free).
+    Oracle-checked."""
+    from sbb_ned_ray.stages.graph import jaccard_relatedness
+    rel = jaccard_relatedness(_entity_links(sf_dir), "url", "qid",
+                              min_inter=2).to_pandas()
+    rel = rel.rename(columns={"node_a": "qid_a", "node_b": "qid_b"})
+    return rel.sort_values(["qid_a", "qid_b"]).reset_index(drop=True)
+
+
+def _oracle_entity_components(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # min-label walk with the lab < dst prune: complete for the
+    # component MINIMUM because the global min's propagation path is
+    # never pruned (every hop lands on a larger node id), while the
+    # prune keeps the closure table linear-ish instead of
+    # sum-of-component-size².
+    prefix = _COOC_SQL_PREFIX.format(path=_cooc_fixture_path(sf_dir))
+    return prefix.replace("WITH hq AS", "WITH RECURSIVE hq AS", 1) + """
+, e AS (SELECT qa AS s, qb AS d FROM p WHERE w >= 2
+        UNION ALL SELECT qb, qa FROM p WHERE w >= 2),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, walk.lab FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.lab < e.d
+)
+SELECT node AS qid, min(lab) AS comp FROM walk GROUP BY node
+ORDER BY qid
+"""
+
+
+def entity_cooc_components(sf_dir: str):
+    """Connected components of the co-occurrence graph via the
+    DISTRIBUTED min-label propagation
+    (:func:`sbb_ned_ray.stages.cluster.label_propagation_components` —
+    per iteration one bucketed co-shuffle join + one groupby, only the
+    changed-count scalar on the driver).  ORACLE-checked against a
+    DuckDB recursive-CTE min-label walk — the label-propagation path's
+    first hash-exact twin (its other users only parity-test it against
+    driver union-find)."""
+    from sbb_ned_ray.stages.cluster import label_propagation_components
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    edges = cooccurrence_edges(_entity_links(sf_dir), "url", "qid",
+                               min_weight=2)
+    comp = label_propagation_components(edges, src="node_a",
+                                        dst="node_b", max_iters=64)
+    df = comp.to_pandas().rename(columns={"node": "qid",
+                                          "component": "comp"})
+    return df.sort_values("qid").reset_index(drop=True)
+
+
+def entity_cooc_triangles(sf_dir: str):
+    """Global triangle census of the co-occurrence graph (clustering
+    structure of the entity relatedness network).  Distributed
+    node-iterator: wedges open at each edge's minimum vertex and close
+    against the edge set in ONE co-grouped shuffle — only the final
+    three scalars reach the driver.  Oracle-checked against a 3-way
+    DuckDB self-join."""
+    from sbb_ned_ray.stages.graph import cooccurrence_edges, triangle_stats
+    stats = triangle_stats(
+        cooccurrence_edges(_entity_links(sf_dir), "url", "qid",
+                           min_weight=2))
+    return pd.DataFrame([stats])[["n_nodes", "n_edges", "triangles"]]
+
+
 # Full name -> callable map.  The public QUERIES dict is built AFTER
 # ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
 # top) so a harness that snapshots only the first N entries always sees
@@ -3952,6 +4091,10 @@ _QUERY_FNS = {
     "entity_context_matrix": entity_context_matrix,
     "link_graph_pagerank": link_graph_pagerank,
     "host_graph_harmonic": host_graph_harmonic,
+    "entity_cooc_graph": entity_cooc_graph,
+    "entity_jaccard_relatedness": entity_jaccard_relatedness,
+    "entity_cooc_triangles": entity_cooc_triangles,
+    "entity_cooc_components": entity_cooc_components,
 }
 
 ORACLE_SQL = {
@@ -4021,6 +4164,10 @@ ORACLE_SQL = {
     "events_corr_moments": ORACLE_EVENTS_CORR_MOMENTS,
     "docs_pruned_read": ORACLE_DOCS_PRUNED_READ,
     "entity_context_matrix": ORACLE_CONTEXT_MATRIX,
+    "entity_cooc_graph": _oracle_entity_cooc(),
+    "entity_jaccard_relatedness": _oracle_entity_jaccard(),
+    "entity_cooc_triangles": _oracle_entity_triangles(),
+    "entity_cooc_components": _oracle_entity_components(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4036,6 +4183,10 @@ _SF_ORACLES = {
     "ned_links_auto": _oracle_ned_links,
     "pages_per_host": _oracle_pages_per_host,
     "pages_split_by_host": _oracle_pages_split_by_host,
+    "entity_cooc_graph": _oracle_entity_cooc,
+    "entity_jaccard_relatedness": _oracle_entity_jaccard,
+    "entity_cooc_triangles": _oracle_entity_triangles,
+    "entity_cooc_components": _oracle_entity_components,
 }
 
 

@@ -482,3 +482,304 @@ def bipartite_link_edges(links: ray.data.Dataset, left_col: str,
                          np.concatenate([w, w])),
             "left_values": list(lvals), "right_values": list(rvals),
             "n_nodes": n_left + len(rvals), "n_left": n_left}
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence projection, Jaccard relatedness, triangle counting
+# ---------------------------------------------------------------------------
+#
+# The reference ranks candidates with sentence context (evaluate-with-
+# context, qurator/sbb_ned/models/decider.py consumers); the global-
+# structure version of that signal is entity RELATEDNESS from the link
+# graph — Milne & Witten 2008-style co-occurrence statistics.  These
+# operators project (group, node) membership rows (page → entities
+# mentioned on it) into an undirected weighted co-occurrence graph and
+# derive the two classic relatedness/cohesion measures over it:
+# neighbor-set Jaccard (link prediction / relatedness) and triangle
+# counts (clustering structure).  All three are oracle-checked against
+# DuckDB twins (integer-exact outputs: weights, intersection/union
+# sizes, triangle counts — no float rounding in the contract).
+
+
+def _pairs_in_groups(df: pd.DataFrame, key_col: str, node_col: str,
+                     out_a: str = "node_a", out_b: str = "node_b"
+                     ) -> pd.DataFrame:
+    """All unordered intra-group pairs, one vectorized pass per group
+    SIZE (not per group): groups are gathered into an (n_groups, size)
+    matrix per distinct size and emitted with one ``triu_indices``
+    gather.  Pair order is canonical (``a < b`` within the row)."""
+    if not len(df):
+        return _pd_to_arrow(pd.DataFrame({out_a: pd.Series([], dtype=object),
+                                          out_b: pd.Series([], dtype=object)}))
+    codes, _ = pd.factorize(df[key_col], sort=False)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    nodes = df[node_col].to_numpy()[order]
+    bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+    sizes = np.diff(bounds)
+    starts = bounds[:-1]
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        st = starts[sizes == s]
+        mat = nodes[st[:, None] + np.arange(s)]
+        mat = np.sort(mat, axis=1)
+        iu, ju = np.triu_indices(int(s), k=1)
+        outs_a.append(mat[:, iu].ravel())
+        outs_b.append(mat[:, ju].ravel())
+    if not outs_a:
+        return _pd_to_arrow(pd.DataFrame({out_a: pd.Series([], dtype=object),
+                                          out_b: pd.Series([], dtype=object)}))
+    return _pd_to_arrow(pd.DataFrame({out_a: np.concatenate(outs_a),
+                                      out_b: np.concatenate(outs_b)}))
+
+
+def _bucketed_pairs(rows: ray.data.Dataset, key_col: str, node_col: str,
+                    nparts: int) -> ray.data.Dataset:
+    """Hash-bucket ``rows`` on ``key_col`` into ``nparts`` coarse
+    partitions and run :func:`_pairs_in_groups` ONCE per bucket (the
+    dedup stages' amortization idiom — per-group overhead would
+    dominate on millions of small groups)."""
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_groups(df, key_col, node_col)
+
+    return (rows.map_batches(
+        lambda df, _k=key_col, _n=nparts: _add_hash_part(df, [_k], _n),
+        batch_format="pandas")
+        .groupby("_part").map_groups(per_bucket, batch_format="pandas"))
+
+
+def _pd_to_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow with object columns pinned to ``string`` — keeps
+    EMPTY bucket outputs on the same schema as populated ones (a bare
+    ``from_pandas`` would type them ``null`` and trip Ray's block-size
+    estimator / union schema checks)."""
+    fields = [pa.field(c, pa.string() if df[c].dtype == object
+                       else pa.from_numpy_dtype(df[c].dtype))
+              for c in df.columns]
+    return pa.Table.from_pandas(df, schema=pa.schema(fields),
+                                preserve_index=False)
+
+
+def _add_hash_part(df: pd.DataFrame, key_cols: list[str],
+                   nparts: int) -> pd.DataFrame:
+    """Append an int32 ``_part`` hash-bucket column over the composite
+    key.  Bucketing on a SINGLE int32 column keeps every downstream
+    exchange on the cheap fixed-width sort path — Ray Data's
+    sort-based groupby over multi-STRING key columns is ~30× slower on
+    the same rows (measured at sf0.1: 34 s vs 1.2 s for the pair-count
+    aggregate), so none of the operators below ever hand string keys
+    to a Dataset groupby."""
+    df = df.copy()
+    key = df[key_cols[0]].astype(str)
+    for k in key_cols[1:]:
+        key = key + "\x00" + df[k].astype(str)
+    df["_part"] = (pd.util.hash_pandas_object(key, index=False)
+                   .to_numpy() % nparts).astype(np.int32)
+    return df
+
+
+def _bucketed_counts(rows: ray.data.Dataset, key_cols: list[str],
+                     nparts: int, count_col: str = "w",
+                     weight_col: str | None = None) -> ray.data.Dataset:
+    """Per-key row counts (or sums of ``weight_col``) via per-batch
+    partial aggregation (the combiner — the exchange ships one row per
+    DISTINCT key per block, not per input row) followed by one
+    int32-bucketed merge."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col is None:
+            g = df.groupby(key_cols, sort=False).size() \
+                .reset_index(name=count_col)
+        else:
+            g = df.groupby(key_cols, sort=False)[weight_col].sum() \
+                .reset_index().rename(columns={weight_col: count_col})
+        return _add_hash_part(g, key_cols, nparts)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        return _pd_to_arrow(df.groupby(key_cols, sort=False)[count_col]
+                            .sum().reset_index())
+
+    return rows.map_batches(partial, batch_format="pandas") \
+        .groupby("_part").map_groups(final, batch_format="pandas")
+
+
+def _bucketed_distinct(rows: ray.data.Dataset, key_cols: list[str],
+                       nparts: int) -> ray.data.Dataset:
+    """DISTINCT rows over ``key_cols``: per-batch ``drop_duplicates``
+    (combiner) → int32-bucketed exchange → per-bucket final dedup."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_hash_part(df[key_cols].drop_duplicates(), key_cols,
+                              nparts)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        return _pd_to_arrow(df[key_cols].drop_duplicates())
+
+    return rows.map_batches(partial, batch_format="pandas") \
+        .groupby("_part").map_groups(final, batch_format="pandas")
+
+
+def distinct_membership(links: ray.data.Dataset, group_col: str,
+                        node_col: str, max_group_degree: int = 64,
+                        nparts: int = 32) -> ray.data.Dataset:
+    """DISTINCT (group, node) rows with hot groups removed.
+
+    A group touching more than ``max_group_degree`` nodes emits
+    O(degree²) pairs downstream — the frequency-stoplist guard (same
+    rule as the blocking path's hot-surface stoplist): hot groups are
+    FEW by construction, so collecting just their keys to broadcast is
+    a small-side lookup, never a corpus collect."""
+    distinct = _bucketed_distinct(links, [group_col, node_col],
+                                  nparts).materialize()
+    hot = _bucketed_counts(distinct, [group_col], nparts, "c") \
+        .map_batches(
+            lambda df, _d=max_group_degree: _pd_to_arrow(
+                df[df["c"] > _d].reset_index(drop=True)),
+            batch_format="pandas") \
+        .to_pandas()
+    if len(hot):
+        hot_keys = set(hot[group_col].tolist())
+        hot_ref = ray.put(hot_keys)
+
+        def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(hot_ref)
+            return df[~df[group_col].isin(keys)]
+
+        distinct = distinct.map_batches(drop_hot, batch_format="pandas")
+    return distinct
+
+
+def cooccurrence_edges(links: ray.data.Dataset, group_col: str,
+                       node_col: str, min_weight: int = 1,
+                       max_group_degree: int = 64,
+                       nparts: int = 32) -> ray.data.Dataset:
+    """(group, node) membership rows → undirected co-occurrence edge
+    Dataset ``(node_a, node_b, w)`` with ``node_a < node_b`` and
+    ``w`` = number of distinct groups containing both nodes.
+
+    Shape: distinct → hot-group stoplist → bucketed pair emission
+    (bounded by ``max_group_degree``² per group) → ONE narrow
+    ``groupby(node_a, node_b).count()``.  No broadcast of anything
+    corpus-sized; the only all-to-all is pair-table-sized."""
+    distinct = distinct_membership(links, group_col, node_col,
+                                   max_group_degree, nparts)
+    pairs = _bucketed_pairs(distinct, group_col, node_col, nparts)
+    edges = _bucketed_counts(pairs, ["node_a", "node_b"], nparts, "w")
+    if min_weight > 1:
+        edges = edges.map_batches(
+            lambda df, _mw=min_weight: _pd_to_arrow(
+                df[df["w"] >= _mw].reset_index(drop=True)),
+            batch_format="pandas")
+    return edges
+
+
+def jaccard_relatedness(links: ray.data.Dataset, group_col: str,
+                        node_col: str, min_inter: int = 2,
+                        max_group_degree: int = 64,
+                        nparts: int = 32) -> ray.data.Dataset:
+    """Neighbor-set Jaccard over group membership: for node pairs
+    sharing ≥ ``min_inter`` groups, ``(node_a, node_b, inter, uni)``
+    where ``inter`` = |G(a) ∩ G(b)| and ``uni`` = |G(a) ∪ G(b)| —
+    the Milne-Witten-style relatedness numerator/denominator kept as
+    exact integers (the score ``inter/uni`` is derivable; keeping
+    integers makes the oracle contract rounding-free).
+
+    Degrees ride a broadcast dict (node-count-sized — the small side
+    at entity vocabulary scale; for billion-node graphs swap in the
+    co-shuffle label join from
+    :func:`sbb_ned_ray.stages.cluster.label_propagation_components`)."""
+    distinct = distinct_membership(links, group_col, node_col,
+                                   max_group_degree, nparts)
+    edges = cooccurrence_edges(links, group_col, node_col,
+                               min_weight=min_inter,
+                               max_group_degree=max_group_degree,
+                               nparts=nparts)
+    deg_df = _bucketed_counts(distinct, [node_col], nparts, "d") \
+        .to_pandas()
+    deg_ref = ray.put(dict(zip(deg_df[node_col].tolist(),
+                               deg_df["d"].astype(int).tolist())))
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        deg = ray.get(deg_ref)
+        da = df["node_a"].map(deg).to_numpy(np.int64)
+        db = df["node_b"].map(deg).to_numpy(np.int64)
+        inter = df["w"].to_numpy(np.int64)
+        return _pd_to_arrow(pd.DataFrame({
+            "node_a": df["node_a"].reset_index(drop=True),
+            "node_b": df["node_b"].reset_index(drop=True),
+            "inter": inter, "uni": da + db - inter}))
+
+    return edges.map_batches(attach, batch_format="pandas")
+
+
+def triangle_stats(edges: ray.data.Dataset, nparts: int = 32) -> dict:
+    """Exact global triangle count over an undirected edge Dataset
+    ``(node_a, node_b)`` with ``node_a < node_b`` (one row per edge).
+
+    Node-iterator algorithm, fully distributed: each edge's lower
+    endpoint groups its higher neighbors (bucketed pair emission →
+    WEDGES ``(x, y)``, the two missing sides of a potential triangle),
+    then wedges ∪ edges co-group on ``(x, y)`` — a wedge whose closing
+    edge exists in its group is a triangle, counted once per triangle
+    because wedges only open at the minimum vertex.  The only
+    driver-bound value is the final scalar sum."""
+    edges = edges.materialize()
+    wedges = _bucketed_pairs(
+        edges.map_batches(
+            lambda df: df[["node_a", "node_b"]], batch_format="pandas"),
+        "node_a", "node_b", nparts).map_batches(
+        lambda df: df.assign(is_edge=np.int64(0)),
+        batch_format="pandas")
+    tagged_edges = edges.map_batches(
+        lambda df: pd.DataFrame({"node_a": df["node_a"],
+                                 "node_b": df["node_b"],
+                                 "is_edge": np.int64(1)}),
+        batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["node_a", "node_b"], sort=False)["is_edge"] \
+            .agg(n_edge="sum", cnt="size").reset_index()
+        return _add_hash_part(g, ["node_a", "node_b"], nparts)
+
+    def close_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["node_a", "node_b"], sort=False) \
+            .agg(n_edge=("n_edge", "sum"), cnt=("cnt", "sum"))
+        tri = int((((g["cnt"] - g["n_edge"])
+                    * (g["n_edge"] > 0)).sum()))
+        return pd.DataFrame({"tri": np.array([tri], np.int64)})
+
+    tri = wedges.union(tagged_edges) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("_part").map_groups(close_bucket, batch_format="pandas") \
+        .sum("tri")
+    n_edges = edges.count()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([df["node_a"], df["node_b"]],
+                                    ignore_index=True))
+        return _add_hash_part(pd.DataFrame({"node": nodes}), ["node"],
+                              nparts)
+
+    def node_final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": np.array([df["node"].nunique()],
+                                           np.int64)})
+
+    n_nodes = edges.map_batches(node_partial, batch_format="pandas") \
+        .groupby("_part").map_groups(node_final, batch_format="pandas") \
+        .sum("n")
+    return {"n_nodes": int(n_nodes or 0), "n_edges": int(n_edges),
+            "triangles": int(tri or 0)}
+
+
+def triangles_np(a: np.ndarray, b: np.ndarray) -> int:
+    """Dense reference: exact triangle count over edges (a[i], b[i])
+    with a[i] < b[i], via adjacency-set intersection."""
+    adj: dict = {}
+    for x, y in zip(a, b):
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tri = 0
+    for x, y in zip(a, b):
+        tri += len(adj[x] & adj[y] & {z for z in adj[x] if z > y})
+    return tri

@@ -175,3 +175,145 @@ def test_trustrank_duplicate_seed_ids_accumulate():
                      num_partitions=2, seeds=seeds_dup) \
         .to_pandas().sort_values("node_id")
     assert np.allclose(got_s["rank"].to_numpy(), a, rtol=0, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence projection / Jaccard relatedness / triangle counting
+# ---------------------------------------------------------------------------
+
+def _membership_ds(rows):
+    g, n = zip(*rows)
+    return ray.data.from_arrow(pa.table({
+        "g": pa.array(list(g), pa.string()),
+        "n": pa.array(list(n), pa.string())}))
+
+
+def _brute_cooc(rows, max_deg=64):
+    from collections import defaultdict
+    groups = defaultdict(set)
+    for g, n in set(rows):
+        groups[g].add(n)
+    w = defaultdict(int)
+    for g, members in groups.items():
+        if len(members) > max_deg:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                w[(ms[i], ms[j])] += 1
+    return dict(w)
+
+
+def test_cooccurrence_edges_match_bruteforce():
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    rng = np.random.RandomState(7)
+    rows = [(f"g{rng.randint(12)}", f"n{rng.randint(20)}")
+            for _ in range(200)]
+    got = cooccurrence_edges(_membership_ds(rows), "g", "n",
+                             nparts=4).to_pandas()
+    want = _brute_cooc(rows)
+    got_map = {(a, b): int(w) for a, b, w in
+               zip(got["node_a"], got["node_b"], got["w"])}
+    assert got_map == want
+
+
+def test_cooccurrence_min_weight_filters():
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+            ("g3", "a"), ("g3", "c")]
+    got = cooccurrence_edges(_membership_ds(rows), "g", "n",
+                             min_weight=2, nparts=2).to_pandas()
+    assert len(got) == 1
+    assert (got["node_a"][0], got["node_b"][0], int(got["w"][0])) \
+        == ("a", "b", 2)
+
+
+def test_hot_group_stoplist_drops_o_degree_squared_groups():
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    # one hot group over the cap (would emit C(9,2) pairs), one cool
+    rows = [("hot", f"n{i}") for i in range(9)] \
+        + [("cool", "n0"), ("cool", "n1")]
+    got = cooccurrence_edges(_membership_ds(rows), "g", "n",
+                             max_group_degree=8, nparts=2).to_pandas()
+    assert len(got) == 1  # only the cool group's single pair survives
+    want = _brute_cooc(rows, max_deg=8)
+    assert {("n0", "n1"): 1} == want \
+        == {(got["node_a"][0], got["node_b"][0]): int(got["w"][0])}
+
+
+def test_jaccard_relatedness_integers_match_bruteforce():
+    from sbb_ned_ray.stages.graph import jaccard_relatedness
+    rng = np.random.RandomState(11)
+    rows = [(f"g{rng.randint(15)}", f"n{rng.randint(12)}")
+            for _ in range(150)]
+    got = jaccard_relatedness(_membership_ds(rows), "g", "n",
+                              min_inter=2, nparts=4).to_pandas()
+    from collections import defaultdict
+    node_groups = defaultdict(set)
+    for g, n in set(rows):
+        node_groups[n].add(g)
+    for a, b, inter, uni in zip(got["node_a"], got["node_b"],
+                                got["inter"], got["uni"]):
+        wi = len(node_groups[a] & node_groups[b])
+        wu = len(node_groups[a] | node_groups[b])
+        assert (int(inter), int(uni)) == (wi, wu), (a, b)
+    # completeness: every pair with inter >= 2 is present
+    names = sorted(node_groups)
+    want_pairs = {(a, b) for i, a in enumerate(names)
+                  for b in names[i + 1:]
+                  if len(node_groups[a] & node_groups[b]) >= 2}
+    assert set(zip(got["node_a"], got["node_b"])) == want_pairs
+
+
+def test_triangle_stats_matches_dense_reference():
+    from sbb_ned_ray.stages.graph import triangle_stats, triangles_np
+    rng = np.random.RandomState(3)
+    # random undirected graph on 30 string nodes
+    edges = set()
+    for _ in range(120):
+        i, j = rng.randint(30), rng.randint(30)
+        if i == j:
+            continue
+        a, b = sorted((f"v{i:02d}", f"v{j:02d}"))
+        edges.add((a, b))
+    ea = [a for a, _ in edges]
+    eb = [b for _, b in edges]
+    ds = ray.data.from_arrow(pa.table({
+        "node_a": pa.array(ea, pa.string()),
+        "node_b": pa.array(eb, pa.string())}))
+    stats = triangle_stats(ds, nparts=4)
+    assert stats["n_edges"] == len(edges)
+    assert stats["n_nodes"] == len({*ea, *eb})
+    assert stats["triangles"] == triangles_np(np.array(ea, object),
+                                              np.array(eb, object))
+
+
+def test_triangle_stats_counts_known_graph():
+    from sbb_ned_ray.stages.graph import triangle_stats
+    # K4 has 4 triangles; plus a pendant edge adds none
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(nodes)
+             for y in nodes[i + 1:]] + [("d", "e")]
+    ds = ray.data.from_arrow(pa.table({
+        "node_a": pa.array([a for a, _ in edges], pa.string()),
+        "node_b": pa.array([b for _, b in edges], pa.string())}))
+    stats = triangle_stats(ds, nparts=2)
+    assert stats == {"n_nodes": 5, "n_edges": 7, "triangles": 4}
+
+
+def test_cooc_components_match_union_find():
+    from sbb_ned_ray.stages.cluster import (driver_union_find,
+                                            label_propagation_components)
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    rng = np.random.RandomState(5)
+    rows = [(f"g{rng.randint(25)}", f"n{rng.randint(40)}")
+            for _ in range(120)]
+    edges = cooccurrence_edges(_membership_ds(rows), "g", "n",
+                               nparts=4).materialize()
+    comp = label_propagation_components(
+        edges, src="node_a", dst="node_b", max_iters=64,
+        num_partitions=4).to_pandas()
+    epd = edges.to_pandas()
+    want = driver_union_find(list(zip(epd["node_a"], epd["node_b"])))
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == want
