@@ -3971,6 +3971,125 @@ def entity_cooc_components(sf_dir: str):
     return df.sort_values("qid").reset_index(drop=True)
 
 
+def _oracle_ned_contingency(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # the deterministic fixture links every mention to its gold qid, so
+    # the pred × gold contingency is exactly diagonal with the per-qid
+    # mention counts — the Ray side must REPRODUCE that diagonal from
+    # the real pipeline output joined back to the ground truth
+    return f"""
+SELECT qid AS pred_qid, qid AS gold_qid, count(*) AS n
+FROM read_parquet('{_cooc_fixture_path(sf_dir)}')
+GROUP BY qid
+ORDER BY pred_qid
+"""
+
+
+def _gold_assignment(pages_dir: str) -> ray.data.Dataset:
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["url"].astype(str) + "\x1f"
+            + df["mention_id"].astype(str),
+            "label": df["qid"].astype(str)})
+    return ray.data.read_parquet(
+        f"{pages_dir}/mentions_gt.parquet",
+        columns=["url", "mention_id", "qid"]) \
+        .map_batches(fn, batch_format="pandas")
+
+
+def ned_cluster_contingency(sf_dir: str):
+    """Pred × gold contingency cells of the flagship links — the
+    distributed substrate for every extrinsic clustering metric
+    (B-cubed, ARI, purity): links stay a Dataset, the gold assignment
+    co-shuffles against them on an int32 hash bucket, and only the
+    vocabulary-sized cell table reaches the driver.  Oracle-exact
+    (diagonal with per-qid mention counts on the deterministic
+    fixture)."""
+    from sbb_ned_ray.pipelines.ned import build_ned_links, top_links
+    from sbb_ned_ray.stages.cluster import contingency_cells
+    pages_dir = pages_dir_for_sf(sf_dir)
+    links = top_links(build_ned_links(pages_dir, PipelineConfig()))
+    pred = links.map_batches(
+        lambda df: pd.DataFrame({"key": df["mention_key"],
+                                 "label": df["qid"].astype(str)}),
+        batch_format="pandas")
+    cells = contingency_cells(pred, _gold_assignment(pages_dir)) \
+        .to_pandas()
+    cells = cells.rename(columns={"pred": "pred_qid", "gold": "gold_qid"})
+    return cells.sort_values(["pred_qid", "gold_qid"]) \
+        .reset_index(drop=True)
+
+
+def _bcubed_reference(pred: np.ndarray, gold: np.ndarray) -> tuple:
+    """Independent per-item B³ (Counter maps, item-order summation) —
+    the self-check twin for the cells formula."""
+    from collections import Counter
+    pc: Counter = Counter(pred.tolist())
+    gc: Counter = Counter(gold.tolist())
+    cc: Counter = Counter(zip(pred.tolist(), gold.tolist()))
+    n = len(pred)
+    prec = sum(cc[(p, g)] / pc[p] for p, g in zip(pred, gold)) / n
+    rec = sum(cc[(p, g)] / gc[g] for p, g in zip(pred, gold)) / n
+    return prec, rec
+
+
+def ned_cluster_quality(sf_dir: str):
+    """SELF-CHECKING extrinsic cluster quality: (1) the flagship links
+    must score EXACTLY B³ = ARI = 1.0 against the gold qid clustering;
+    (2) on a deterministically corrupted assignment (~10 % of mentions
+    split into satellite clusters) the distributed cells path must
+    match an independent per-item driver reference to 1e-9 and score
+    strictly below 1.  The asserts ARE the check (metrics are pure
+    functions of the oracle-checked contingency — see
+    ``ned_cluster_contingency``)."""
+    from sbb_ned_ray.pipelines.ned import run_ned
+    from sbb_ned_ray.stages.cluster import (adjusted_rand_from_cells,
+                                            bcubed_from_cells,
+                                            contingency_cells)
+    pages_dir = pages_dir_for_sf(sf_dir)
+    gt = pd.read_parquet(f"{pages_dir}/mentions_gt.parquet",
+                         columns=["url", "mention_id", "qid"])
+    key = gt["url"].astype(str) + "\x1f" + gt["mention_id"].astype(str)
+    gold_lab = gt["qid"].astype(str)
+    gold = ray.data.from_pandas(
+        pd.DataFrame({"key": key, "label": gold_lab}))
+
+    # corrupted assignment: stable-hash 10 % of mentions into per-qid
+    # satellite clusters (precision AND recall both drop)
+    h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+    pred_lab = gold_lab.copy()
+    mask = (h % 10) == 0
+    pred_lab[mask] = gold_lab[mask] + "!" \
+        + pd.Series((h[mask] >> 4) % 3).astype(str).to_numpy()
+    pred = ray.data.from_pandas(
+        pd.DataFrame({"key": key, "label": pred_lab}))
+    cells = contingency_cells(pred, gold).to_pandas()
+    b = bcubed_from_cells(cells)
+    ari = adjusted_rand_from_cells(cells)
+    rp, rr = _bcubed_reference(pred_lab.to_numpy(), gold_lab.to_numpy())
+    assert abs(b["precision"] - rp) < 1e-9, (b["precision"], rp)
+    assert abs(b["recall"] - rr) < 1e-9, (b["recall"], rr)
+    assert b["f1"] < 1.0 and ari < 1.0, (b, ari)
+
+    # flagship: perfect clustering on the deterministic fixture
+    links = run_ned(pages_dir, PipelineConfig())
+    fl_pred = ray.data.from_pandas(
+        pd.DataFrame({"key": links["mention_key"],
+                      "label": links["qid"].astype(str)}))
+    fl = contingency_cells(fl_pred, gold).to_pandas()
+    fb = bcubed_from_cells(fl)
+    fari = adjusted_rand_from_cells(fl)
+    assert fb == {"precision": 1.0, "recall": 1.0, "f1": 1.0}, fb
+    assert fari == 1.0, fari
+    out = pd.DataFrame({
+        "metric": ["flagship_bcubed_f1", "flagship_ari",
+                   "corrupt_bcubed_precision", "corrupt_bcubed_recall",
+                   "corrupt_ari"],
+        "value_e9": np.round(np.array(
+            [fb["f1"], fari, b["precision"], b["recall"], ari])
+            * 1e9).astype(np.int64)})
+    return out
+
+
 def entity_cooc_triangles(sf_dir: str):
     """Global triangle census of the co-occurrence graph (clustering
     structure of the entity relatedness network).  Distributed
@@ -4095,6 +4214,8 @@ _QUERY_FNS = {
     "entity_jaccard_relatedness": entity_jaccard_relatedness,
     "entity_cooc_triangles": entity_cooc_triangles,
     "entity_cooc_components": entity_cooc_components,
+    "ned_cluster_contingency": ned_cluster_contingency,
+    "ned_cluster_quality": ned_cluster_quality,
 }
 
 ORACLE_SQL = {
@@ -4168,6 +4289,7 @@ ORACLE_SQL = {
     "entity_jaccard_relatedness": _oracle_entity_jaccard(),
     "entity_cooc_triangles": _oracle_entity_triangles(),
     "entity_cooc_components": _oracle_entity_components(),
+    "ned_cluster_contingency": _oracle_ned_contingency(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4187,6 +4309,7 @@ _SF_ORACLES = {
     "entity_jaccard_relatedness": _oracle_entity_jaccard,
     "entity_cooc_triangles": _oracle_entity_triangles,
     "entity_cooc_components": _oracle_entity_components,
+    "ned_cluster_contingency": _oracle_ned_contingency,
 }
 
 

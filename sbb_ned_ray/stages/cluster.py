@@ -268,3 +268,105 @@ def cluster_links(links_df: pd.DataFrame) -> pd.DataFrame:
     comp = driver_union_find(edges)
     links_df["cluster_id"] = [comp[f"m:{k}"] for k in links_df["mention_key"]]
     return links_df
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality evaluation (B-cubed, adjusted Rand) from a
+# distributed contingency table
+# ---------------------------------------------------------------------------
+#
+# The standard extrinsic clustering metrics for entity resolution
+# (Amigó et al. 2009 recommend B³; Hubert & Arabie 1985 ARI).  The only
+# distributed work is building the pred × gold contingency CELL table —
+# everything after it is vocabulary-sized: both metrics are pure
+# functions of the cell counts, so the corpus-sized assignment never
+# reaches the driver.
+
+
+def contingency_cells(pred: ray.data.Dataset, gold: ray.data.Dataset,
+                      key_col: str = "key", label_col: str = "label",
+                      nparts: int = 32) -> ray.data.Dataset:
+    """Inner-join two (key, label) assignments on ``key`` and count
+    (pred_label, gold_label) cells — tag-union co-shuffle on an int32
+    hash bucket (the int32-keyed exchange idiom from
+    :mod:`sbb_ned_ray.stages.graph`: per-bucket vectorized pandas,
+    never a string-key Dataset groupby), partial cell counts per
+    bucket, one narrow merge.  Returns Dataset(pred, gold, n)."""
+    import numpy as np
+
+    from sbb_ned_ray.stages.graph import (_add_hash_part, _bucketed_counts,
+                                          _pd_to_arrow)
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({"k": df[key_col].astype(str),
+                                "lab": df[label_col].astype(str),
+                                "side": np.full(len(df), side, np.int8)})
+            return _pd_to_arrow(_add_hash_part(out, ["k"], nparts))
+        return fn
+
+    def cells_in_bucket(df: pd.DataFrame) -> pa.Table:
+        p = df[df["side"] == 0]
+        g = df[df["side"] == 1]
+        m = p[["k", "lab"]].merge(g[["k", "lab"]], on="k",
+                                  suffixes=("_p", "_g"))
+        c = m.groupby(["lab_p", "lab_g"], sort=False).size() \
+            .reset_index(name="n")
+        return _pd_to_arrow(pd.DataFrame({"pred": c["lab_p"],
+                                          "gold": c["lab_g"],
+                                          "n": c["n"].astype(np.int64)}))
+
+    partial = pred.map_batches(tag(0), batch_format="pandas") \
+        .union(gold.map_batches(tag(1), batch_format="pandas")) \
+        .groupby("_part").map_groups(cells_in_bucket,
+                                     batch_format="pandas")
+    return _bucketed_counts(partial, ["pred", "gold"], nparts, "n",
+                            weight_col="n")
+
+
+def bcubed_from_cells(cells: pd.DataFrame, pred_col: str = "pred",
+                      gold_col: str = "gold", n_col: str = "n") -> dict:
+    """B-cubed precision/recall/F1 from contingency cells: per-item
+    precision |C∩G|/|C| summed over items is Σ_cells n²/|pred cluster|
+    (recall symmetric with gold sizes)."""
+    import numpy as np
+    n = cells[n_col].to_numpy(np.float64)
+    total = n.sum()
+    if total == 0:
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    psz = cells.groupby(pred_col)[n_col].transform("sum") \
+        .to_numpy(np.float64)
+    gsz = cells.groupby(gold_col)[n_col].transform("sum") \
+        .to_numpy(np.float64)
+    prec = float((n * n / psz).sum() / total)
+    rec = float((n * n / gsz).sum() / total)
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1}
+
+
+def adjusted_rand_from_cells(cells: pd.DataFrame, pred_col: str = "pred",
+                             gold_col: str = "gold",
+                             n_col: str = "n") -> float:
+    """Adjusted Rand index from contingency cells (Hubert & Arabie
+    1985).  Degenerate clusterings (expected == max index) return 1.0
+    when the index attains the maximum, else 0.0."""
+    import numpy as np
+
+    def comb2(x):
+        return x * (x - 1.0) / 2.0
+
+    n = cells[n_col].to_numpy(np.float64)
+    total = n.sum()
+    index = comb2(n).sum()
+    a = comb2(cells.groupby(pred_col)[n_col].sum()
+              .to_numpy(np.float64)).sum()
+    b = comb2(cells.groupby(gold_col)[n_col].sum()
+              .to_numpy(np.float64)).sum()
+    npairs = comb2(total)
+    if npairs == 0:
+        return 1.0
+    expected = a * b / npairs
+    max_index = (a + b) / 2.0
+    if max_index == expected:
+        return 1.0 if index == expected else 0.0
+    return float((index - expected) / (max_index - expected))
