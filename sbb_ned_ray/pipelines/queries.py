@@ -4104,6 +4104,34 @@ def entity_cooc_triangles(sf_dir: str):
     return pd.DataFrame([stats])[["n_nodes", "n_edges", "triangles"]]
 
 
+def surface_edit_join(sf_dir: str):
+    """All distinct mention-surface pairs within byte-level Levenshtein
+    distance 2 — PassJoin segment-signature self-join
+    (:mod:`sbb_ned_ray.stages.editjoin`), the exact-threshold variant
+    of the reference's fuzzy surface matching (n-gram/anagram ANN
+    probes, ``qurator/sbb_ned/embeddings/base.py`` consumers).
+    ORACLE-checked against DuckDB's ``levenshtein()`` over the same
+    fixture (byte semantics match; the pigeonhole guarantees no missed
+    pair, so the check is exact, not recall-bounded)."""
+    from sbb_ned_ray.stages.editjoin import edit_distance_pairs
+    pages_dir = pages_dir_for_sf(sf_dir)
+    surf = ray.data.read_parquet(f"{pages_dir}/mentions_gt.parquet",
+                                 columns=["surface"])
+    out = edit_distance_pairs(surf, "surface", k=2).to_pandas()
+    return out.sort_values(["s_a", "s_b"]).reset_index(drop=True)
+
+
+def _oracle_surface_editjoin(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT surface AS s
+           FROM read_parquet('{_cooc_fixture_path(sf_dir)}'))
+SELECT a.s AS s_a, b.s AS s_b, levenshtein(a.s, b.s) AS dist
+FROM d a JOIN d b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY s_a, s_b
+"""
+
+
 # Full name -> callable map.  The public QUERIES dict is built AFTER
 # ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
 # top) so a harness that snapshots only the first N entries always sees
@@ -4216,6 +4244,7 @@ _QUERY_FNS = {
     "entity_cooc_components": entity_cooc_components,
     "ned_cluster_contingency": ned_cluster_contingency,
     "ned_cluster_quality": ned_cluster_quality,
+    "surface_edit_join": surface_edit_join,
 }
 
 ORACLE_SQL = {
@@ -4290,6 +4319,7 @@ ORACLE_SQL = {
     "entity_cooc_triangles": _oracle_entity_triangles(),
     "entity_cooc_components": _oracle_entity_components(),
     "ned_cluster_contingency": _oracle_ned_contingency(),
+    "surface_edit_join": _oracle_surface_editjoin(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4310,6 +4340,7 @@ _SF_ORACLES = {
     "entity_cooc_triangles": _oracle_entity_triangles,
     "entity_cooc_components": _oracle_entity_components,
     "ned_cluster_contingency": _oracle_ned_contingency,
+    "surface_edit_join": _oracle_surface_editjoin,
 }
 
 
