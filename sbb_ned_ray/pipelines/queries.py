@@ -4132,6 +4132,75 @@ ORDER BY s_a, s_b
 """
 
 
+def customers_sorted_neighborhood(sf_dir: str, window: int = 5):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995)
+    over customers ordered by ``(c_mktsegment, c_custkey)``: every
+    record pairs with its ``window - 1`` rank successors.  The
+    reference blocks candidates per surface via normalized-key lookups
+    (``qurator/sbb_ned/embeddings/base.py`` consumers); SNM is the
+    sort-based blocking family, here as one Ray sort + a two-pass rank
+    scan + a tiny window-bucket exchange
+    (:func:`sbb_ned_ray.stages.blockjoin.sorted_neighborhood_pairs`).
+    ORACLE-checked against a ROW_NUMBER self-join."""
+    from sbb_ned_ray.stages.blockjoin import sorted_neighborhood_pairs
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    out = sorted_neighborhood_pairs(cust, "c_mktsegment", "c_custkey",
+                                    window).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+ORACLE_SORTED_NEIGHBORHOOD = """
+WITH r AS (SELECT c_custkey AS id,
+                  ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_custkey)
+                      AS rn
+           FROM customer)
+SELECT a.id AS id_a, b.id AS id_b, (b.rn - a.rn) AS rank_dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 5
+ORDER BY id_a, id_b
+"""
+
+
+def docs_shingle_jaccard(sf_dir: str, threshold: float = 0.5,
+                         shingle_n: int = 3):
+    """EXACT word-3-gram-shingle Jaccard ≥ 0.5 similarity self-join
+    over documents via the prefix filter (Chaudhuri/Ganti/Kaushik
+    ICDE 2006; PPJoin, Xiao et al. WWW 2008) — the exact-threshold
+    counterpart of the MinHash-LSH estimate the reference's blocking
+    role approximates
+    (:func:`sbb_ned_ray.stages.blockjoin.shingle_jaccard_pairs`).
+    ORACLE-checked against a DuckDB unnest + self-join recomputation
+    (jaccard quantized to 1e-6 by the same integer round-half-up on
+    both sides)."""
+    from sbb_ned_ray.stages.blockjoin import shingle_jaccard_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = shingle_jaccard_pairs(docs, "text", "doc_id", threshold,
+                                shingle_n).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+ORACLE_SHINGLE_JACCARD = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS m FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       (c * 2000000 + (sa.m + sb.m - c)) // (2 * (sa.m + sb.m - c))
+           AS jaccard_e6
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE c * 1000000 >= 500000 * (sa.m + sb.m - c)
+ORDER BY id_a, id_b
+"""
+
+
 # Full name -> callable map.  The public QUERIES dict is built AFTER
 # ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
 # top) so a harness that snapshots only the first N entries always sees
@@ -4245,6 +4314,8 @@ _QUERY_FNS = {
     "ned_cluster_contingency": ned_cluster_contingency,
     "ned_cluster_quality": ned_cluster_quality,
     "surface_edit_join": surface_edit_join,
+    "customers_sorted_neighborhood": customers_sorted_neighborhood,
+    "docs_shingle_jaccard": docs_shingle_jaccard,
 }
 
 ORACLE_SQL = {
@@ -4320,6 +4391,8 @@ ORACLE_SQL = {
     "entity_cooc_components": _oracle_entity_components(),
     "ned_cluster_contingency": _oracle_ned_contingency(),
     "surface_edit_join": _oracle_surface_editjoin(),
+    "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
+    "docs_shingle_jaccard": ORACLE_SHINGLE_JACCARD,
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes

@@ -1,0 +1,320 @@
+"""Classic record-linkage blocking joins: sorted-neighborhood and
+prefix-filtered set-similarity (PPJoin-style).
+
+The reference blocks candidate entities per surface through normalized
+lookup keys plus ANN probes (``qurator/sbb_ned/embeddings/base.py``
+consumers feeding ``qurator/sbb_ned/models/decider.py``); these two
+operators are the other canonical blocking families from the
+record-linkage literature, exact-threshold so each gets a DuckDB
+oracle twin:
+
+* :func:`sorted_neighborhood_pairs` — Hernandez & Stolfo's
+  sorted-neighborhood method (SIGMOD 1995): one global sort on a fuzzy
+  key, then every record pairs with its ``window - 1`` successors.
+  The distributed shape is the two-pass rank scan from
+  :mod:`sbb_ned_ray.stages.scan` (sort → per-block counts → broadcast
+  exclusive offsets) followed by a window-bucket exchange: each ranked
+  row ships to its own window bucket and the successor bucket, so
+  every qualifying pair co-locates in exactly one tiny (≤ 2·window
+  row) group.  The only all-to-all is the sort itself; everything
+  downstream is rank-arithmetic on int64 columns.
+
+* :func:`shingle_jaccard_pairs` — exact Jaccard similarity self-join
+  over word n-gram shingle sets with the prefix filter of
+  Chaudhuri, Ganti & Kaushik (ICDE 2006) / PPJoin (Xiao et al., WWW
+  2008): order all shingles by ascending document frequency; a doc
+  with ``m`` distinct shingles only needs its first
+  ``m - ceil(t*m) + 1`` rarest shingles indexed — any pair with
+  Jaccard ≥ t must collide on at least one prefix shingle.
+  Candidates then verify EXACTLY (recomputed shingle sets from the
+  joined texts), so unlike the MinHash family in
+  :mod:`sbb_ned_ray.stages.dedup` the result is the precise
+  threshold join, not an estimate.  All exchanges are linear:
+  shingle rows bucket by shingle for the df count and the prefix
+  probe, pairs dedup through one int32-bucketed pass, and texts reach
+  the verifier through the same hash join the MinHash scale branch
+  uses — nothing corpus-sized lands on the driver.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from sbb_ned_ray.stages.graph import (_add_hash_part, _bucketed_distinct,
+                                      _pd_to_arrow)
+
+
+# --------------------------------------------------------------------
+# sorted-neighborhood method
+# --------------------------------------------------------------------
+
+def _ranks_after_sort(srt: ray.data.Dataset, key_col: str, id_col: str
+                      ) -> ray.data.Dataset:
+    """Assign the global 0-based rank under ``ORDER BY (key, id)`` to
+    every row of an already-sorted, materialized Dataset.  Two-pass
+    scan (:mod:`sbb_ned_ray.stages.scan`): per-block first-row + count
+    to the driver (bytes per block), broadcast exclusive offsets back.
+    Fails loudly if Ray hands pass B a batch that does not start on a
+    pass-A block boundary (a merged block would silently mis-rank)."""
+    def block_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_key": pa.array([], pa.string()),
+                             "first_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "first_key": pa.array([str(t[key_col][0].as_py())]),
+            "first_id": pa.array([int(t[id_col][0].as_py())], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    stats = srt.map_batches(block_stat, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    stats = stats.sort_values(["first_key", "first_id"]) \
+        .reset_index(drop=True)
+    offs = np.concatenate([[0], stats["n"].cumsum().to_numpy()[:-1]]) \
+        if len(stats) else np.zeros(0, np.int64)
+    off_map = {(k, int(i)): int(o) for k, i, o in
+               zip(stats["first_key"], stats["first_id"], offs)}
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("rank", pa.array([], pa.int64()))
+        head = (str(t[key_col][0].as_py()), int(t[id_col][0].as_py()))
+        if head not in off_map:
+            raise RuntimeError(
+                "sorted_neighborhood_pairs: batch does not start on a "
+                f"pass-A block boundary (first row {head!r}); rank "
+                "offsets would be wrong — aborting")
+        base = off_map[head]
+        return t.append_column(
+            "rank", pa.array(base + np.arange(t.num_rows), pa.int64()))
+
+    return srt.map_batches(add_rank, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def sorted_neighborhood_pairs(ds: ray.data.Dataset, key_col: str,
+                              id_col: str, window: int
+                              ) -> ray.data.Dataset:
+    """All ordered pairs of rows whose ranks under
+    ``ORDER BY (key_col, id_col)`` differ by less than ``window`` →
+    Dataset ``(id_a, id_b, rank_dist)`` where ``id_a`` is the
+    lower-ranked row.  ``id_col`` must be unique (it is the sort
+    tie-break, so the rank order — and therefore the result — is
+    total and deterministic).
+
+    Window-bucket exchange: a row with rank ``r`` belongs to bucket
+    ``b = r // window`` and ships one copy to groups ``b`` and
+    ``b + 1``; any pair within ``window`` spans at most adjacent
+    buckets, so group ``b(i) + 1`` always holds both rows.  Each pair
+    is emitted exactly once, by the group one past the lower row's
+    bucket."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    srt = ds.sort([key_col, id_col]).materialize()
+    ranked = _ranks_after_sort(srt, key_col, id_col) \
+        .select_columns([id_col, "rank"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = r // window
+        return pa.table({
+            "_g": pa.array(np.concatenate([b, b + 1]).astype(np.int32)),
+            "rank": pa.array(np.concatenate([r, r]), pa.int64()),
+            "id": pa.array(np.concatenate([ids, ids]), pa.int64())})
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        g = int(df["_g"].iloc[0])
+        order = np.argsort(df["rank"].to_numpy(), kind="stable")
+        r = df["rank"].to_numpy()[order]
+        ids = df["id"].to_numpy()[order]
+        lo = np.flatnonzero(r // window == g - 1)
+        out_a, out_b, out_d = [], [], []
+        for i in lo:
+            hi = np.searchsorted(r, r[i] + window, side="left")
+            if hi > i + 1:
+                out_a.append(np.full(hi - i - 1, ids[i], np.int64))
+                out_b.append(ids[i + 1:hi])
+                out_d.append(r[i + 1:hi] - r[i])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "rank_dist": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "rank_dist": pa.array(np.concatenate(out_d))})
+
+    return ranked.map_batches(emit, batch_format="pyarrow") \
+        .groupby("_g").map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# prefix-filtered exact Jaccard set-similarity join
+# --------------------------------------------------------------------
+
+def word_shingles(text: str, n: int) -> set:
+    """Distinct word n-gram shingles of ``text`` split on single
+    spaces — the exact tokenization DuckDB's ``string_split(text, ' ')``
+    performs, so the oracle twin sees identical sets."""
+    w = text.split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def _prefix_len(m: int, threshold: float) -> int:
+    # ceil with a downward nudge: a float wobble may only LENGTHEN the
+    # prefix (extra candidates, removed by exact verification) — never
+    # shorten it (which could miss a true pair)
+    return m - int(math.ceil(threshold * m - 1e-9)) + 1
+
+
+def shingle_jaccard_pairs(docs: ray.data.Dataset, text_col: str,
+                          id_col: str, threshold: float,
+                          shingle_n: int = 3, nparts: int = 32
+                          ) -> ray.data.Dataset:
+    """Exact Jaccard ≥ ``threshold`` self-join over word
+    ``shingle_n``-gram shingle sets → Dataset
+    ``(id_a, id_b, jaccard_e6)`` with ``id_a < id_b`` and the Jaccard
+    quantized to 1e-6 (int64) for hash-stable comparison.  Docs with
+    fewer than ``shingle_n`` words have no shingles and never pair."""
+    def shingle_rows(df: pd.DataFrame) -> pa.Table:
+        ids, shs = [], []
+        for i, txt in zip(df[id_col], df[text_col]):
+            for sh in word_shingles(txt, shingle_n):
+                ids.append(int(i))
+                shs.append(sh)
+        return _pd_to_arrow(_add_hash_part(
+            pd.DataFrame({"doc": np.array(ids, np.int64), "sh": shs}),
+            ["sh"], nparts))
+
+    rows = docs.map_batches(shingle_rows, batch_format="pandas") \
+        .materialize()
+
+    # document frequency per shingle + the prefix probe, one exchange:
+    # within a shingle bucket the df is complete, so the (doc, sh, df)
+    # rows come straight back out of the same group
+    def attach_df(df: pd.DataFrame) -> pa.Table:
+        cnt = df.groupby("sh", sort=False)["doc"].transform("size")
+        out = pd.DataFrame({"doc": df["doc"].to_numpy(),
+                            "sh": df["sh"].to_numpy(),
+                            "df": cnt.to_numpy().astype(np.int64)})
+        return _pd_to_arrow(_add_hash_part(out, ["doc"], nparts))
+
+    with_df = rows.groupby("_part") \
+        .map_groups(attach_df, batch_format="pandas")
+
+    def prefix_rows(df: pd.DataFrame) -> pa.Table:
+        outs = []
+        for doc, g in df.groupby("doc", sort=False):
+            m = len(g)
+            p = _prefix_len(m, threshold)
+            g = g.sort_values(["df", "sh"]).head(p)
+            outs.append(pd.DataFrame({
+                "sh": g["sh"].to_numpy(),
+                "doc": np.full(len(g), doc, np.int64),
+                "m": np.full(len(g), m, np.int64)}))
+        if not outs:
+            return _pd_to_arrow(pd.DataFrame({
+                "sh": pd.Series(dtype=object),
+                "doc": pd.Series(dtype="int64"),
+                "m": pd.Series(dtype="int64"),
+                "_part": pd.Series(dtype="int32")}))
+        out = pd.concat(outs, ignore_index=True)
+        return _pd_to_arrow(_add_hash_part(out, ["sh"], nparts))
+
+    prefix = with_df.groupby("_part") \
+        .map_groups(prefix_rows, batch_format="pandas")
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(df, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        # length filter: J ≤ min(m)/max(m), so require
+        # min(m) ≥ t·max(m)  (float wobble again only widens)
+        lo = np.minimum(m["m_a"], m["m_b"])
+        hi = np.maximum(m["m_a"], m["m_b"])
+        m = m[lo >= threshold * hi - 1e-9]
+        out = pd.DataFrame({"id_a": m["doc_a"].to_numpy(np.int64),
+                            "id_b": m["doc_b"].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        return _pd_to_arrow(out)
+
+    cand = prefix.groupby("_part") \
+        .map_groups(candidates, batch_format="pandas")
+    cand = _bucketed_distinct(cand, ["id_a", "id_b"], nparts)
+
+    # attach each side's text via the union + bucketed-groupby
+    # co-shuffle idiom (acero hash joins reject empty partitions on
+    # tiny inputs): pair rows and doc rows share one aligned schema,
+    # tagged by side, and merge inside the key bucket
+    def _attach(pairs_ds: ray.data.Dataset, key_name: str,
+                text_out: str) -> ray.data.Dataset:
+        keep = [c for c in ["id_a", "id_b", "text_a"]
+                if c != text_out]
+
+        def tag_pairs(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({"_k": df[key_name].to_numpy(np.int64)})
+            for c in keep:
+                if c in df.columns:
+                    out[c] = df[c].to_numpy()
+            out["_txt"] = ""
+            out["_side"] = np.int8(0)
+            return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
+
+        def tag_docs(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({"_k": df[id_col].to_numpy(np.int64)})
+            for c in keep:
+                out[c] = np.int64(0) if c != "text_a" else ""
+            out["_txt"] = df[text_col].to_numpy()
+            out["_side"] = np.int8(1)
+            return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
+
+        def merge(df: pd.DataFrame) -> pa.Table:
+            p = df[df["_side"] == 0]
+            d = df[df["_side"] == 1][["_k", "_txt"]] \
+                .drop_duplicates("_k")
+            m = p.merge(d, on="_k", suffixes=("", "_doc"))
+            out = pd.DataFrame({c: m[c].to_numpy() for c in keep
+                                if c in m.columns})
+            out[text_out] = m["_txt_doc"].to_numpy() \
+                if "_txt_doc" in m.columns else m["_txt"].to_numpy()
+            # re-derive the joined key column (id_a or id_b)
+            out[key_name] = m["_k"].to_numpy(np.int64)
+            cols = ["id_a", "id_b"] + \
+                [c for c in out.columns if c not in ("id_a", "id_b")]
+            return _pd_to_arrow(out[[c for c in cols
+                                     if c in out.columns]])
+
+        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pandas") \
+            .union(docs.map_batches(tag_docs, batch_format="pandas"))
+        return tagged.groupby("_part") \
+            .map_groups(merge, batch_format="pandas")
+
+    joined = _attach(_attach(cand, "id_a", "text_a"), "id_b", "text_b")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        ja, ids_a, ids_b = [], [], []
+        for ia, ib, ta, tb in zip(df["id_a"], df["id_b"],
+                                  df["text_a"], df["text_b"]):
+            sa = word_shingles(ta, shingle_n)
+            sb = word_shingles(tb, shingle_n)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            # integer cross-multiplication: exact threshold test with
+            # no float round-trip (inter/uni >= t  <=>  inter*1e6 >=
+            # t*1e6*uni when t is supplied at 1e-6 granularity)
+            if inter * 1_000_000 >= int(round(threshold * 1_000_000)) * uni:
+                ids_a.append(int(ia))
+                ids_b.append(int(ib))
+                # integer round-half-up — matches the oracle's
+                # (c*2000000 + u) // (2*u) exactly, no float round-trip
+                ja.append((inter * 2_000_000 + uni) // (2 * uni))
+        return pa.table({"id_a": pa.array(ids_a, pa.int64()),
+                         "id_b": pa.array(ids_b, pa.int64()),
+                         "jaccard_e6": pa.array(ja, pa.int64())})
+
+    return joined.map_batches(verify, batch_format="pandas")

@@ -1,0 +1,112 @@
+"""Sorted-neighborhood + prefix-filtered shingle-Jaccard blocking
+joins: brute-force parity on random inputs (no-miss / no-extra), the
+prefix-length safety direction, and boundary shapes (ties on the sort
+key, docs shorter than the shingle width, window straddling block
+boundaries)."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from sbb_ned_ray.stages.blockjoin import (_prefix_len,
+                                          shingle_jaccard_pairs,
+                                          sorted_neighborhood_pairs,
+                                          word_shingles)
+
+
+def _snm_brute(keys: list, ids: list, window: int) -> set:
+    order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))
+    out = set()
+    for a in range(len(order)):
+        for b in range(a + 1, min(a + window, len(order))):
+            out.add((ids[order[a]], ids[order[b]], b - a))
+    return out
+
+
+def test_snm_matches_brute_force(ray_session):
+    rng = random.Random(11)
+    keys = [rng.choice(["aa", "ab", "b", "ca", "cb"]) for _ in range(200)]
+    ids = list(range(200))
+    rng.shuffle(ids)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys, "id": ids}))
+    for window in (2, 5, 17):
+        got = sorted_neighborhood_pairs(ds, "k", "id", window).to_pandas()
+        got_set = set(zip(got["id_a"], got["id_b"], got["rank_dist"]))
+        assert got_set == _snm_brute(keys, ids, window)
+        assert len(got) == len(got_set)  # no duplicate emissions
+
+
+def test_snm_window_larger_than_table(ray_session):
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": ["x", "x", "y"], "id": [3, 1, 2]}))
+    got = sorted_neighborhood_pairs(ds, "k", "id", 10).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["rank_dist"]))
+    # rank order: (x,1) (x,3) (y,2) — all 3 pairs
+    assert got_set == {(1, 3, 1), (1, 2, 2), (3, 2, 1)}
+
+
+def test_prefix_len_is_safe():
+    # the prefix filter is exact iff p >= m - ceil(t*m) + 1; the float
+    # nudge may only lengthen it
+    import math
+    for m in range(1, 200):
+        for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+            exact = m - math.ceil(t * m) + 1
+            assert _prefix_len(m, t) >= exact
+            assert _prefix_len(m, t) <= exact + 1
+
+
+def _jaccard_brute(texts: dict, n: int, t: float) -> set:
+    sets = {i: word_shingles(s, n) for i, s in texts.items()}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            uni = len(a) + len(b) - inter
+            if inter * 1_000_000 >= int(round(t * 1_000_000)) * uni:
+                out.add((ids[x], ids[y],
+                         (inter * 2_000_000 + uni) // (2 * uni)))
+    return out
+
+
+def test_shingle_jaccard_matches_brute_force(ray_session):
+    rng = random.Random(5)
+    vocab = ["red", "blue", "green", "key", "row", "scan", "agg"]
+    texts = {}
+    base = [rng.choice(vocab) for _ in range(30)]
+    for i in range(60):
+        if i % 3 == 0:  # near-dup of the base with light edits
+            words = list(base)
+            for _ in range(rng.randrange(0, 4)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            texts[i] = " ".join(words)
+        else:
+            texts[i] = " ".join(rng.choice(vocab)
+                                for _ in range(rng.randrange(1, 40)))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[i] for i in texts]}))
+    for t in (0.5, 0.8):
+        got = shingle_jaccard_pairs(ds, "text", "doc_id", t,
+                                    shingle_n=3, nparts=8).to_pandas()
+        got_set = set(zip(got["id_a"], got["id_b"], got["jaccard_e6"]))
+        assert got_set == _jaccard_brute(texts, 3, t)
+        assert len(got) == len(got_set)
+
+
+def test_shingle_jaccard_short_docs_never_pair(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one two", "one two", "a b c d", "a b c d"]}))
+    got = shingle_jaccard_pairs(ds, "text", "doc_id", 0.5,
+                                shingle_n=3, nparts=4).to_pandas()
+    # the two-word docs have no 3-gram shingles; the identical 4-word
+    # docs share their both shingles exactly
+    assert set(zip(got["id_a"], got["id_b"], got["jaccard_e6"])) == \
+        {(3, 4, 1_000_000)}
