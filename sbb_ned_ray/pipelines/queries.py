@@ -4180,6 +4180,62 @@ def docs_shingle_jaccard(sf_dir: str, threshold: float = 0.5,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def linkage_patterns(sf_dir: str):
+    """Agreement-pattern counts over all within-nationkey-block pairs
+    of the deterministic dirty-records table (customers + perturbed
+    duplicates) — the distributed half of Fellegi–Sunter linkage
+    (:mod:`sbb_ned_ray.stages.linkage`): one vectorized bincount per
+    block, a ≤ 2^k-row groupby, no pair row ever materialized.
+    ORACLE-checked against a DuckDB block self-join recomputing the
+    same four binary comparisons."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            patterns_table)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    return patterns_table(recs)
+
+
+def linkage_em_quality(sf_dir: str):
+    """Unsupervised Fellegi–Sunter EM over the pattern table +
+    classification quality vs the known entity ids (read off the
+    (pattern, gt) contingency — never per-pair).  Self-checking:
+    asserts the EM log-likelihood trace is monotone and that the
+    UNSUPERVISED match/non-match split recovers the planted
+    duplicates at precision ≥ 0.95 and recall ≥ 0.9.  The reference's
+    decider (``qurator/sbb_ned/models/decider.py``) is the supervised
+    counterpart of this scoring."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            linkage_quality)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    out = linkage_quality(recs)
+    assert int(out["ll_monotone"].iloc[0]) == 1
+    assert int(out["precision_e6"].iloc[0]) >= 950_000, \
+        out["precision_e6"].iloc[0]
+    assert int(out["recall_e6"].iloc[0]) >= 900_000, \
+        out["recall_e6"].iloc[0]
+    return out
+
+
+def _oracle_linkage_patterns(sf_dir: str = "/root/testdata/sf0.01"
+                             ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT CAST(a.name = b.name AS BIGINT) AS name_exact,
+             CAST(right(a.name, 4) = right(b.name, 4) AS BIGINT)
+                 AS name_sfx4,
+             CAST(a.segment = b.segment AS BIGINT) AS seg_exact,
+             CAST(abs(a.acctbal - b.acctbal) < 0.05 AS BIGINT)
+                 AS bal_close
+      FROM r a JOIN r b
+        ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id)
+SELECT name_exact, name_sfx4, seg_exact, bal_close,
+       count(*) AS n_pairs
+FROM p
+GROUP BY 1, 2, 3, 4
+ORDER BY name_exact, name_sfx4, seg_exact, bal_close
+"""
+
+
 ORACLE_SHINGLE_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4316,6 +4372,8 @@ _QUERY_FNS = {
     "surface_edit_join": surface_edit_join,
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "docs_shingle_jaccard": docs_shingle_jaccard,
+    "linkage_patterns": linkage_patterns,
+    "linkage_em_quality": linkage_em_quality,
 }
 
 ORACLE_SQL = {
@@ -4393,6 +4451,7 @@ ORACLE_SQL = {
     "surface_edit_join": _oracle_surface_editjoin(),
     "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "docs_shingle_jaccard": ORACLE_SHINGLE_JACCARD,
+    "linkage_patterns": _oracle_linkage_patterns(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4414,6 +4473,7 @@ _SF_ORACLES = {
     "entity_cooc_components": _oracle_entity_components,
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,
+    "linkage_patterns": _oracle_linkage_patterns,
 }
 
 

@@ -1,0 +1,256 @@
+"""Fellegi–Sunter probabilistic record linkage with EM-trained
+match/unmatch weights (Fellegi & Sunter, JASA 1969; the Splink /
+FastLink formulation).
+
+The reference scores mention-candidate pairs with a learned decider
+over hand-built comparison features
+(``qurator/sbb_ned/models/decider.py``); Fellegi–Sunter is the
+classical unsupervised counterpart — per-field agreement probabilities
+``m_i = P(agree_i | match)`` and ``u_i = P(agree_i | non-match)``
+estimated by EM over the agreement-pattern distribution, pairs scored
+by the log-likelihood ratio ``Σ log(m_i/u_i)``.
+
+Scale shape (the part that matters at 10^12 records): the E/M steps
+only ever touch the **agreement-pattern contingency table** — at most
+``2^k`` rows for ``k`` binary comparisons — so the distributed job is
+ONE pass over the blocked pairs that bincounts ``(pattern, gt)`` per
+block and a narrow groupby-sum; the EM itself runs on the driver over
+a 16-row table (this is exactly how Splink scales: the model fit is
+pattern-count-sized, never pair-sized).  Pairs are generated inside
+each block group vectorized (triu index arithmetic), and the
+classification metrics come from the same contingency table — NO pair
+row ever reaches the driver or an exchange.
+
+The dirty-records fixture is synthesized deterministically from the
+sf's ``customer`` table (duplicate every third customer with seeded
+name transpositions / balance noise / segment swaps) and cached as
+parquet, so the DuckDB oracle twin reads the identical input.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+COMPARISONS = ["name_exact", "name_sfx4", "seg_exact", "bal_close"]
+BAL_TOL = 0.05
+
+
+# --------------------------------------------------------------------
+# deterministic dirty-records fixture
+# --------------------------------------------------------------------
+
+def dirty_records_path(sf_dir: str) -> str:
+    """Materialize (once) the dirty-duplicates record table derived
+    from ``sf_dir``'s customers: every record keeps its true
+    ``entity_id``; every third customer gains a perturbed duplicate.
+    Returns the parquet path (shared by the Ray query and the DuckDB
+    oracle)."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"]).to_pandas()
+    out_dir = os.path.join(
+        "/tmp/sbb_ned_ray_fixtures",
+        f"linkage-{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{len(cust)}")
+    out = os.path.join(out_dir, "records.parquet")
+    if os.path.exists(out):
+        return out
+
+    key = cust["c_custkey"].to_numpy(np.int64)
+    base = pd.DataFrame({
+        "rec_id": 2 * key,
+        "entity_id": key,
+        "name": cust["c_name"],
+        "nationkey": cust["c_nationkey"].to_numpy(np.int32),
+        "acctbal": cust["c_acctbal"].to_numpy(np.float64),
+        "segment": cust["c_mktsegment"]})
+
+    dup_src = cust[key % 3 == 0].reset_index(drop=True)
+    dkey = dup_src["c_custkey"].to_numpy(np.int64)
+    segments = sorted(cust["c_mktsegment"].unique().tolist())
+
+    def perturb_name(name: str, k: int) -> str:
+        if k % 9 == 0:  # some exact-name duplicates
+            return name
+        p = k % (len(name) - 1)
+        return name[:p] + name[p + 1] + name[p] + name[p + 2:]
+
+    names = [perturb_name(n, int(k))
+             for n, k in zip(dup_src["c_name"], dkey)]
+    bal = dup_src["c_acctbal"].to_numpy(np.float64) + \
+        np.where(dkey % 5 == 0, 10.0, 0.01)
+    seg = [s if k % 7 else segments[(segments.index(s) + 1)
+                                    % len(segments)]
+           for s, k in zip(dup_src["c_mktsegment"], dkey)]
+    dups = pd.DataFrame({
+        "rec_id": 2 * dkey + 1,
+        "entity_id": dkey,
+        "name": names,
+        "nationkey": dup_src["c_nationkey"].to_numpy(np.int32),
+        "acctbal": bal,
+        "segment": seg})
+    rec = pd.concat([base, dups], ignore_index=True) \
+        .sort_values("rec_id").reset_index(drop=True)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    rec.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
+# --------------------------------------------------------------------
+# distributed agreement-pattern contingency
+# --------------------------------------------------------------------
+
+def _pattern_bits(names: np.ndarray, segs: np.ndarray,
+                  bals: np.ndarray, ia: np.ndarray, ib: np.ndarray
+                  ) -> np.ndarray:
+    """Pattern code per pair (bit i = COMPARISONS[i] agrees)."""
+    na, nb = names[ia], names[ib]
+    name_exact = na == nb
+    # suffix, not prefix: every TPC-H customer name shares the
+    # "Customer#" prefix, so only the trailing digits discriminate
+    sfx = np.array([s[-4:] for s in names], dtype=object)
+    name_sfx4 = sfx[ia] == sfx[ib]
+    seg_exact = segs[ia] == segs[ib]
+    bal_close = np.abs(bals[ia] - bals[ib]) < BAL_TOL
+    return (name_exact.astype(np.int64)
+            | (name_sfx4.astype(np.int64) << 1)
+            | (seg_exact.astype(np.int64) << 2)
+            | (bal_close.astype(np.int64) << 3))
+
+
+def pattern_contingency(records: ray.data.Dataset
+                        ) -> pd.DataFrame:
+    """All within-``nationkey``-block pairs → the
+    ``(pattern, gt_match) → n_pairs`` contingency (≤ 2^k·2 rows).
+    One narrow groupby over 32-long partial count vectors; pair rows
+    never leave the block group."""
+    k = len(COMPARISONS)
+    ncell = (1 << k) * 2
+
+    def per_block(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        if n < 2:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(n, k=1)
+        names = df["name"].to_numpy()
+        pat = _pattern_bits(names, df["segment"].to_numpy(),
+                            df["acctbal"].to_numpy(np.float64), ia, ib)
+        ent = df["entity_id"].to_numpy(np.int64)
+        gt = (ent[ia] == ent[ib]).astype(np.int64)
+        counts = np.bincount(pat * 2 + gt, minlength=ncell)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n_pairs": pa.array(counts[nz], pa.int64())})
+
+    cells = records.groupby("nationkey") \
+        .map_groups(per_block, batch_format="pandas") \
+        .groupby("cell").sum("n_pairs").to_pandas() \
+        .rename(columns={"sum(n_pairs)": "n_pairs"})
+    cells["pattern"] = cells["cell"] // 2
+    cells["gt_match"] = cells["cell"] % 2
+    return cells[["pattern", "gt_match", "n_pairs"]] \
+        .sort_values(["pattern", "gt_match"]).reset_index(drop=True)
+
+
+def patterns_table(records: ray.data.Dataset) -> pd.DataFrame:
+    """Agreement-pattern counts (gt-blind) with one 0/1 column per
+    comparison — the oracle-checkable face of the contingency."""
+    c = pattern_contingency(records)
+    agg = c.groupby("pattern", sort=True)["n_pairs"].sum() \
+        .reset_index()
+    out = pd.DataFrame({
+        name: ((agg["pattern"].to_numpy() >> i) & 1).astype(np.int64)
+        for i, name in enumerate(COMPARISONS)})
+    out["n_pairs"] = agg["n_pairs"].to_numpy(np.int64)
+    return out.sort_values(COMPARISONS).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------
+# EM over the pattern table (driver-side, pattern-count-sized)
+# --------------------------------------------------------------------
+
+def fs_em(patterns: np.ndarray, counts: np.ndarray, k: int,
+          iters: int = 60) -> dict:
+    """Fellegi–Sunter EM: fit ``m_i``, ``u_i`` and the match
+    proportion ``lambda`` from agreement-pattern counts alone
+    (unsupervised).  Returns the fitted params, per-pattern match
+    posteriors, and the log-likelihood trace (must be monotone
+    non-decreasing — asserted by the self-checking query)."""
+    g = ((patterns[:, None] >> np.arange(k)) & 1).astype(np.float64)
+    m = np.full(k, 0.9)
+    u = np.full(k, 0.1)
+    lam = 0.01
+    lls = []
+    for _ in range(iters):
+        pm = np.prod(np.where(g == 1, m, 1 - m), axis=1)
+        pu = np.prod(np.where(g == 1, u, 1 - u), axis=1)
+        denom = lam * pm + (1 - lam) * pu
+        lls.append(float(np.sum(counts * np.log(denom))))
+        w = lam * pm / denom
+        cw = counts * w
+        cn = counts * (1 - w)
+        tot_w, tot_n = cw.sum(), cn.sum()
+        m = np.clip(cw @ g / tot_w, 1e-6, 1 - 1e-6)
+        u = np.clip(cn @ g / tot_n, 1e-6, 1 - 1e-6)
+        lam = tot_w / counts.sum()
+        # keep the "match" component the high-agreement one (label
+        # switching guard: EM is symmetric in the two components)
+        if m.mean() < u.mean():
+            m, u = u, m
+            lam = 1 - lam
+        posterior = lam * np.prod(np.where(g == 1, m, 1 - m), axis=1)
+        pu = np.prod(np.where(g == 1, u, 1 - u), axis=1)
+        posterior = posterior / (posterior + (1 - lam) * pu)
+    return {"m": m, "u": u, "lam": float(lam),
+            "posterior": posterior, "ll": lls}
+
+
+def linkage_quality(records: ray.data.Dataset,
+                    threshold: float = 0.5) -> pd.DataFrame:
+    """Full unsupervised FS linkage + evaluation against the known
+    ``entity_id`` ground truth, computed entirely from the
+    (pattern, gt) contingency: classify every PATTERN by its EM match
+    posterior, then read tp/fp/fn off the table.  One-row DataFrame
+    (e6-quantized params + metrics) — deterministic, partitioning-
+    independent (integer counts in, fixed-iteration float EM on a
+    16-row table out)."""
+    k = len(COMPARISONS)
+    cont = pattern_contingency(records)
+    agg = cont.groupby("pattern", sort=True)["n_pairs"].sum() \
+        .reset_index()
+    fit = fs_em(agg["pattern"].to_numpy(np.int64),
+                agg["n_pairs"].to_numpy(np.float64), k)
+    ll = np.array(fit["ll"])
+    assert np.all(np.diff(ll) >= -1e-6 * np.abs(ll[:-1])), \
+        "EM log-likelihood decreased"
+    is_match = dict(zip(agg["pattern"],
+                        fit["posterior"] > threshold))
+    cont = cont.assign(pred=cont["pattern"].map(is_match))
+    tp = int(cont[(cont["gt_match"] == 1) & cont["pred"]]
+             ["n_pairs"].sum())
+    fp = int(cont[(cont["gt_match"] == 0) & cont["pred"]]
+             ["n_pairs"].sum())
+    fn = int(cont[(cont["gt_match"] == 1) & ~cont["pred"]]
+             ["n_pairs"].sum())
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    e6 = lambda x: int(round(x * 1_000_000))  # noqa: E731
+    row = {"n_patterns": len(agg),
+           "n_pairs": int(agg["n_pairs"].sum()),
+           "lambda_e6": e6(fit["lam"]),
+           "tp": tp, "fp": fp, "fn": fn,
+           "precision_e6": e6(prec), "recall_e6": e6(rec),
+           "ll_monotone": 1}
+    for i, name in enumerate(COMPARISONS):
+        row[f"m_{name}_e6"] = e6(fit["m"][i])
+        row[f"u_{name}_e6"] = e6(fit["u"][i])
+    return pd.DataFrame([row])

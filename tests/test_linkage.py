@@ -1,0 +1,108 @@
+"""Fellegi–Sunter linkage: the distributed pattern contingency against
+a brute-force pandas recompute, EM parameter recovery on synthetic
+pattern counts with known generating params, monotone likelihood, the
+quality gates on the planted-duplicate fixture, and partitioning
+invariance of the contingency."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from sbb_ned_ray.stages.linkage import (BAL_TOL, COMPARISONS,
+                                        dirty_records_path, fs_em,
+                                        linkage_quality,
+                                        pattern_contingency,
+                                        patterns_table)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_contingency(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, g in df.groupby("nationkey"):
+        g = g.reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                a, b = g.iloc[i], g.iloc[j]
+                pat = (int(a["name"] == b["name"])
+                       | (int(a["name"][-4:] == b["name"][-4:]) << 1)
+                       | (int(a["segment"] == b["segment"]) << 2)
+                       | (int(abs(a["acctbal"] - b["acctbal"])
+                              < BAL_TOL) << 3))
+                rows.append((pat, int(a["entity_id"] == b["entity_id"])))
+    out = pd.DataFrame(rows, columns=["pattern", "gt_match"])
+    return out.groupby(["pattern", "gt_match"]).size() \
+        .rename("n_pairs").reset_index() \
+        .sort_values(["pattern", "gt_match"]).reset_index(drop=True)
+
+
+def test_fixture_is_deterministic():
+    p1 = dirty_records_path(SF)
+    t1 = pq.read_table(p1).to_pandas()
+    p2 = dirty_records_path(SF)
+    assert p1 == p2
+    t2 = pq.read_table(p2).to_pandas()
+    pd.testing.assert_frame_equal(t1, t2)
+    # every rec_id unique; duplicates share entity_id with an original
+    assert t1["rec_id"].is_unique
+    dups = t1[t1["rec_id"] % 2 == 1]
+    assert len(dups) > 0
+    assert set(dups["entity_id"]).issubset(
+        set(t1[t1["rec_id"] % 2 == 0]["entity_id"]))
+
+
+def test_contingency_matches_brute_force(ray_session):
+    path = dirty_records_path(SF)
+    recs = ray.data.read_parquet(path)
+    got = pattern_contingency(recs)
+    want = _brute_contingency(pq.read_table(path).to_pandas())
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+
+def test_contingency_partition_invariant(ray_session):
+    path = dirty_records_path(SF)
+    a = pattern_contingency(ray.data.read_parquet(path))
+    b = pattern_contingency(
+        ray.data.read_parquet(path, override_num_blocks=7))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_patterns_table_shape(ray_session):
+    pt = patterns_table(ray.data.read_parquet(dirty_records_path(SF)))
+    assert list(pt.columns) == COMPARISONS + ["n_pairs"]
+    assert pt["n_pairs"].sum() > 0
+    assert (pt[COMPARISONS].isin([0, 1]).all()).all()
+
+
+def test_em_recovers_planted_params():
+    rng = np.random.default_rng(3)
+    k = 4
+    m_true = np.array([0.95, 0.9, 0.8, 0.85])
+    u_true = np.array([0.02, 0.05, 0.2, 0.01])
+    lam_true = 0.02
+    n = 2_000_000
+    n_match = int(n * lam_true)
+    pats = np.zeros(1 << k, np.int64)
+    for cnt, probs in ((n_match, m_true), (n - n_match, u_true)):
+        bits = rng.random((cnt, k)) < probs
+        codes = (bits << np.arange(k)).sum(axis=1)
+        pats += np.bincount(codes, minlength=1 << k)
+    fit = fs_em(np.arange(1 << k), pats.astype(np.float64), k)
+    assert np.all(np.diff(fit["ll"]) >= -1e-6 * np.abs(
+        np.array(fit["ll"][:-1])))
+    assert abs(fit["lam"] - lam_true) < 0.005
+    assert np.allclose(fit["m"], m_true, atol=0.03)
+    assert np.allclose(fit["u"], u_true, atol=0.03)
+
+
+def test_linkage_quality_gates(ray_session):
+    out = linkage_quality(ray.data.read_parquet(dirty_records_path(SF)))
+    assert int(out["ll_monotone"].iloc[0]) == 1
+    assert int(out["precision_e6"].iloc[0]) >= 900_000
+    assert int(out["recall_e6"].iloc[0]) >= 900_000
+    # unsupervised m/u must separate: every comparison more likely
+    # under match than non-match
+    for c in COMPARISONS:
+        assert int(out[f"m_{c}_e6"].iloc[0]) > int(out[f"u_{c}_e6"].iloc[0])
