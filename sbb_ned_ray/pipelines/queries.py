@@ -4236,6 +4236,91 @@ ORDER BY name_exact, name_sfx4, seg_exact, bal_close
 """
 
 
+def linkage_golden_records(sf_dir: str):
+    """Golden-record survivorship over the dirty-records clusters
+    (:func:`sbb_ned_ray.stages.linkage.survivorship`): per entity,
+    mode-merge name/segment (lexicographic tiebreak), max balance,
+    min nationkey, member count — one bucketed exchange on the
+    cluster key.  ORACLE-checked against DuckDB window/group
+    aggregates."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            survivorship)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    out = survivorship(recs, "entity_id", mode_cols=["name", "segment"],
+                       max_cols=["acctbal"], min_cols=["nationkey"]) \
+        .to_pandas()
+    out["nationkey_min"] = out["nationkey_min"].astype("int64")
+    return out.sort_values("entity_id").reset_index(drop=True)
+
+
+def _oracle_linkage_golden(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+nm AS (SELECT entity_id, name,
+              ROW_NUMBER() OVER (PARTITION BY entity_id
+                                 ORDER BY count(*) DESC, name ASC) AS rn
+       FROM r GROUP BY entity_id, name),
+sg AS (SELECT entity_id, segment,
+              ROW_NUMBER() OVER (PARTITION BY entity_id
+                                 ORDER BY count(*) DESC, segment ASC)
+                  AS rn
+       FROM r GROUP BY entity_id, segment),
+agg AS (SELECT entity_id, max(acctbal) AS acctbal_max,
+               CAST(min(nationkey) AS BIGINT) AS nationkey_min,
+               count(*) AS n_records
+        FROM r GROUP BY entity_id)
+SELECT a.entity_id, nm.name AS name_mode, sg.segment AS segment_mode,
+       a.acctbal_max, a.nationkey_min, a.n_records
+FROM agg a
+JOIN nm ON nm.entity_id = a.entity_id AND nm.rn = 1
+JOIN sg ON sg.entity_id = a.entity_id AND sg.rn = 1
+ORDER BY a.entity_id
+"""
+
+
+def surface_edit_clusters(sf_dir: str):
+    """Connected components of the PassJoin edit-distance-≤2 surface
+    graph via distributed min-label propagation
+    (:func:`sbb_ned_ray.stages.cluster.label_propagation_components`),
+    i.e. fuzzy surface-form canonicalization: every clustered surface
+    mapped to its component's lexicographically smallest member.
+    ORACLE-checked against a DuckDB recursive-CTE min-label walk over
+    ``levenshtein() <= 2`` pairs."""
+    from sbb_ned_ray.stages.cluster import label_propagation_components
+    from sbb_ned_ray.stages.editjoin import edit_distance_pairs
+    pages_dir = pages_dir_for_sf(sf_dir)
+    surf = ray.data.read_parquet(f"{pages_dir}/mentions_gt.parquet",
+                                 columns=["surface"])
+    pairs = edit_distance_pairs(surf, "surface", k=2)
+    comp = label_propagation_components(pairs, src="s_a", dst="s_b",
+                                        max_iters=64)
+    df = comp.to_pandas().rename(columns={"node": "surface",
+                                          "component": "canonical"})
+    return df.sort_values("surface").reset_index(drop=True)
+
+
+def _oracle_surface_clusters(sf_dir: str = "/root/testdata/sf0.01"
+                             ) -> str:
+    return f"""
+WITH RECURSIVE d AS (SELECT DISTINCT surface AS s
+                     FROM read_parquet('{_cooc_fixture_path(sf_dir)}')),
+p AS (SELECT a.s AS sa, b.s AS sb
+      FROM d a JOIN d b ON a.s < b.s
+      WHERE levenshtein(a.s, b.s) <= 2),
+e AS (SELECT sa AS s, sb AS t FROM p UNION ALL SELECT sb, sa FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.t, walk.lab FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.lab < e.t
+)
+SELECT node AS surface, min(lab) AS canonical FROM walk GROUP BY node
+ORDER BY surface
+"""
+
+
 ORACLE_SHINGLE_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4374,6 +4459,8 @@ _QUERY_FNS = {
     "docs_shingle_jaccard": docs_shingle_jaccard,
     "linkage_patterns": linkage_patterns,
     "linkage_em_quality": linkage_em_quality,
+    "linkage_golden_records": linkage_golden_records,
+    "surface_edit_clusters": surface_edit_clusters,
 }
 
 ORACLE_SQL = {
@@ -4452,6 +4539,8 @@ ORACLE_SQL = {
     "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "docs_shingle_jaccard": ORACLE_SHINGLE_JACCARD,
     "linkage_patterns": _oracle_linkage_patterns(),
+    "linkage_golden_records": _oracle_linkage_golden(),
+    "surface_edit_clusters": _oracle_surface_clusters(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4474,6 +4563,8 @@ _SF_ORACLES = {
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,
     "linkage_patterns": _oracle_linkage_patterns,
+    "linkage_golden_records": _oracle_linkage_golden,
+    "surface_edit_clusters": _oracle_surface_clusters,
 }
 
 

@@ -214,6 +214,58 @@ def fs_em(patterns: np.ndarray, counts: np.ndarray, k: int,
             "posterior": posterior, "ll": lls}
 
 
+def survivorship(records: ray.data.Dataset, cluster_col: str,
+                 mode_cols: list[str], max_cols: list[str],
+                 min_cols: list[str], nparts: int = 32
+                 ) -> ray.data.Dataset:
+    """Golden-record survivorship: one row per cluster with per-field
+    merge rules — ``mode`` (most frequent value, lexicographically
+    smallest on ties), ``max``, ``min``, plus the member count.  The
+    canonical "merge the matched records" step of an entity-resolution
+    pipeline (the reference keeps one winning candidate per mention —
+    ``decide`` in ``qurator/sbb_ned/models/decider.py``; survivorship
+    is the record-side equivalent).
+
+    Distributed shape: ONE int32-bucketed exchange on the cluster key;
+    every rule is a vectorized pandas aggregate inside the bucket.
+    Mode inherently needs the (cluster, value) rows co-located — that
+    single shuffle is the whole cost."""
+    from sbb_ned_ray.stages.graph import _add_hash_part, _pd_to_arrow
+
+    cols = [cluster_col] + mode_cols + max_cols + min_cols
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        return _pd_to_arrow(_add_hash_part(df[cols], [cluster_col],
+                                           nparts))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby(cluster_col, sort=True).size() \
+            .rename("n_records").reset_index()
+        for c in mode_cols:
+            cnt = df.groupby([cluster_col, c], sort=False).size() \
+                .rename("_cnt").reset_index() \
+                .sort_values([cluster_col, "_cnt", c],
+                             ascending=[True, False, True])
+            pick = cnt.drop_duplicates(cluster_col)[[cluster_col, c]] \
+                .rename(columns={c: f"{c}_mode"})
+            out = out.merge(pick, on=cluster_col)
+        for c in max_cols:
+            agg = df.groupby(cluster_col, sort=False)[c].max() \
+                .rename(f"{c}_max").reset_index()
+            out = out.merge(agg, on=cluster_col)
+        for c in min_cols:
+            agg = df.groupby(cluster_col, sort=False)[c].min() \
+                .rename(f"{c}_min").reset_index()
+            out = out.merge(agg, on=cluster_col)
+        front = [cluster_col] + [f"{c}_mode" for c in mode_cols] + \
+            [f"{c}_max" for c in max_cols] + \
+            [f"{c}_min" for c in min_cols] + ["n_records"]
+        return _pd_to_arrow(out[front])
+
+    return records.map_batches(bucket, batch_format="pandas") \
+        .groupby("_part").map_groups(per_bucket, batch_format="pandas")
+
+
 def linkage_quality(records: ray.data.Dataset,
                     threshold: float = 0.5) -> pd.DataFrame:
     """Full unsupervised FS linkage + evaluation against the known

@@ -97,6 +97,25 @@ def test_em_recovers_planted_params():
     assert np.allclose(fit["u"], u_true, atol=0.03)
 
 
+def test_survivorship_rules(ray_session):
+    from sbb_ned_ray.stages.linkage import survivorship
+    df = pd.DataFrame({
+        "cl": [1, 1, 1, 2, 2, 3],
+        "name": ["b", "a", "a", "z", "y", "q"],   # cl1 mode=a;
+        "seg": ["X", "Y", "X", "P", "P", "Q"],    # cl2 tie → lex min
+        "bal": [5.0, 7.0, 1.0, 2.0, 3.0, 4.0],
+        "nk": [9, 2, 5, 1, 1, 8]})
+    out = survivorship(ray.data.from_pandas(df), "cl",
+                       mode_cols=["name", "seg"], max_cols=["bal"],
+                       min_cols=["nk"], nparts=4).to_pandas() \
+        .sort_values("cl").reset_index(drop=True)
+    assert out["name_mode"].tolist() == ["a", "y", "q"]
+    assert out["seg_mode"].tolist() == ["X", "P", "Q"]
+    assert out["bal_max"].tolist() == [7.0, 3.0, 4.0]
+    assert out["nk_min"].tolist() == [2, 1, 8]
+    assert out["n_records"].tolist() == [3, 2, 1]
+
+
 def test_linkage_quality_gates(ray_session):
     out = linkage_quality(ray.data.read_parquet(dirty_records_path(SF)))
     assert int(out["ll_monotone"].iloc[0]) == 1
