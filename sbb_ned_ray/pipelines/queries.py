@@ -4321,6 +4321,49 @@ ORDER BY surface
 """
 
 
+def meta_blocking_cnp(sf_dir: str):
+    """Meta-blocking over the dirty-records table: name-trigram token
+    blocking → block purging → CBS edge weights → cardinality node
+    pruning (top-5 neighbors per record, OR semantics)
+    (:func:`sbb_ned_ray.stages.blockjoin.meta_blocking_cnp`) — the
+    web-scale comparison-pruning step between blocking and pairwise
+    scoring (Papadakis et al., TKDE 2014).  ORACLE-checked against a
+    DuckDB trigram-unnest + window-rank recomputation."""
+    from sbb_ned_ray.stages.blockjoin import meta_blocking_cnp as cnp
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir),
+                                 columns=["rec_id", "name"])
+    out = cnp(recs, "rec_id", "name", k_neighbors=5, max_block=64,
+              min_weight=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _oracle_meta_blocking(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT rec_id, name
+           FROM read_parquet('{dirty_records_path(sf_dir)}')),
+tok AS (SELECT DISTINCT rec_id, substr(name, i, 3) AS tg
+        FROM r, LATERAL (SELECT unnest(range(1, len(name) - 1)) AS i)
+            t),
+bl AS (SELECT tg FROM tok GROUP BY tg HAVING count(*) <= 64),
+m AS (SELECT tok.rec_id, tok.tg FROM tok JOIN bl USING (tg)),
+e AS (SELECT a.rec_id AS na, b.rec_id AS nb, count(*) AS w
+      FROM m a JOIN m b ON a.tg = b.tg AND a.rec_id < b.rec_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+dir AS (SELECT na AS s, nb AS d, w FROM e
+        UNION ALL SELECT nb, na, w FROM e),
+topk AS (SELECT s, d, w,
+                ROW_NUMBER() OVER (PARTITION BY s
+                                   ORDER BY w DESC, d ASC) AS rn
+         FROM dir)
+SELECT DISTINCT LEAST(s, d) AS id_a, GREATEST(s, d) AS id_b, w
+FROM topk WHERE rn <= 5
+ORDER BY id_a, id_b
+"""
+
+
 ORACLE_SHINGLE_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4461,6 +4504,7 @@ _QUERY_FNS = {
     "linkage_em_quality": linkage_em_quality,
     "linkage_golden_records": linkage_golden_records,
     "surface_edit_clusters": surface_edit_clusters,
+    "meta_blocking_cnp": meta_blocking_cnp,
 }
 
 ORACLE_SQL = {
@@ -4541,6 +4585,7 @@ ORACLE_SQL = {
     "linkage_patterns": _oracle_linkage_patterns(),
     "linkage_golden_records": _oracle_linkage_golden(),
     "surface_edit_clusters": _oracle_surface_clusters(),
+    "meta_blocking_cnp": _oracle_meta_blocking(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4565,6 +4610,7 @@ _SF_ORACLES = {
     "linkage_patterns": _oracle_linkage_patterns,
     "linkage_golden_records": _oracle_linkage_golden,
     "surface_edit_clusters": _oracle_surface_clusters,
+    "meta_blocking_cnp": _oracle_meta_blocking,
 }
 
 

@@ -100,6 +100,40 @@ def test_shingle_jaccard_matches_brute_force(ray_session):
         assert len(got) == len(got_set)
 
 
+def test_meta_blocking_cnp_semantics(ray_session):
+    from sbb_ned_ray.stages.blockjoin import meta_blocking_cnp
+    # names crafted so trigram overlap is obvious: x1/x2 share all
+    # trigrams; y shares none with x
+    df = pd.DataFrame({
+        "rid": [1, 2, 3, 4],
+        "nm": ["abcdef", "abcdef", "zzzzzz", "abcxyz"]})
+    got = meta_blocking_cnp(ray.data.from_pandas(df), "rid", "nm",
+                            k_neighbors=2, max_block=64,
+                            min_weight=2, nparts=4).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["w"]))
+    # 1-2 share 4 trigrams (abc bcd cde def); 1-4 and 2-4 share 1
+    # (abc) < min_weight → pruned; 3 is isolated
+    assert got_set == {(1, 2, 4)}
+
+
+def test_meta_blocking_keeps_planted_dups(ray_session):
+    # pair completeness on the dirty-records fixture: most planted
+    # duplicate pairs must survive purging + CNP
+    from sbb_ned_ray.stages.blockjoin import meta_blocking_cnp
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    import pyarrow.parquet as pq
+    path = dirty_records_path("/root/testdata/sf0.001")
+    recs = ray.data.read_parquet(path, columns=["rec_id", "name"])
+    got = meta_blocking_cnp(recs, "rec_id", "name", k_neighbors=5,
+                            max_block=64, min_weight=2).to_pandas()
+    kept = set(zip(got["id_a"], got["id_b"]))
+    t = pq.read_table(path).to_pandas()
+    dup_ids = t[t["rec_id"] % 2 == 1]["entity_id"]
+    gt = {(2 * int(e), 2 * int(e) + 1) for e in dup_ids}
+    pc = len(gt & kept) / len(gt)
+    assert pc >= 0.8, pc
+
+
 def test_shingle_jaccard_short_docs_never_pair(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({
         "doc_id": [1, 2, 3, 4],
