@@ -4364,6 +4364,47 @@ ORDER BY id_a, id_b
 """
 
 
+def linkage_fuzzy_match(sf_dir: str):
+    """For every planted duplicate record, its Jaro–Winkler best-match
+    original within the nationkey block
+    (:func:`sbb_ned_ray.stages.linkage.fuzzy_best_match`).
+    ORACLE-checked against DuckDB's ``jaro_winkler_similarity`` +
+    window rank (the Python JW is double-identical to DuckDB's —
+    see the stage docstring)."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            fuzzy_best_match)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+
+    def add_side(t):
+        import pyarrow.compute as pc
+        side = pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")
+        return t.append_column("side", side)
+
+    recs = recs.map_batches(add_side, batch_format="pyarrow")
+    out = fuzzy_best_match(recs, "nationkey", "rec_id", "name",
+                           "side").to_pandas()
+    return out.sort_values("rec_id").reset_index(drop=True)
+
+
+def _oracle_linkage_fuzzy(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT a.rec_id AS rid, b.rec_id AS cand,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM r a JOIN r b ON a.nationkey = b.nationkey
+      WHERE a.rec_id % 2 = 1 AND b.rec_id % 2 = 0),
+rk AS (SELECT rid, cand, jw,
+              ROW_NUMBER() OVER (PARTITION BY rid
+                                 ORDER BY jw DESC, cand ASC) AS rn
+       FROM p)
+SELECT rid AS rec_id, cand AS match_id,
+       CAST(floor(jw * 1000000 + 0.5) AS BIGINT) AS jw_e6
+FROM rk WHERE rn = 1
+ORDER BY rec_id
+"""
+
+
 ORACLE_SHINGLE_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4505,6 +4546,7 @@ _QUERY_FNS = {
     "linkage_golden_records": linkage_golden_records,
     "surface_edit_clusters": surface_edit_clusters,
     "meta_blocking_cnp": meta_blocking_cnp,
+    "linkage_fuzzy_match": linkage_fuzzy_match,
 }
 
 ORACLE_SQL = {
@@ -4586,6 +4628,7 @@ ORACLE_SQL = {
     "linkage_golden_records": _oracle_linkage_golden(),
     "surface_edit_clusters": _oracle_surface_clusters(),
     "meta_blocking_cnp": _oracle_meta_blocking(),
+    "linkage_fuzzy_match": _oracle_linkage_fuzzy(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4611,6 +4654,7 @@ _SF_ORACLES = {
     "linkage_golden_records": _oracle_linkage_golden,
     "surface_edit_clusters": _oracle_surface_clusters,
     "meta_blocking_cnp": _oracle_meta_blocking,
+    "linkage_fuzzy_match": _oracle_linkage_fuzzy,
 }
 
 

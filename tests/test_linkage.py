@@ -116,6 +116,43 @@ def test_survivorship_rules(ray_session):
     assert out["n_records"].tolist() == [3, 2, 1]
 
 
+def test_jaro_winkler_matches_duckdb():
+    import duckdb
+    from sbb_ned_ray.stages.linkage import jaro_winkler
+    con = duckdb.connect()
+    import random
+    rng = random.Random(2)
+    names = ["martha", "marhta", "dwayne", "duane", "dixon",
+             "dicksonx", "", "a", "Customer#000000042",
+             "Customer#000000024"]
+    names += ["".join(rng.choice("abcXY01 ") for _ in
+                      range(rng.randrange(0, 15))) for _ in range(40)]
+    for a in names:
+        for b in names:
+            if not a and not b:
+                continue  # DuckDB convention: handled as 0.0 our side
+            d = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)",
+                [a, b]).fetchone()[0]
+            assert abs(jaro_winkler(a, b) - d) < 1e-12, (a, b)
+
+
+def test_fuzzy_best_match_finds_originals(ray_session):
+    import pyarrow.compute as pc
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            fuzzy_best_match)
+    recs = ray.data.read_parquet(dirty_records_path(SF)).map_batches(
+        lambda t: t.append_column(
+            "side", pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")),
+        batch_format="pyarrow")
+    out = fuzzy_best_match(recs, "nationkey", "rec_id", "name",
+                           "side").to_pandas()
+    # each probe is 2e+1; its true original is 2e — JW best-match must
+    # recover the vast majority
+    correct = (out["match_id"] == out["rec_id"] - 1).mean()
+    assert correct >= 0.9, correct
+
+
 def test_linkage_quality_gates(ray_session):
     out = linkage_quality(ray.data.read_parquet(dirty_records_path(SF)))
     assert int(out["ll_monotone"].iloc[0]) == 1
