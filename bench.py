@@ -37,7 +37,7 @@ SCALING_SPEC = dict(n_pages=100_000, n_entities=1500, n_gt_pairs=8000,
 
 # secondary pipelines (name → zero-arg runner built inside the child)
 SECONDARY = ("minhash_dedup", "doc_analysis", "knn_cosine", "q1_pricing",
-             "corpus_profile", "ivf_serve")
+             "corpus_profile", "ivf_serve", "er_linkage")
 
 
 def _secondary_fn(name: str):
@@ -52,6 +52,9 @@ def _secondary_fn(name: str):
         # the one-time bucketing build (fingerprint-cached in /tmp),
         # best-of-3 reports the warm serve cost — the deployment shape
         "ivf_serve": lambda: Q.knn_cosine_ivf(SF_DIR),
+        # round 5: the unsupervised Fellegi-Sunter record-linkage
+        # pipeline (blocked pattern contingency → EM → quality)
+        "er_linkage": lambda: Q.linkage_em_quality(SF_DIR),
     }[name]
 
 
