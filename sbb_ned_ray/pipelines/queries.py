@@ -4405,6 +4405,126 @@ ORDER BY rec_id
 """
 
 
+def _rhu_e6(num: int, den: int) -> int:
+    """Integer round-half-up of num/den at 1e-6 — matches the SQL
+    ``(num*2000000 + den) // (2*den)``."""
+    return (num * 2_000_000 + den) // (2 * den) if den else 0
+
+
+def blocking_workload_metrics(sf_dir: str):
+    """Reduction ratio + pair completeness of the two round-5 blockers
+    over the dirty-records table, against the planted duplicate pairs:
+    sorted-neighborhood (window 5 on name) vs meta-blocking CNP.
+    The standard blocking-evaluation pair (Christen, "Data Matching",
+    2012) — counts stay distributed (gt membership rides a broadcast
+    set, evaluation-sized), only three integers per method reach the
+    driver.  ORACLE-checked: DuckDB recomputes both candidate sets and
+    the same integer-quantized ratios."""
+    import numpy as np
+
+    from sbb_ned_ray.stages.blockjoin import (meta_blocking_cnp as cnp,
+                                              sorted_neighborhood_pairs)
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    path = dirty_records_path(sf_dir)
+    recs = ray.data.read_parquet(path)
+    n = recs.count()
+    total = n * (n - 1) // 2
+    gt_ids = ray.data.read_parquet(path, columns=["rec_id", "entity_id"]) \
+        .map_batches(lambda t: t.filter(
+            __import__("pyarrow").compute.equal(
+                __import__("pyarrow").compute.bit_wise_and(
+                    t["rec_id"], 1), 1)), batch_format="pyarrow") \
+        .to_pandas()
+    gt = {(2 * int(e), 2 * int(e) + 1) for e in gt_ids["entity_id"]}
+    gt_ref = ray.put(gt)
+
+    def _metrics(cand: ray.data.Dataset) -> tuple:
+        def hit_count(df):
+            g = ray.get(gt_ref)
+            hits = sum((int(a), int(b)) in g
+                       for a, b in zip(df["id_a"], df["id_b"]))
+            return pd.DataFrame({"n": [len(df)], "hits": [hits]})
+
+        agg = cand.map_batches(hit_count,
+                               batch_format="pandas").to_pandas()
+        return int(agg["n"].sum()), int(agg["hits"].sum())
+
+    snm_pairs = sorted_neighborhood_pairs(
+        recs.select_columns(["rec_id", "name"]), "name", "rec_id", 5)
+
+    def canon(t):
+        import pyarrow.compute as pc
+        lo = pc.min_element_wise(t["id_a"], t["id_b"])
+        hi = pc.max_element_wise(t["id_a"], t["id_b"])
+        return pa.table({"id_a": lo, "id_b": hi})
+
+    snm_n, snm_hits = _metrics(
+        snm_pairs.map_batches(canon, batch_format="pyarrow"))
+    mb_n, mb_hits = _metrics(cnp(
+        recs.select_columns(["rec_id", "name"]), "rec_id", "name",
+        k_neighbors=5, max_block=64, min_weight=2))
+    rows = []
+    for method, c, hits in (("meta_blocking", mb_n, mb_hits),
+                            ("snm", snm_n, snm_hits)):
+        rows.append({"method": method, "n_candidates": c,
+                     "reduction_ratio_e6": _rhu_e6(total - c, total),
+                     "pair_completeness_e6": _rhu_e6(hits, len(gt))})
+    return pd.DataFrame(rows).sort_values("method").reset_index(drop=True)
+
+
+def _oracle_blocking_metrics(sf_dir: str = "/root/testdata/sf0.01"
+                             ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    path = dirty_records_path(sf_dir)
+    return f"""
+WITH r AS (SELECT rec_id, entity_id, name
+           FROM read_parquet('{path}')),
+tot AS (SELECT count(*) * (count(*) - 1) // 2 AS t FROM r),
+gt AS (SELECT 2 * entity_id AS a, 2 * entity_id + 1 AS b
+       FROM r WHERE rec_id % 2 = 1),
+rk AS (SELECT rec_id,
+              ROW_NUMBER() OVER (ORDER BY name, rec_id) AS rn FROM r),
+snm AS (SELECT LEAST(x.rec_id, y.rec_id) AS id_a,
+               GREATEST(x.rec_id, y.rec_id) AS id_b
+        FROM rk x JOIN rk y ON y.rn > x.rn AND y.rn - x.rn < 5),
+tok AS (SELECT DISTINCT rec_id, substr(name, i, 3) AS tg
+        FROM r, LATERAL (SELECT unnest(range(1, len(name) - 1)) AS i)
+            t),
+bl AS (SELECT tg FROM tok GROUP BY tg HAVING count(*) <= 64),
+m AS (SELECT tok.rec_id, tok.tg FROM tok JOIN bl USING (tg)),
+e AS (SELECT a.rec_id AS na, b.rec_id AS nb, count(*) AS w
+      FROM m a JOIN m b ON a.tg = b.tg AND a.rec_id < b.rec_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+dir AS (SELECT na AS s, nb AS d, w FROM e
+        UNION ALL SELECT nb, na, w FROM e),
+tk AS (SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                                       ORDER BY w DESC, d ASC) AS rn
+       FROM dir),
+mb AS (SELECT DISTINCT LEAST(s, d) AS id_a, GREATEST(s, d) AS id_b
+       FROM tk WHERE rn <= 5),
+stats AS (
+  SELECT 'snm' AS method,
+         (SELECT count(*) FROM snm) AS n_candidates,
+         (SELECT count(*) FROM snm JOIN gt
+            ON snm.id_a = gt.a AND snm.id_b = gt.b) AS hits
+  UNION ALL
+  SELECT 'meta_blocking',
+         (SELECT count(*) FROM mb),
+         (SELECT count(*) FROM mb JOIN gt
+            ON mb.id_a = gt.a AND mb.id_b = gt.b))
+SELECT method, n_candidates,
+       (((SELECT t FROM tot) - n_candidates) * 2000000
+        + (SELECT t FROM tot))
+           // (2 * (SELECT t FROM tot)) AS reduction_ratio_e6,
+       CASE WHEN (SELECT count(*) FROM gt) = 0 THEN 0
+            ELSE (hits * 2000000 + (SELECT count(*) FROM gt))
+                 // (2 * (SELECT count(*) FROM gt)) END
+           AS pair_completeness_e6
+FROM stats
+ORDER BY method
+"""
+
+
 ORACLE_SHINGLE_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4547,6 +4667,7 @@ _QUERY_FNS = {
     "surface_edit_clusters": surface_edit_clusters,
     "meta_blocking_cnp": meta_blocking_cnp,
     "linkage_fuzzy_match": linkage_fuzzy_match,
+    "blocking_workload_metrics": blocking_workload_metrics,
 }
 
 ORACLE_SQL = {
@@ -4629,6 +4750,7 @@ ORACLE_SQL = {
     "surface_edit_clusters": _oracle_surface_clusters(),
     "meta_blocking_cnp": _oracle_meta_blocking(),
     "linkage_fuzzy_match": _oracle_linkage_fuzzy(),
+    "blocking_workload_metrics": _oracle_blocking_metrics(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4655,6 +4777,7 @@ _SF_ORACLES = {
     "surface_edit_clusters": _oracle_surface_clusters,
     "meta_blocking_cnp": _oracle_meta_blocking,
     "linkage_fuzzy_match": _oracle_linkage_fuzzy,
+    "blocking_workload_metrics": _oracle_blocking_metrics,
 }
 
 
