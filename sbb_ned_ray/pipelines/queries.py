@@ -4405,6 +4405,57 @@ ORDER BY rec_id
 """
 
 
+def linkage_reciprocal_match(sf_dir: str):
+    """One-to-one Jaro–Winkler matching: keep a (duplicate, original)
+    pair only when each is the other's best match within the block
+    (:func:`sbb_ned_ray.stages.linkage.reciprocal_best_match`).
+    ORACLE-checked against a DuckDB twin with one window rank per
+    direction joined on reciprocity."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            reciprocal_best_match)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+
+    def add_side(t):
+        import pyarrow.compute as pc
+        side = pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")
+        return t.append_column("side", side)
+
+    recs = recs.map_batches(add_side, batch_format="pyarrow")
+    out = reciprocal_best_match(recs, "nationkey", "rec_id", "name",
+                                "side").to_pandas()
+    return out.sort_values("rec_id").reset_index(drop=True)
+
+
+def _oracle_linkage_reciprocal(sf_dir: str = "/root/testdata/sf0.01"
+                               ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    path = dirty_records_path(sf_dir)
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{path}')),
+p AS (SELECT a.rec_id AS rid, b.rec_id AS cand,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM r a JOIN r b ON a.nationkey = b.nationkey
+      WHERE a.rec_id % 2 = 1 AND b.rec_id % 2 = 0),
+f AS (SELECT rid, cand, jw,
+             ROW_NUMBER() OVER (PARTITION BY rid
+                                ORDER BY jw DESC, cand ASC) AS rn
+      FROM p),
+q AS (SELECT b.rec_id AS rid, a.rec_id AS cand,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM r a JOIN r b ON a.nationkey = b.nationkey
+      WHERE a.rec_id % 2 = 1 AND b.rec_id % 2 = 0),
+g AS (SELECT rid, cand, jw,
+             ROW_NUMBER() OVER (PARTITION BY rid
+                                ORDER BY jw DESC, cand ASC) AS rn
+      FROM q)
+SELECT f.rid AS rec_id, f.cand AS match_id,
+       CAST(floor(f.jw * 1000000 + 0.5) AS BIGINT) AS jw_e6
+FROM f JOIN g ON g.rid = f.cand AND g.cand = f.rid
+               AND g.rn = 1 AND f.rn = 1
+ORDER BY rec_id
+"""
+
+
 def _rhu_e6(num: int, den: int) -> int:
     """Integer round-half-up of num/den at 1e-6 — matches the SQL
     ``(num*2000000 + den) // (2*den)``."""
@@ -4668,6 +4719,7 @@ _QUERY_FNS = {
     "meta_blocking_cnp": meta_blocking_cnp,
     "linkage_fuzzy_match": linkage_fuzzy_match,
     "blocking_workload_metrics": blocking_workload_metrics,
+    "linkage_reciprocal_match": linkage_reciprocal_match,
 }
 
 ORACLE_SQL = {
@@ -4751,6 +4803,7 @@ ORACLE_SQL = {
     "meta_blocking_cnp": _oracle_meta_blocking(),
     "linkage_fuzzy_match": _oracle_linkage_fuzzy(),
     "blocking_workload_metrics": _oracle_blocking_metrics(),
+    "linkage_reciprocal_match": _oracle_linkage_reciprocal(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4778,6 +4831,7 @@ _SF_ORACLES = {
     "meta_blocking_cnp": _oracle_meta_blocking,
     "linkage_fuzzy_match": _oracle_linkage_fuzzy,
     "blocking_workload_metrics": _oracle_blocking_metrics,
+    "linkage_reciprocal_match": _oracle_linkage_reciprocal,
 }
 
 

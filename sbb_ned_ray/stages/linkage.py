@@ -305,6 +305,61 @@ def fuzzy_best_match(records: ray.data.Dataset, block_col: str,
         .map_groups(per_block, batch_format="pandas")
 
 
+def reciprocal_best_match(records: ray.data.Dataset, block_col: str,
+                          id_col: str, name_col: str, side_col: str,
+                          nparts: int = 32) -> ray.data.Dataset:
+    """One-to-one fuzzy matching by reciprocal best hit: a (probe,
+    index) pair survives only if each is the other's Jaro–Winkler
+    best match — the standard symmetric-assignment constraint of
+    deterministic linkage (each record may match at most one record
+    on the other side, no chains).  Runs
+    :func:`fuzzy_best_match` in both directions and intersects via
+    one bucketed exchange on the pair key."""
+    from sbb_ned_ray.stages.graph import _add_hash_part, _pd_to_arrow
+
+    fwd = fuzzy_best_match(records, block_col, id_col, name_col,
+                           side_col)
+
+    def flip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flipped = pc.subtract(1, t[side_col])
+        return t.set_column(t.schema.get_field_index(side_col),
+                            side_col, flipped)
+
+    bwd = fuzzy_best_match(records.map_batches(
+        flip, batch_format="pyarrow"), block_col, id_col, name_col,
+        side_col)
+
+    def tag(is_fwd: bool):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            if is_fwd:
+                a = df["rec_id"].to_numpy(np.int64)
+                b = df["match_id"].to_numpy(np.int64)
+            else:
+                a = df["match_id"].to_numpy(np.int64)
+                b = df["rec_id"].to_numpy(np.int64)
+            out = pd.DataFrame({"a": a, "b": b,
+                                "jw_e6": df["jw_e6"].to_numpy(np.int64),
+                                "s": np.int8(0 if is_fwd else 1)})
+            return _pd_to_arrow(_add_hash_part(out, ["a", "b"], nparts))
+        return fn
+
+    both = fwd.map_batches(tag(True), batch_format="pandas") \
+        .union(bwd.map_batches(tag(False), batch_format="pandas"))
+
+    def keep_reciprocal(df: pd.DataFrame) -> pa.Table:
+        sides = df.groupby(["a", "b"], sort=False)["s"].nunique()
+        ok = sides[sides == 2].reset_index()[["a", "b"]]
+        f = df[df["s"] == 0].merge(ok, on=["a", "b"])
+        return _pd_to_arrow(pd.DataFrame({
+            "rec_id": f["a"].to_numpy(np.int64),
+            "match_id": f["b"].to_numpy(np.int64),
+            "jw_e6": f["jw_e6"].to_numpy(np.int64)}))
+
+    return both.groupby("_part") \
+        .map_groups(keep_reciprocal, batch_format="pandas")
+
+
 def survivorship(records: ray.data.Dataset, cluster_col: str,
                  mode_cols: list[str], max_cols: list[str],
                  min_cols: list[str], nparts: int = 32
