@@ -4456,6 +4456,123 @@ ORDER BY rec_id
 """
 
 
+def er_dedupe_golden(sf_dir: str):
+    """END-TO-END entity resolution over the dirty-records table, the
+    full classical chain in one composition: reciprocal Jaro–Winkler
+    matching → distributed min-label connected components (singletons
+    keep their own id) → golden-record survivorship per cluster.
+    Every stage is the already-oracle-checked operator; the chain
+    itself is ORACLE-checked against one DuckDB query (window-rank
+    reciprocity → recursive-CTE components → window/group
+    survivorship)."""
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.stages.cluster import label_propagation_components
+    from sbb_ned_ray.stages.graph import _add_hash_part, _pd_to_arrow
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            reciprocal_best_match,
+                                            survivorship)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    sided = recs.map_batches(
+        lambda t: t.append_column("side", pc.cast(
+            pc.bit_wise_and(t["rec_id"], 1), "int32")),
+        batch_format="pyarrow")
+    matches = reciprocal_best_match(sided, "nationkey", "rec_id",
+                                    "name", "side")
+    comp = label_propagation_components(matches, src="rec_id",
+                                        dst="match_id", max_iters=64)
+
+    # attach cluster ids (own id when unmatched) via one bucketed
+    # co-shuffle on rec_id
+    nparts = 32
+
+    def tag_rec(df):
+        out = df.copy()
+        out["_k"] = out["rec_id"].astype("int64")
+        out["_s"] = np.int8(0)
+        out["cluster"] = np.int64(0)
+        return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
+
+    def tag_comp(df):
+        out = pd.DataFrame({"_k": df["node"].astype("int64"),
+                            "cluster": df["component"].astype("int64")})
+        out["_s"] = np.int8(1)
+        return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
+
+    def attach(df):
+        r = df[df["_s"] == 0].drop(columns=["cluster"])
+        c = df[df["_s"] == 1][["_k", "cluster"]]
+        m = r.merge(c, on="_k", how="left")
+        m["cluster"] = m["cluster"].fillna(m["_k"]).astype("int64")
+        keep = ["rec_id", "entity_id", "name", "nationkey", "acctbal",
+                "segment", "cluster"]
+        return _pd_to_arrow(m[[k for k in keep if k in m.columns]])
+
+    clustered = recs.map_batches(tag_rec, batch_format="pandas") \
+        .union(comp.map_batches(tag_comp, batch_format="pandas")) \
+        .groupby("_part").map_groups(attach, batch_format="pandas")
+
+    out = survivorship(clustered, "cluster",
+                       mode_cols=["name", "segment"],
+                       max_cols=["acctbal"],
+                       min_cols=["nationkey"]).to_pandas()
+    out["nationkey_min"] = out["nationkey_min"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+def _oracle_er_dedupe(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    path = dirty_records_path(sf_dir)
+    return f"""
+WITH RECURSIVE r AS (SELECT * FROM read_parquet('{path}')),
+p AS (SELECT a.rec_id AS rid, b.rec_id AS cand,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM r a JOIN r b ON a.nationkey = b.nationkey
+      WHERE a.rec_id % 2 = 1 AND b.rec_id % 2 = 0),
+f AS (SELECT rid, cand,
+             ROW_NUMBER() OVER (PARTITION BY rid
+                                ORDER BY jw DESC, cand ASC) AS rn
+      FROM p),
+g AS (SELECT cand AS rid, rid AS cand,
+             ROW_NUMBER() OVER (PARTITION BY cand
+                                ORDER BY jw DESC, rid ASC) AS rn
+      FROM p),
+mt AS (SELECT f.rid AS ra, f.cand AS rb
+       FROM f JOIN g ON g.rid = f.cand AND g.cand = f.rid
+                     AND f.rn = 1 AND g.rn = 1),
+e AS (SELECT ra AS s, rb AS t FROM mt UNION ALL SELECT rb, ra FROM mt),
+nodes AS (SELECT rec_id AS node FROM r),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.t, walk.lab FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.lab < e.t
+),
+cl AS (SELECT node, min(lab) AS cluster FROM walk GROUP BY node),
+rc AS (SELECT r.*, cl.cluster FROM r JOIN cl ON cl.node = r.rec_id),
+nm AS (SELECT cluster, name,
+              ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY count(*) DESC, name ASC)
+                  AS rn
+       FROM rc GROUP BY cluster, name),
+sg AS (SELECT cluster, segment,
+              ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY count(*) DESC, segment ASC)
+                  AS rn
+       FROM rc GROUP BY cluster, segment),
+agg AS (SELECT cluster, max(acctbal) AS acctbal_max,
+               CAST(min(nationkey) AS BIGINT) AS nationkey_min,
+               count(*) AS n_records
+        FROM rc GROUP BY cluster)
+SELECT a.cluster, nm.name AS name_mode, sg.segment AS segment_mode,
+       a.acctbal_max, a.nationkey_min, a.n_records
+FROM agg a
+JOIN nm ON nm.cluster = a.cluster AND nm.rn = 1
+JOIN sg ON sg.cluster = a.cluster AND sg.rn = 1
+ORDER BY a.cluster
+"""
+
+
 def _rhu_e6(num: int, den: int) -> int:
     """Integer round-half-up of num/den at 1e-6 — matches the SQL
     ``(num*2000000 + den) // (2*den)``."""
@@ -4720,6 +4837,7 @@ _QUERY_FNS = {
     "linkage_fuzzy_match": linkage_fuzzy_match,
     "blocking_workload_metrics": blocking_workload_metrics,
     "linkage_reciprocal_match": linkage_reciprocal_match,
+    "er_dedupe_golden": er_dedupe_golden,
 }
 
 ORACLE_SQL = {
@@ -4804,6 +4922,7 @@ ORACLE_SQL = {
     "linkage_fuzzy_match": _oracle_linkage_fuzzy(),
     "blocking_workload_metrics": _oracle_blocking_metrics(),
     "linkage_reciprocal_match": _oracle_linkage_reciprocal(),
+    "er_dedupe_golden": _oracle_er_dedupe(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4832,6 +4951,7 @@ _SF_ORACLES = {
     "linkage_fuzzy_match": _oracle_linkage_fuzzy,
     "blocking_workload_metrics": _oracle_blocking_metrics,
     "linkage_reciprocal_match": _oracle_linkage_reciprocal,
+    "er_dedupe_golden": _oracle_er_dedupe,
 }
 
 
