@@ -4573,6 +4573,53 @@ ORDER BY a.cluster
 """
 
 
+def linkage_patterns_cc(sf_dir: str):
+    """CLEAN-CLEAN (two-source) agreement-pattern counts: originals as
+    source 0, planted duplicates as source 1; only cross-source
+    within-block pairs are compared (Splink ``link_only``).
+    ORACLE-checked like :func:`linkage_patterns` with the side
+    predicate in the join."""
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            patterns_table,
+                                            pattern_contingency)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir)) \
+        .map_batches(lambda t: t.append_column(
+            "side", pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")),
+            batch_format="pyarrow")
+    from sbb_ned_ray.stages.linkage import COMPARISONS
+    c = pattern_contingency(recs, side_col="side")
+    agg = c.groupby("pattern", sort=True)["n_pairs"].sum().reset_index()
+    out = pd.DataFrame({
+        name: ((agg["pattern"].to_numpy() >> i) & 1).astype("int64")
+        for i, name in enumerate(COMPARISONS)})
+    out["n_pairs"] = agg["n_pairs"].to_numpy()
+    return out.sort_values(COMPARISONS).reset_index(drop=True)
+
+
+def _oracle_linkage_patterns_cc(sf_dir: str = "/root/testdata/sf0.01"
+                                ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT CAST(a.name = b.name AS BIGINT) AS name_exact,
+             CAST(right(a.name, 4) = right(b.name, 4) AS BIGINT)
+                 AS name_sfx4,
+             CAST(a.segment = b.segment AS BIGINT) AS seg_exact,
+             CAST(abs(a.acctbal - b.acctbal) < 0.05 AS BIGINT)
+                 AS bal_close
+      FROM r a JOIN r b
+        ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id
+       AND (a.rec_id % 2) <> (b.rec_id % 2))
+SELECT name_exact, name_sfx4, seg_exact, bal_close,
+       count(*) AS n_pairs
+FROM p
+GROUP BY 1, 2, 3, 4
+ORDER BY name_exact, name_sfx4, seg_exact, bal_close
+"""
+
+
 def _rhu_e6(num: int, den: int) -> int:
     """Integer round-half-up of num/den at 1e-6 — matches the SQL
     ``(num*2000000 + den) // (2*den)``."""
@@ -4838,6 +4885,7 @@ _QUERY_FNS = {
     "blocking_workload_metrics": blocking_workload_metrics,
     "linkage_reciprocal_match": linkage_reciprocal_match,
     "er_dedupe_golden": er_dedupe_golden,
+    "linkage_patterns_cc": linkage_patterns_cc,
 }
 
 ORACLE_SQL = {
@@ -4923,6 +4971,7 @@ ORACLE_SQL = {
     "blocking_workload_metrics": _oracle_blocking_metrics(),
     "linkage_reciprocal_match": _oracle_linkage_reciprocal(),
     "er_dedupe_golden": _oracle_er_dedupe(),
+    "linkage_patterns_cc": _oracle_linkage_patterns_cc(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -4952,6 +5001,7 @@ _SF_ORACLES = {
     "blocking_workload_metrics": _oracle_blocking_metrics,
     "linkage_reciprocal_match": _oracle_linkage_reciprocal,
     "er_dedupe_golden": _oracle_er_dedupe,
+    "linkage_patterns_cc": _oracle_linkage_patterns_cc,
 }
 
 

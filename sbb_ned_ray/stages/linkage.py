@@ -126,12 +126,17 @@ def _pattern_bits(names: np.ndarray, segs: np.ndarray,
             | (bal_close.astype(np.int64) << 3))
 
 
-def pattern_contingency(records: ray.data.Dataset
-                        ) -> pd.DataFrame:
+def pattern_contingency(records: ray.data.Dataset,
+                        side_col: str | None = None) -> pd.DataFrame:
     """All within-``nationkey``-block pairs → the
     ``(pattern, gt_match) → n_pairs`` contingency (≤ 2^k·2 rows).
     One narrow groupby over 32-long partial count vectors; pair rows
-    never leave the block group."""
+    never leave the block group.
+
+    ``side_col``: dirty-ER by default (all within-block pairs); pass a
+    0/1 source column for CLEAN-CLEAN two-source linkage — only
+    cross-source pairs are compared (each source assumed internally
+    duplicate-free, the Splink ``link_only`` mode)."""
     k = len(COMPARISONS)
     ncell = (1 << k) * 2
 
@@ -141,6 +146,13 @@ def pattern_contingency(records: ray.data.Dataset
             return pa.table({"cell": pa.array([], pa.int64()),
                              "n_pairs": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(n, k=1)
+        if side_col is not None:
+            s = df[side_col].to_numpy()
+            keep = s[ia] != s[ib]
+            ia, ib = ia[keep], ib[keep]
+            if not len(ia):
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "n_pairs": pa.array([], pa.int64())})
         names = df["name"].to_numpy()
         pat = _pattern_bits(names, df["segment"].to_numpy(),
                             df["acctbal"].to_numpy(np.float64), ia, ib)
