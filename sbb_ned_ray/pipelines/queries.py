@@ -4620,6 +4620,71 @@ ORDER BY name_exact, name_sfx4, seg_exact, bal_close
 """
 
 
+def linkage_incremental_match(sf_dir: str):
+    """INCREMENTAL linkage serving: the clean master (the original
+    records) is persisted ONCE as a content-addressed index
+    hive-partitioned by block bucket
+    (:func:`sbb_ned_ray.stages.linkage.save_linkage_index`); a delta
+    of new records (the planted duplicates from every third nation)
+    is then matched WITHOUT rescanning the master — only the partition
+    buckets the delta's block keys hash to are read
+    (:func:`sbb_ned_ray.stages.linkage.linkage_match_incremental`).
+    Self-asserts the pruning is real (scanned buckets/bytes strictly
+    below totals) AND ORACLE-checked: the DuckDB Jaro–Winkler
+    window-rank twin of ``linkage_fuzzy_match`` restricted to the
+    delta probes — incremental == batch is the serving contract."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            linkage_match_incremental,
+                                            save_linkage_index)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+
+    def flt(mask_fn):
+        def fn(t):
+            import pyarrow as _pa
+            return t.filter(_pa.array(mask_fn(t)))
+        return fn
+
+    corpus = recs.map_batches(flt(
+        lambda t: t["rec_id"].to_numpy(zero_copy_only=False) % 2 == 0),
+        batch_format="pyarrow")
+
+    def delta_mask(t):
+        rid = t["rec_id"].to_numpy(zero_copy_only=False)
+        nk = t["nationkey"].to_numpy(zero_copy_only=False)
+        return (rid % 2 == 1) & (nk % 3 == 0)
+
+    delta = recs.map_batches(flt(delta_mask), batch_format="pyarrow")
+    idx = save_linkage_index(corpus, "/tmp/sbb_ned_ray_artifacts/lkidx",
+                             block_col="nationkey", id_col="rec_id",
+                             name_col="name")
+    out, stats = linkage_match_incremental(idx, delta,
+                                           return_stats=True)
+    assert stats["buckets_scanned"] < stats["buckets_total"], stats
+    assert stats["bytes_scanned"] < stats["bytes_total"], stats
+    return out.to_pandas().sort_values("rec_id").reset_index(drop=True)
+
+
+def _oracle_linkage_incremental(sf_dir: str = "/root/testdata/sf0.01"
+                                ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT a.rec_id AS rid, b.rec_id AS cand,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM r a JOIN r b ON a.nationkey = b.nationkey
+      WHERE a.rec_id % 2 = 1 AND a.nationkey % 3 = 0
+        AND b.rec_id % 2 = 0),
+rk AS (SELECT rid, cand, jw,
+              ROW_NUMBER() OVER (PARTITION BY rid
+                                 ORDER BY jw DESC, cand ASC) AS rn
+       FROM p)
+SELECT rid AS rec_id, cand AS match_id,
+       CAST(floor(jw * 1000000 + 0.5) AS BIGINT) AS jw_e6
+FROM rk WHERE rn = 1
+ORDER BY rec_id
+"""
+
+
 def _rhu_e6(num: int, den: int) -> int:
     """Integer round-half-up of num/den at 1e-6 — matches the SQL
     ``(num*2000000 + den) // (2*den)``."""
@@ -4886,6 +4951,7 @@ _QUERY_FNS = {
     "linkage_reciprocal_match": linkage_reciprocal_match,
     "er_dedupe_golden": er_dedupe_golden,
     "linkage_patterns_cc": linkage_patterns_cc,
+    "linkage_incremental_match": linkage_incremental_match,
 }
 
 ORACLE_SQL = {
@@ -4972,6 +5038,7 @@ ORACLE_SQL = {
     "linkage_reciprocal_match": _oracle_linkage_reciprocal(),
     "er_dedupe_golden": _oracle_er_dedupe(),
     "linkage_patterns_cc": _oracle_linkage_patterns_cc(),
+    "linkage_incremental_match": _oracle_linkage_incremental(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -5002,6 +5069,7 @@ _SF_ORACLES = {
     "linkage_reciprocal_match": _oracle_linkage_reciprocal,
     "er_dedupe_golden": _oracle_er_dedupe,
     "linkage_patterns_cc": _oracle_linkage_patterns_cc,
+    "linkage_incremental_match": _oracle_linkage_incremental,
 }
 
 
