@@ -276,6 +276,86 @@ def jaro_winkler(a: str, b: str, p: float = 0.1,
     return j + l * p * (1 - j)
 
 
+def _pad_codes(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Names → (codepoint matrix padded with -1, lengths)."""
+    n = len(names)
+    lens = np.array([len(s) for s in names], dtype=np.int64)
+    lmax = int(lens.max()) if n else 0
+    mat = np.full((n, max(lmax, 1)), -1, dtype=np.int64)
+    for i, s in enumerate(names):
+        if s:
+            mat[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return mat, lens
+
+
+def jw_row(a: str, cand_mat: np.ndarray, cand_lens: np.ndarray,
+           p: float = 0.1, boost_threshold: float = 0.7) -> np.ndarray:
+    """Jaro–Winkler of ONE probe string against a padded candidate
+    matrix (:func:`_pad_codes`), vectorized across the candidate axis —
+    double-identical to the scalar :func:`jaro_winkler` (same IEEE
+    operation order; bit-parity pinned by
+    ``tests/test_linkage_incremental.py::test_jw_vectorized_parity``).
+    The scalar greedy matching loop runs over the ~20 probe chars; the
+    per-char window/availability/first-hit steps are one numpy pass
+    over all candidates, so a block's best-match scan costs O(probes ×
+    probe_len) numpy steps instead of O(probes × candidates) Python
+    ``jaro`` calls."""
+    C, L = cand_mat.shape
+    la = len(a)
+    out = np.zeros(C, dtype=np.float64)
+    if la == 0 or C == 0:
+        return out
+    ac = np.frombuffer(a.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    lb = cand_lens
+    md = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    J = np.arange(L, dtype=np.int64)[None, :]
+    fa = np.zeros((C, la), dtype=bool)
+    fb = np.zeros((C, L), dtype=bool)
+    rows = np.arange(C)
+    for i in range(la):
+        lo = np.maximum(0, i - md)[:, None]
+        hi = np.minimum(lb, i + md + 1)[:, None]
+        eligible = (J >= lo) & (J < hi) & ~fb & (cand_mat == ac[i])
+        has = eligible.any(axis=1)
+        jf = eligible.argmax(axis=1)
+        fb[has, jf[has]] = True
+        fa[has, i] = True
+    m = fa.sum(axis=1)
+
+    # transpositions: a's matched chars in i-order vs b's in j-order
+    ra = np.cumsum(fa, axis=1) - 1
+    rb = np.cumsum(fb, axis=1) - 1
+    mm = int(m.max()) if len(m) else 0
+    ta = np.full((C, max(mm, 1)), -1, dtype=np.int64)
+    tb = np.full((C, max(mm, 1)), -2, dtype=np.int64)
+    r, i = np.nonzero(fa)
+    ta[r, ra[r, i]] = ac[i]
+    r, j = np.nonzero(fb)
+    tb[r, rb[r, j]] = cand_mat[r, j]
+    t = ((ta != tb) & (np.arange(max(mm, 1))[None, :] < m[:, None])) \
+        .sum(axis=1) // 2
+
+    ok = (m > 0) & (lb > 0)
+    mf = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j3 = (mf / la + mf / lb + (mf - t) / mf) / 3
+    out[ok] = j3[ok]
+
+    # Winkler prefix boost (≤4 chars), only above the 0.7 threshold
+    k4 = min(4, la, L)
+    if k4 > 0:
+        eq = (cand_mat[:, :k4] == ac[:k4][None, :]) & \
+            (np.arange(k4)[None, :] < lb[:, None])
+        ell = np.cumprod(eq, axis=1).sum(axis=1)
+    else:
+        ell = np.zeros(C, dtype=np.int64)
+    boost = out > boost_threshold
+    out[boost] = out[boost] + ell[boost] * p * (1 - out[boost])
+    return out
+
+
 def fuzzy_best_match(records: ray.data.Dataset, block_col: str,
                      id_col: str, name_col: str, side_col: str
                      ) -> ray.data.Dataset:
@@ -293,22 +373,24 @@ def fuzzy_best_match(records: ray.data.Dataset, block_col: str,
     groupby on the int block key."""
     def per_block(df: pd.DataFrame) -> pa.Table:
         probe = df[df[side_col] == 1]
-        idx = df[df[side_col] == 0]
+        idx = df[df[side_col] == 0].sort_values(id_col)
         out_id, out_match, out_jw = [], [], []
-        cand = sorted(zip(idx[id_col].astype(int), idx[name_col]))
-        for rid, nm in zip(probe[id_col].astype(int),
-                           probe[name_col]):
-            best_jw, best_id = -1.0, None
-            for cid, cnm in cand:
-                s = jaro_winkler(nm, cnm)
-                if s > best_jw:
-                    best_jw, best_id = s, cid
-            if best_id is not None:
+        if len(idx):
+            cand_ids = idx[id_col].to_numpy(np.int64)
+            cand_mat, cand_lens = _pad_codes(idx[name_col].tolist())
+            for rid, nm in zip(probe[id_col].astype(int),
+                               probe[name_col]):
+                jw = jw_row(nm, cand_mat, cand_lens)
+                # argmax keeps the FIRST max → smallest candidate id
+                # on ties (candidates are id-sorted), matching both
+                # the scalar keep-first loop and the oracle's window
+                # ORDER BY jw DESC, cand ASC
+                best = int(np.argmax(jw))
                 out_id.append(rid)
-                out_match.append(best_id)
+                out_match.append(int(cand_ids[best]))
                 # floor(x*1e6 + 0.5): same double, same result as the
                 # oracle's CAST(floor(jw*1000000 + 0.5) AS BIGINT)
-                out_jw.append(int(np.floor(best_jw * 1_000_000 + 0.5)))
+                out_jw.append(int(np.floor(jw[best] * 1_000_000 + 0.5)))
         return pa.table({"rec_id": pa.array(out_id, pa.int64()),
                          "match_id": pa.array(out_match, pa.int64()),
                          "jw_e6": pa.array(out_jw, pa.int64())})

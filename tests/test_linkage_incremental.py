@@ -45,6 +45,32 @@ def _sided(recs):
         batch_format="pyarrow")
 
 
+def test_jw_vectorized_parity():
+    """The numpy candidate-axis Jaro–Winkler must be BIT-identical to
+    the scalar (and therefore to DuckDB) on every fixture pair and on
+    the adversarial classics."""
+    from sbb_ned_ray.stages.linkage import (_pad_codes, jaro_winkler,
+                                            jw_row)
+    recs = pd.read_parquet(dirty_records_path(SF))
+    for _, g in recs.groupby("nationkey"):
+        names = g["name"].tolist()
+        cand_mat, lens = _pad_codes(names)
+        for a in names[:10]:
+            vec = jw_row(a, cand_mat, lens)
+            ref = np.array([jaro_winkler(a, b) for b in names])
+            assert np.array_equal(vec, ref), a
+
+    hard = ["", "a", "ab", "ba", "martha", "marhta", "dixon",
+            "dicksonx", "dwayne", "duane", "müller", "mueller",
+            "aaaa", "aaab", "xyxyxy", "yxyxyx", "Customer#0001",
+            "Customer#0010", "abcd", "dcba", "ax", "xa"]
+    cand_mat, lens = _pad_codes(hard)
+    for a in hard:
+        vec = jw_row(a, cand_mat, lens)
+        ref = np.array([jaro_winkler(a, b) for b in hard])
+        assert np.array_equal(vec, ref), a
+
+
 def test_incremental_matches_batch(ray_session):
     recs = ray.data.read_parquet(dirty_records_path(SF))
     corpus = _corpus(recs)
