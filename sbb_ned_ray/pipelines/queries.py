@@ -4467,11 +4467,9 @@ def er_dedupe_golden(sf_dir: str):
     survivorship)."""
     import pyarrow.compute as pc
 
-    from sbb_ned_ray.stages.cluster import label_propagation_components
-    from sbb_ned_ray.stages.graph import _add_hash_part, _pd_to_arrow
     from sbb_ned_ray.stages.linkage import (dirty_records_path,
-                                            reciprocal_best_match,
-                                            survivorship)
+                                            golden_records,
+                                            reciprocal_best_match)
     recs = ray.data.read_parquet(dirty_records_path(sf_dir))
     sided = recs.map_batches(
         lambda t: t.append_column("side", pc.cast(
@@ -4479,45 +4477,7 @@ def er_dedupe_golden(sf_dir: str):
         batch_format="pyarrow")
     matches = reciprocal_best_match(sided, "nationkey", "rec_id",
                                     "name", "side")
-    comp = label_propagation_components(matches, src="rec_id",
-                                        dst="match_id", max_iters=64)
-
-    # attach cluster ids (own id when unmatched) via one bucketed
-    # co-shuffle on rec_id
-    nparts = 32
-
-    def tag_rec(df):
-        out = df.copy()
-        out["_k"] = out["rec_id"].astype("int64")
-        out["_s"] = np.int8(0)
-        out["cluster"] = np.int64(0)
-        return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
-
-    def tag_comp(df):
-        out = pd.DataFrame({"_k": df["node"].astype("int64"),
-                            "cluster": df["component"].astype("int64")})
-        out["_s"] = np.int8(1)
-        return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
-
-    def attach(df):
-        r = df[df["_s"] == 0].drop(columns=["cluster"])
-        c = df[df["_s"] == 1][["_k", "cluster"]]
-        m = r.merge(c, on="_k", how="left")
-        m["cluster"] = m["cluster"].fillna(m["_k"]).astype("int64")
-        keep = ["rec_id", "entity_id", "name", "nationkey", "acctbal",
-                "segment", "cluster"]
-        return _pd_to_arrow(m[[k for k in keep if k in m.columns]])
-
-    clustered = recs.map_batches(tag_rec, batch_format="pandas") \
-        .union(comp.map_batches(tag_comp, batch_format="pandas")) \
-        .groupby("_part").map_groups(attach, batch_format="pandas")
-
-    out = survivorship(clustered, "cluster",
-                       mode_cols=["name", "segment"],
-                       max_cols=["acctbal"],
-                       min_cols=["nationkey"]).to_pandas()
-    out["nationkey_min"] = out["nationkey_min"].astype("int64")
-    return out.sort_values("cluster").reset_index(drop=True)
+    return golden_records(recs, matches)
 
 
 def _oracle_er_dedupe(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -4571,6 +4531,33 @@ JOIN nm ON nm.cluster = a.cluster AND nm.rn = 1
 JOIN sg ON sg.cluster = a.cluster AND sg.rn = 1
 ORDER BY a.cluster
 """
+
+
+def er_resumable_golden(sf_dir: str):
+    """The RESUMABLE ER pipeline (:func:`sbb_ned_ray.pipelines.er.
+    run_er_resumable`): reciprocal matching per block-group partition
+    written atomically with lineage manifests, components + golden
+    records over the union.  Runs the pipeline, then RE-runs it and
+    asserts every partition is skipped with an identical result (the
+    checkpoint contract) — and the output is ORACLE-checked against
+    the same DuckDB twin as ``er_dedupe_golden`` (the resumable
+    composition must equal the single-pass chain)."""
+    import os
+    import shutil
+
+    from sbb_ned_ray.pipelines.er import run_er_resumable
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    path = dirty_records_path(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/sbb_ned_ray_artifacts",
+        f"er_resume-{os.path.basename(os.path.dirname(path))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    golden, s1 = run_er_resumable(path, out_dir, n_parts=4)
+    assert len(s1["completed"]) == 4, s1
+    golden2, s2 = run_er_resumable(path, out_dir, n_parts=4)
+    assert len(s2["skipped"]) == 4 and not s2["completed"], s2
+    pd.testing.assert_frame_equal(golden2, golden)
+    return golden
 
 
 def linkage_patterns_cc(sf_dir: str):
@@ -4952,6 +4939,7 @@ _QUERY_FNS = {
     "er_dedupe_golden": er_dedupe_golden,
     "linkage_patterns_cc": linkage_patterns_cc,
     "linkage_incremental_match": linkage_incremental_match,
+    "er_resumable_golden": er_resumable_golden,
 }
 
 ORACLE_SQL = {
@@ -5039,6 +5027,7 @@ ORACLE_SQL = {
     "er_dedupe_golden": _oracle_er_dedupe(),
     "linkage_patterns_cc": _oracle_linkage_patterns_cc(),
     "linkage_incremental_match": _oracle_linkage_incremental(),
+    "er_resumable_golden": _oracle_er_dedupe(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -5070,6 +5059,7 @@ _SF_ORACLES = {
     "er_dedupe_golden": _oracle_er_dedupe,
     "linkage_patterns_cc": _oracle_linkage_patterns_cc,
     "linkage_incremental_match": _oracle_linkage_incremental,
+    "er_resumable_golden": _oracle_er_dedupe,
 }
 
 

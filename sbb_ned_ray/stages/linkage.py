@@ -506,6 +506,57 @@ def survivorship(records: ray.data.Dataset, cluster_col: str,
         .groupby("_part").map_groups(per_bucket, batch_format="pandas")
 
 
+def golden_records(records: ray.data.Dataset,
+                   matches: ray.data.Dataset,
+                   nparts: int = 32) -> pd.DataFrame:
+    """Match pairs → golden records, the tail of the classical ER
+    chain: distributed min-label connected components over the match
+    edges, cluster ids attached to every record via one bucketed
+    co-shuffle on ``rec_id`` (unmatched records keep their own id),
+    then :func:`survivorship` (name/segment mode, acctbal max,
+    nationkey min).  Factored out of the ``er_dedupe_golden`` query so
+    the resumable ER pipeline reuses the identical oracle-checked
+    tail."""
+    from sbb_ned_ray.stages.cluster import label_propagation_components
+    from sbb_ned_ray.stages.graph import _add_hash_part, _pd_to_arrow
+
+    comp = label_propagation_components(matches, src="rec_id",
+                                        dst="match_id", max_iters=64)
+
+    def tag_rec(df: pd.DataFrame) -> pa.Table:
+        out = df.copy()
+        out["_k"] = out["rec_id"].astype("int64")
+        out["_s"] = np.int8(0)
+        out["cluster"] = np.int64(0)
+        return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
+
+    def tag_comp(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"_k": df["node"].astype("int64"),
+                            "cluster": df["component"].astype("int64")})
+        out["_s"] = np.int8(1)
+        return _pd_to_arrow(_add_hash_part(out, ["_k"], nparts))
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        r = df[df["_s"] == 0].drop(columns=["cluster"])
+        c = df[df["_s"] == 1][["_k", "cluster"]]
+        m = r.merge(c, on="_k", how="left")
+        m["cluster"] = m["cluster"].fillna(m["_k"]).astype("int64")
+        keep = ["rec_id", "entity_id", "name", "nationkey", "acctbal",
+                "segment", "cluster"]
+        return _pd_to_arrow(m[[k for k in keep if k in m.columns]])
+
+    clustered = records.map_batches(tag_rec, batch_format="pandas") \
+        .union(comp.map_batches(tag_comp, batch_format="pandas")) \
+        .groupby("_part").map_groups(attach, batch_format="pandas")
+
+    out = survivorship(clustered, "cluster",
+                       mode_cols=["name", "segment"],
+                       max_cols=["acctbal"],
+                       min_cols=["nationkey"]).to_pandas()
+    out["nationkey_min"] = out["nationkey_min"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------
 # incremental linkage serving: persisted block-partitioned record
 # index + delta matching
