@@ -4533,6 +4533,56 @@ ORDER BY a.cluster
 """
 
 
+def linkage_tf_table(sf_dir: str):
+    """Splink-style term-frequency adjustment table for the segment
+    comparison (:func:`sbb_ned_ray.stages.linkage.segment_tf_table`):
+    per value — record count, e6 term frequency, the TF Bayes factor
+    ``N/n_v`` that replaces ``m/u`` on agreement, and the number of
+    within-block agreeing pairs (computed as ``Σ C(n_{b,v},2)`` — NO
+    pair enumeration).  ORACLE-checked with pure-integer arithmetic on
+    both sides."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            segment_tf_table)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    return segment_tf_table(recs)
+
+
+def _oracle_linkage_tf(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+c AS (SELECT nationkey, segment, count(*) AS n FROM r GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+v AS (SELECT segment, CAST(sum(n) AS BIGINT) AS n_recs,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_agree_pairs
+      FROM c GROUP BY segment)
+SELECT v.segment, v.n_recs,
+       CAST((v.n_recs * 2000000 + tot.nt) // (2 * tot.nt) AS BIGINT)
+           AS tf_e6,
+       CAST((tot.nt * 2000000 + v.n_recs) // (2 * v.n_recs) AS BIGINT)
+           AS tf_bf_e6,
+       v.n_agree_pairs
+FROM v, tot
+ORDER BY v.segment
+"""
+
+
+def linkage_em_tf_quality(sf_dir: str):
+    """SELF-CHECKING: Fellegi–Sunter EM + Splink-style TF-adjusted
+    posteriors per (pattern, segment value)
+    (:func:`sbb_ned_ray.stages.linkage.tf_adjusted_posteriors`).
+    In-function asserts: EM log-likelihood monotone, and within every
+    seg-agreeing pattern the adjusted posterior is monotone
+    non-increasing in the value's term frequency (rare-value agreement
+    is never weaker evidence).  Deterministic and partitioning-
+    independent (integer contingency + integer TF in, fixed-iteration
+    EM out)."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            tf_adjusted_posteriors)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    return tf_adjusted_posteriors(recs)
+
+
 def er_resumable_golden(sf_dir: str):
     """The RESUMABLE ER pipeline (:func:`sbb_ned_ray.pipelines.er.
     run_er_resumable`): reciprocal matching per block-group partition
@@ -4940,6 +4990,8 @@ _QUERY_FNS = {
     "linkage_patterns_cc": linkage_patterns_cc,
     "linkage_incremental_match": linkage_incremental_match,
     "er_resumable_golden": er_resumable_golden,
+    "linkage_tf_table": linkage_tf_table,
+    "linkage_em_tf_quality": linkage_em_tf_quality,
 }
 
 ORACLE_SQL = {
@@ -5028,6 +5080,7 @@ ORACLE_SQL = {
     "linkage_patterns_cc": _oracle_linkage_patterns_cc(),
     "linkage_incremental_match": _oracle_linkage_incremental(),
     "er_resumable_golden": _oracle_er_dedupe(),
+    "linkage_tf_table": _oracle_linkage_tf(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -5060,6 +5113,7 @@ _SF_ORACLES = {
     "linkage_patterns_cc": _oracle_linkage_patterns_cc,
     "linkage_incremental_match": _oracle_linkage_incremental,
     "er_resumable_golden": _oracle_er_dedupe,
+    "linkage_tf_table": _oracle_linkage_tf,
 }
 
 

@@ -506,6 +506,106 @@ def survivorship(records: ray.data.Dataset, cluster_col: str,
         .groupby("_part").map_groups(per_bucket, batch_format="pandas")
 
 
+def _rhu_e6_int(num: int, den: int) -> int:
+    """Integer round-half-up of ``num/den`` at 1e-6 — matches the SQL
+    ``(num*2000000 + den) // (2*den)`` exactly (no float anywhere)."""
+    return (num * 2_000_000 + den) // (2 * den) if den else 0
+
+
+def segment_tf_table(records: ray.data.Dataset,
+                     block_col: str = "nationkey",
+                     value_col: str = "segment") -> pd.DataFrame:
+    """Splink-style TERM-FREQUENCY adjustment table for a comparison
+    column: per value ``v`` — record count ``n_recs``, term frequency
+    ``tf = n_v/N``, the TF Bayes factor ``N/n_v`` that replaces the
+    global ``m/u`` ratio when a pair agrees on ``v`` (agreeing on a
+    RARE value is stronger match evidence; Splink's
+    ``tf_adjustment``), and the number of within-block pairs agreeing
+    on ``v``.
+
+    Distributed shape: agree-pair counts need NO pair enumeration —
+    pairs agreeing on ``v`` inside block ``b`` are ``C(n_{b,v}, 2)``,
+    so the whole job is one narrow ``groupby((block, value)).count()``
+    plus a driver-side combine over the (blocks × values)-sized
+    table.  All ratios are e6-quantized with pure integer arithmetic,
+    which is what makes the DuckDB twin hash-exact."""
+    cnt = records.groupby([block_col, value_col]).count().to_pandas() \
+        .rename(columns={"count()": "n"})
+    n_total = int(cnt["n"].sum())
+    by_v = cnt.groupby(value_col, sort=True)
+    n_recs = by_v["n"].sum()
+    agree = by_v["n"].apply(
+        lambda s: int((s.to_numpy(np.int64) *
+                       (s.to_numpy(np.int64) - 1) // 2).sum()))
+    out = pd.DataFrame({
+        value_col: n_recs.index,
+        "n_recs": n_recs.to_numpy(np.int64),
+        "tf_e6": [_rhu_e6_int(int(n), n_total) for n in n_recs],
+        "tf_bf_e6": [_rhu_e6_int(n_total, int(n)) for n in n_recs],
+        "n_agree_pairs": agree.to_numpy(np.int64)})
+    return out.reset_index(drop=True)
+
+
+def tf_adjusted_posteriors(records: ray.data.Dataset,
+                           value_col: str = "segment") -> pd.DataFrame:
+    """Fellegi–Sunter EM fit + Splink-style TF-adjusted match
+    posteriors: for every agreement pattern whose ``seg_exact`` bit is
+    set, the segment comparison's Bayes factor ``m_seg/u_seg`` is
+    replaced by the per-value ``m_seg/tf_v`` — agreeing on a rare
+    segment yields a HIGHER posterior than on a common one, same base
+    pattern.  Returns one row per (pattern, segment) with the marginal
+    and adjusted posteriors (e6), plus per-pattern rows only for
+    non-seg-agreeing patterns.  Deterministic (integer contingency in,
+    fixed-iteration EM, integer TF table) and partitioning-independent
+    like :func:`linkage_quality`."""
+    k = len(COMPARISONS)
+    seg_bit = COMPARISONS.index("seg_exact")
+    cont = pattern_contingency(records)
+    agg = cont.groupby("pattern", sort=True)["n_pairs"].sum() \
+        .reset_index()
+    fit = fs_em(agg["pattern"].to_numpy(np.int64),
+                agg["n_pairs"].to_numpy(np.float64), k)
+    ll = np.array(fit["ll"])
+    assert np.all(np.diff(ll) >= -1e-6 * np.abs(ll[:-1])), \
+        "EM log-likelihood decreased"
+    m, u, lam = fit["m"], fit["u"], fit["lam"]
+
+    tf = segment_tf_table(records, value_col=value_col)
+    tf_v = {str(v): n / tf["n_recs"].sum()
+            for v, n in zip(tf[value_col], tf["n_recs"].to_numpy())}
+
+    e6 = lambda x: int(round(x * 1_000_000))  # noqa: E731
+    base_odds = lam / (1 - lam)
+    rows = []
+    for pat, marg_post in zip(agg["pattern"].to_numpy(np.int64),
+                              fit["posterior"]):
+        bits = [(pat >> i) & 1 for i in range(k)]
+        bf = np.where(bits, m / u, (1 - m) / (1 - u))
+        if not bits[seg_bit]:
+            rows.append({"pattern": int(pat), value_col: "",
+                         "posterior_e6": e6(marg_post),
+                         "adjusted_e6": e6(marg_post)})
+            continue
+        for v, tfv in sorted(tf_v.items()):
+            bf_adj = bf.copy()
+            bf_adj[seg_bit] = min(m[seg_bit] / tfv, 1e12)
+            odds = base_odds * float(np.prod(bf_adj))
+            rows.append({"pattern": int(pat), value_col: v,
+                         "posterior_e6": e6(marg_post),
+                         "adjusted_e6": e6(odds / (1 + odds))})
+    out = pd.DataFrame(rows).sort_values(
+        ["pattern", value_col]).reset_index(drop=True)
+
+    # the adjustment must be monotone: within a seg-agreeing pattern,
+    # a rarer value (smaller tf) never yields a lower posterior
+    for pat, g in out[out[value_col] != ""].groupby("pattern"):
+        order = sorted(g[value_col], key=lambda v: (tf_v[v], v))
+        post = g.set_index(value_col).loc[order, "adjusted_e6"] \
+            .to_numpy()
+        assert np.all(np.diff(post) <= 0), (pat, order, post)
+    return out
+
+
 def golden_records(records: ray.data.Dataset,
                    matches: ray.data.Dataset,
                    nparts: int = 32) -> pd.DataFrame:
