@@ -10,6 +10,8 @@ runs; each owns its Ray session per the driver contract).
     python -m sbb_ned_ray.cli dedup        --docs X.parquet --out DIR \
                                            --method {exact,minhash,simhash}
     python -m sbb_ned_ray.cli profile      --docs X.parquet
+    python -m sbb_ned_ray.cli er           --records R.parquet --out DIR \
+                                           [--save-index DIR | --incremental IDX]
 """
 
 from __future__ import annotations
@@ -90,6 +92,29 @@ def main(argv: list[str] | None = None) -> int:
                          "delta and dedup it against the persisted "
                          "index without rescanning the corpus")
 
+    er = sub.add_parser("er", help="record linkage / entity resolution "
+                                   "over a records parquet → golden "
+                                   "records (resumable) or incremental "
+                                   "delta matching")
+    er.add_argument("--records", required=True,
+                    help="parquet with (rec_id, <block>, <name>, ...) "
+                         "columns; odd rec_ids probe even originals")
+    er.add_argument("--out", help="output dir (required unless "
+                                  "--save-index)")
+    er.add_argument("--block-col", default="nationkey")
+    er.add_argument("--id-col", default="rec_id")
+    er.add_argument("--name-col", default="name")
+    er.add_argument("--parts", type=int, default=8,
+                    help="resumable block-group partitions")
+    er.add_argument("--save-index", metavar="DIR",
+                    help="persist the clean-master linkage index for "
+                         "--records under DIR and exit — the base "
+                         "artifact for --incremental runs")
+    er.add_argument("--incremental", metavar="INDEX_PATH",
+                    help="treat --records as a DELTA and match it "
+                         "against the persisted index without "
+                         "rescanning the master")
+
     pr = sub.add_parser("profile", help="one-pass corpus profile "
                                         "(sketch-based, JSON to stdout)")
     pr.add_argument("--docs", required=True,
@@ -98,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--top-k", type=int, default=20)
 
     args = p.parse_args(argv)
+    if args.cmd == "er":
+        if args.save_index and args.incremental:
+            p.error("--save-index and --incremental are mutually "
+                    "exclusive (build the index, then run the delta)")
+        if not args.out and not args.save_index:
+            p.error("--out is required unless --save-index")
     if args.cmd == "dedup":
         # --save-index / --incremental are minhash-index operations:
         # fail fast instead of silently ignoring --method, and only
@@ -228,6 +259,39 @@ def main(argv: list[str] | None = None) -> int:
             out.to_parquet(os.path.join(args.out, "clusters.parquet"))
             print(json.dumps({"method": args.method, "rows": int(len(out)),
                               "out": args.out}))
+        elif args.cmd == "er":
+            import ray.data as rd
+            if args.save_index:
+                from sbb_ned_ray.stages.linkage import save_linkage_index
+                recs = rd.read_parquet(args.records)
+                path = save_linkage_index(
+                    recs, args.save_index, block_col=args.block_col,
+                    id_col=args.id_col, name_col=args.name_col)
+                print(json.dumps({"index": path}))
+                return 0
+            if args.incremental:
+                from sbb_ned_ray.stages.linkage import \
+                    linkage_match_incremental
+                delta = rd.read_parquet(args.records)
+                matches, stats = linkage_match_incremental(
+                    args.incremental, delta, return_stats=True)
+                os.makedirs(args.out, exist_ok=True)
+                mdf = matches.to_pandas()
+                mdf.to_parquet(os.path.join(args.out, "matches.parquet"))
+                print(json.dumps({"mode": "incremental",
+                                  "matches": int(len(mdf)),
+                                  "out": args.out, **stats}))
+                return 0
+            from sbb_ned_ray.pipelines.er import run_er_resumable
+            golden, summary = run_er_resumable(
+                args.records, args.out, n_parts=args.parts,
+                block_col=args.block_col, id_col=args.id_col,
+                name_col=args.name_col)
+            golden.to_parquet(os.path.join(args.out, "golden.parquet"))
+            print(json.dumps({
+                "mode": "resumable", "clusters": int(len(golden)),
+                "completed": summary["completed"],
+                "skipped": summary["skipped"], "out": args.out}))
         elif args.cmd == "profile":
             from sbb_ned_ray.pipelines.profile import corpus_profile
             print(json.dumps(corpus_profile(args.docs,
