@@ -4610,6 +4610,38 @@ def er_resumable_golden(sf_dir: str):
     return golden
 
 
+def er_incremental_golden(sf_dir: str):
+    """INCREMENTAL ER MAINTENANCE: a base state is built over the
+    corpus (dirty records minus the every-third-nation duplicates),
+    then the delta arrives and the SAME resumable runner
+    (:func:`sbb_ned_ray.pipelines.er.run_er_resumable` with
+    ``delta_path``) recomputes ONLY the block groups the delta
+    touches — matching is block-local, so clusters never span groups
+    and the untouched manifests stay valid.  Self-asserts the pruning
+    (some groups skipped on the delta run) and is ORACLE-checked: the
+    result must equal the batch chain over corpus ∪ delta, i.e. the
+    very same DuckDB twin as ``er_dedupe_golden`` on the full table."""
+    import os
+    import shutil
+
+    from sbb_ned_ray.pipelines.er import run_er_resumable
+    from sbb_ned_ray.stages.linkage import dirty_split_paths
+    corpus, delta = dirty_split_paths(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/sbb_ned_ray_artifacts",
+        f"er_incr-{os.path.basename(os.path.dirname(corpus))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_parts = 8
+    _, s1 = run_er_resumable(corpus, out_dir, n_parts=n_parts)
+    assert len(s1["completed"]) == n_parts, s1
+    golden, s2 = run_er_resumable(corpus, out_dir, n_parts=n_parts,
+                                  delta_path=delta)
+    assert s2["skipped"], s2          # pruning is real …
+    assert s2["completed"], s2        # … and the delta did touch work
+    assert len(s2["skipped"]) + len(s2["completed"]) == n_parts
+    return golden
+
+
 def linkage_patterns_cc(sf_dir: str):
     """CLEAN-CLEAN (two-source) agreement-pattern counts: originals as
     source 0, planted duplicates as source 1; only cross-source
@@ -4992,6 +5024,7 @@ _QUERY_FNS = {
     "er_resumable_golden": er_resumable_golden,
     "linkage_tf_table": linkage_tf_table,
     "linkage_em_tf_quality": linkage_em_tf_quality,
+    "er_incremental_golden": er_incremental_golden,
 }
 
 ORACLE_SQL = {
@@ -5081,6 +5114,7 @@ ORACLE_SQL = {
     "linkage_incremental_match": _oracle_linkage_incremental(),
     "er_resumable_golden": _oracle_er_dedupe(),
     "linkage_tf_table": _oracle_linkage_tf(),
+    "er_incremental_golden": _oracle_er_dedupe(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -5114,6 +5148,7 @@ _SF_ORACLES = {
     "linkage_incremental_match": _oracle_linkage_incremental,
     "er_resumable_golden": _oracle_er_dedupe,
     "linkage_tf_table": _oracle_linkage_tf,
+    "er_incremental_golden": _oracle_er_dedupe,
 }
 
 

@@ -104,6 +104,28 @@ def dirty_records_path(sf_dir: str) -> str:
     return out
 
 
+def dirty_split_paths(sf_dir: str) -> tuple[str, str]:
+    """Deterministic (corpus, delta) split of the dirty-records table
+    for the incremental-ER scenarios: the DELTA is the planted
+    duplicates from every third nation (``rec_id`` odd and
+    ``nationkey % 3 == 0``), the CORPUS is everything else — so
+    corpus ∪ delta is exactly :func:`dirty_records_path`'s table and
+    the batch DuckDB oracle applies verbatim to incremental results."""
+    full = dirty_records_path(sf_dir)
+    base = os.path.dirname(full)
+    cp, dp = os.path.join(base, "corpus.parquet"), \
+        os.path.join(base, "delta.parquet")
+    if os.path.exists(cp) and os.path.exists(dp):
+        return cp, dp
+    rec = pd.read_parquet(full)
+    is_delta = (rec["rec_id"] % 2 == 1) & (rec["nationkey"] % 3 == 0)
+    for path, df in ((cp, rec[~is_delta]), (dp, rec[is_delta])):
+        tmp = path + f".tmp-{os.getpid()}"
+        df.reset_index(drop=True).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return cp, dp
+
+
 # --------------------------------------------------------------------
 # distributed agreement-pattern contingency
 # --------------------------------------------------------------------
