@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="treat --records as a DELTA and match it "
                          "against the persisted index without "
                          "rescanning the master")
+    er.add_argument("--delta", metavar="PARQUET",
+                    help="incremental CLUSTER MAINTENANCE: rerun the "
+                         "resumable pipeline over --records ∪ --delta "
+                         "against an existing --out state dir — only "
+                         "block groups the delta touches recompute; "
+                         "the result equals the batch run on the union")
 
     pr = sub.add_parser("profile", help="one-pass corpus profile "
                                         "(sketch-based, JSON to stdout)")
@@ -127,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.save_index and args.incremental:
             p.error("--save-index and --incremental are mutually "
                     "exclusive (build the index, then run the delta)")
+        if args.delta and (args.save_index or args.incremental):
+            p.error("--delta drives the resumable runner; it cannot be "
+                    "combined with --save-index/--incremental")
         if not args.out and not args.save_index:
             p.error("--out is required unless --save-index")
     if args.cmd == "dedup":
@@ -286,10 +295,11 @@ def main(argv: list[str] | None = None) -> int:
             golden, summary = run_er_resumable(
                 args.records, args.out, n_parts=args.parts,
                 block_col=args.block_col, id_col=args.id_col,
-                name_col=args.name_col)
+                name_col=args.name_col, delta_path=args.delta)
             golden.to_parquet(os.path.join(args.out, "golden.parquet"))
             print(json.dumps({
-                "mode": "resumable", "clusters": int(len(golden)),
+                "mode": "resumable", "delta": bool(args.delta),
+                "clusters": int(len(golden)),
                 "completed": summary["completed"],
                 "skipped": summary["skipped"], "out": args.out}))
         elif args.cmd == "profile":

@@ -59,3 +59,41 @@ def test_cli_er_end_to_end():
     assert set(m.columns) == {"rec_id", "match_id", "jw_e6"}
     # every delta record probes exactly once
     assert inc["matches"] == len(pd.read_parquet(delta_path)) == len(m)
+
+
+def test_cli_er_delta_maintenance():
+    """`er --delta`: incremental cluster maintenance over an existing
+    state dir recomputes only touched block groups and reproduces the
+    batch run over corpus ∪ delta exactly."""
+    from sbb_ned_ray.stages.linkage import dirty_split_paths
+    corpus, delta = dirty_split_paths(SF)
+    base = os.path.join(OUT, "maint")
+    shutil.rmtree(base, ignore_errors=True)
+    res = _cli("er", "--records", corpus, "--out", base, "--parts", "8")
+    assert len(res["completed"]) == 8 and not res["delta"]
+
+    res2 = _cli("er", "--records", corpus, "--out", base,
+                "--parts", "8", "--delta", delta)
+    assert res2["delta"] and res2["skipped"] and res2["completed"]
+    assert len(res2["skipped"]) + len(res2["completed"]) == 8
+
+    batch_dir = os.path.join(OUT, "maint-batch")
+    shutil.rmtree(batch_dir, ignore_errors=True)
+    _cli("er", "--records", dirty_records_path(SF), "--out", batch_dir,
+         "--parts", "8")
+    inc = pd.read_parquet(os.path.join(base, "golden.parquet"))
+    bat = pd.read_parquet(os.path.join(batch_dir, "golden.parquet"))
+    key = sorted(inc.columns)
+    pd.testing.assert_frame_equal(
+        inc[key].sort_values(key).reset_index(drop=True),
+        bat[key].sort_values(key).reset_index(drop=True))
+
+
+def test_cli_er_delta_flag_conflicts():
+    r = subprocess.run(
+        [sys.executable, "-m", "sbb_ned_ray.cli", "er", "--records",
+         "x.parquet", "--out", "/tmp/x", "--delta", "d.parquet",
+         "--incremental", "/tmp/idx"],
+        capture_output=True, text=True, cwd=ROOT, timeout=120)
+    assert r.returncode != 0
+    assert "--delta" in r.stderr
