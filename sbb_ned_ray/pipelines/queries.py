@@ -3971,6 +3971,25 @@ def entity_cooc_components(sf_dir: str):
     return df.sort_values("qid").reset_index(drop=True)
 
 
+def entity_cooc_components_altstar(sf_dir: str):
+    """Connected components of the co-occurrence graph via the
+    ALTERNATING large-star/small-star algorithm
+    (:func:`sbb_ned_ray.stages.cluster.alternating_components`,
+    Kiveris et al. SoCC'14) — O(log² n) rounds independent of graph
+    diameter, the scale path for chain-shaped duplicate graphs where
+    min-label propagation needs O(diameter) iterations.  Same DuckDB
+    recursive-CTE oracle as `entity_cooc_components`, so the two
+    distributed algorithms are pinned hash-exact to one twin."""
+    from sbb_ned_ray.stages.cluster import alternating_components
+    from sbb_ned_ray.stages.graph import cooccurrence_edges
+    edges = cooccurrence_edges(_entity_links(sf_dir), "url", "qid",
+                               min_weight=2)
+    comp = alternating_components(edges, src="node_a", dst="node_b")
+    df = comp.to_pandas().rename(columns={"node": "qid",
+                                          "component": "comp"})
+    return df.sort_values("qid").reset_index(drop=True)
+
+
 def _oracle_ned_contingency(sf_dir: str = "/root/testdata/sf0.01") -> str:
     # the deterministic fixture links every mention to its gold qid, so
     # the pred × gold contingency is exactly diagonal with the per-qid
@@ -5005,6 +5024,7 @@ _QUERY_FNS = {
     "entity_jaccard_relatedness": entity_jaccard_relatedness,
     "entity_cooc_triangles": entity_cooc_triangles,
     "entity_cooc_components": entity_cooc_components,
+    "entity_cooc_components_altstar": entity_cooc_components_altstar,
     "ned_cluster_contingency": ned_cluster_contingency,
     "ned_cluster_quality": ned_cluster_quality,
     "surface_edit_join": surface_edit_join,
@@ -5098,6 +5118,7 @@ ORACLE_SQL = {
     "entity_jaccard_relatedness": _oracle_entity_jaccard(),
     "entity_cooc_triangles": _oracle_entity_triangles(),
     "entity_cooc_components": _oracle_entity_components(),
+    "entity_cooc_components_altstar": _oracle_entity_components(),
     "ned_cluster_contingency": _oracle_ned_contingency(),
     "surface_edit_join": _oracle_surface_editjoin(),
     "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
@@ -5134,6 +5155,7 @@ _SF_ORACLES = {
     "entity_jaccard_relatedness": _oracle_entity_jaccard,
     "entity_cooc_triangles": _oracle_entity_triangles,
     "entity_cooc_components": _oracle_entity_components,
+    "entity_cooc_components_altstar": _oracle_entity_components,
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,
     "linkage_patterns": _oracle_linkage_patterns,

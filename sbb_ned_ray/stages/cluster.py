@@ -24,6 +24,7 @@ behind one API:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -180,6 +181,142 @@ def label_propagation_components(edges_ds: ray.data.Dataset,
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
+
+
+def alternating_components(edges_ds: ray.data.Dataset,
+                           src: str = "src", dst: str = "dst",
+                           max_rounds: int = 50,
+                           num_partitions: int = 16
+                           ) -> ray.data.Dataset:
+    """Distributed connected components via the ALTERNATING
+    large-star / small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Returns Dataset(node, component) covering every node that appears
+    in an edge; ``component`` is the minimum node id of the component —
+    the same contract as :func:`label_propagation_components`.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    iterations, which is fine for the star-shaped web-entity graphs the
+    NED pipeline emits but degenerates on CHAIN-shaped duplicate graphs
+    (a → a' → a'' … from incremental near-dup drift), where the
+    diameter is the chain length.  The alternating algorithm converges
+    in O(log² n) rounds INDEPENDENT of diameter by rewriting the edge
+    set itself toward a star forest:
+
+    * large-star(u): every neighbor v > u is re-pointed at
+      m = min(Γ(u) ∪ {u});
+    * small-star(u): u and every neighbor v ≤ u are re-pointed at the
+      minimum of that set.
+
+    Both steps are ONE bucketed co-shuffle groupby each (hash-bucket on
+    the grouping endpoint, whole-bucket vectorized pandas transform —
+    duplicates of an edge always share their grouping endpoint, so the
+    in-bucket ``drop_duplicates`` is a GLOBAL dedup with no extra
+    exchange).  Per round the driver sees one (count, hash-sum)
+    checksum scalar; the round output provably equals the input exactly
+    at the star-forest fixed point, so a stable checksum terminates the
+    loop.  The edge table itself never leaves the object store.
+    """
+    import pyarrow.compute as pc
+
+    # canonical (child > parent) orientation; self-loops carry no
+    # connectivity (they only assert node existence, captured by the
+    # node table below)
+    def canon(t: pa.Table) -> pa.Table:
+        child = pc.max_element_wise(t[src], t[dst])
+        parent = pc.min_element_wise(t[src], t[dst])
+        keep = pc.invert(pc.equal(child, parent))
+        return pa.table({"child": child.filter(keep),
+                         "parent": parent.filter(keep)})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        a, b = t[src].combine_chunks(), t[dst].combine_chunks()
+        n = pa.concat_arrays([a, b])
+        return pa.table({"node": n, "label": n})
+
+    def add_part(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_part"] = (pd.util.hash_pandas_object(df[col], index=False)
+                           .to_numpy() % num_partitions).astype("int32")
+            return df
+        return fn
+
+    def large_star(df: pd.DataFrame) -> pd.DataFrame:
+        # input rows (key, v): both directions of each canonical edge,
+        # grouped by key's hash bucket → in-bucket dedup is global
+        df = df.drop(columns=["_part"]).drop_duplicates()
+        if not len(df):
+            return pd.DataFrame({"child": df["key"], "parent": df["v"]})
+        mn = df.groupby("key", sort=False)["v"].transform("min")
+        m = mn.where(mn < df["key"], df["key"])
+        mask = (df["v"] > df["key"]).to_numpy()
+        out = pd.DataFrame({"child": df["v"].to_numpy()[mask],
+                            "parent": m.to_numpy()[mask]})
+        return out.drop_duplicates()
+
+    def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        # input rows (child, parent) grouped by child's hash bucket;
+        # every parent < child, m = min(parents of child)
+        df = df.drop(columns=["_part"]).drop_duplicates()
+        if not len(df):
+            return df.rename(columns={})[["child", "parent"]]
+        m = df.groupby("child", sort=False)["parent"].transform("min")
+        a = pd.DataFrame({"child": df["child"].to_numpy(),
+                          "parent": m.to_numpy()}).drop_duplicates()
+        keep = (df["parent"].to_numpy() != m.to_numpy())
+        b = pd.DataFrame({"child": df["parent"].to_numpy()[keep],
+                          "parent": m.to_numpy()[keep]})
+        return pd.concat([a, b], ignore_index=True).drop_duplicates()
+
+    def checksum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["child", "parent"]],
+                                       index=False).to_numpy()
+        # mod 2**50 keeps the Arrow int64 sum of ≤ num_partitions
+        # partials overflow-free while leaving a collision space far
+        # beyond non-adversarial reach
+        hsum = int(h.sum(dtype=np.uint64) % np.uint64(2 ** 50))
+        return pd.DataFrame({"cnt": [len(df)], "hsum": [hsum]})
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        c = t["child"].combine_chunks()
+        p = t["parent"].combine_chunks()
+        return pa.table({"key": pa.concat_arrays([c, p]),
+                         "v": pa.concat_arrays([p, c])})
+
+    nodes = edges_ds.map_batches(node_rows, batch_format="pyarrow") \
+        .materialize()
+    edges = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    prev_sig = None
+    for _ in range(max_rounds):
+        if edges.count() == 0:     # all self-loops / empty input
+            break
+        large = edges.map_batches(symmetrize, batch_format="pyarrow") \
+            .map_batches(add_part("key"), batch_format="pandas") \
+            .groupby("_part").map_groups(large_star, batch_format="pandas")
+        edges = large.map_batches(add_part("child"), batch_format="pandas") \
+            .groupby("_part").map_groups(small_star, batch_format="pandas") \
+            .materialize()
+        sums = edges.map_batches(checksum_partial, batch_format="pandas") \
+            .sum(["cnt", "hsum"])
+        sig = (sums["sum(cnt)"], sums["sum(hsum)"]) if sums else (0, 0)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # final star forest → labels; union with self rows so roots and
+    # self-loop-only nodes label themselves (Min picks the root where
+    # a child row exists: parent < child always)
+    def child_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["child"], "label": t["parent"]})
+
+    labels = edges.map_batches(child_labels, batch_format="pyarrow") \
+        .union(nodes) \
+        .groupby("node").min("label") \
+        .map_batches(lambda t: t.rename_columns(["node", "component"]),
+                     batch_format="pyarrow")
+    return labels
 
 
 def pairs_to_clusters(pairs_ds: ray.data.Dataset,
