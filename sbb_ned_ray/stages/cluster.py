@@ -360,13 +360,19 @@ def pairs_to_clusters_ds(pairs_ds: ray.data.Dataset,
                          id_a: str = "id_a", id_b: str = "id_b",
                          node_col: str = "node",
                          cluster_col: str = "cluster_id",
-                         num_partitions: int = 16) -> ray.data.Dataset:
+                         num_partitions: int = 16,
+                         algorithm: str = "labelprop") -> ray.data.Dataset:
     """Candidate-pair Dataset → ``(node_col, cluster_col)`` Dataset —
     the 100-TB output contract: the cluster assignment NEVER lands on
     the driver (consume it with ``write_parquet`` / ``iter_batches``).
-    Always the distributed label propagation;
-    :func:`pairs_to_clusters` is the driver-DataFrame convenience
-    wrapper with a small-input fast path."""
+    Fully distributed; :func:`pairs_to_clusters` is the
+    driver-DataFrame convenience wrapper with a small-input fast path.
+
+    ``algorithm``: ``"labelprop"`` (default — O(diameter) iterations,
+    right for the star-shaped graphs near-dup pipelines emit) or
+    ``"altstar"`` (:func:`alternating_components` — O(log² n) rounds,
+    the safe choice when the duplicate graph may contain long chains,
+    e.g. incremental near-dup drift)."""
     ids = pairs_ds.select_columns([id_a, id_b]).materialize()
     if ids.count() == 0:
         id_type = pa.int64()
@@ -377,8 +383,15 @@ def pairs_to_clusters_ds(pairs_ds: ray.data.Dataset,
         return ray.data.from_arrow(pa.table({
             node_col: pa.array([], id_type),
             cluster_col: pa.array([], id_type)}))
-    comps = label_propagation_components(ids, src=id_a, dst=id_b,
-                                         num_partitions=num_partitions)
+    if algorithm == "altstar":
+        comps = alternating_components(ids, src=id_a, dst=id_b,
+                                       num_partitions=num_partitions)
+    elif algorithm == "labelprop":
+        comps = label_propagation_components(ids, src=id_a, dst=id_b,
+                                             num_partitions=num_partitions)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r} "
+                         "(expected 'labelprop' or 'altstar')")
     return comps.map_batches(
         lambda t: t.rename_columns([node_col, cluster_col]),
         batch_format="pyarrow")

@@ -74,6 +74,19 @@ def test_matches_label_propagation_on_shallow_graph(ray_session):
     assert a == b
 
 
+def test_pairs_to_clusters_ds_altstar(ray_session):
+    from sbb_ned_ray.stages.cluster import pairs_to_clusters_ds
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 11],
+                          "id_b": [2, 3, 11, 12]})
+    ds = ray.data.from_pandas(pairs)
+    for algo in ("labelprop", "altstar"):
+        out = pairs_to_clusters_ds(ds, algorithm=algo).to_pandas()
+        got = dict(zip(out["node"], out["cluster_id"]))
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}, algo
+    with pytest.raises(ValueError):
+        pairs_to_clusters_ds(ds, algorithm="bogus")
+
+
 def test_empty_edges(ray_session):
     ds = ray.data.from_pandas(
         pd.DataFrame({"src": pd.Series(dtype="int64"),
