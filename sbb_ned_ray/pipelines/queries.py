@@ -4424,6 +4424,70 @@ ORDER BY rec_id
 """
 
 
+def linkage_monge_elkan(sf_dir: str):
+    """Monge–Elkan token-level best match per planted duplicate
+    (:func:`sbb_ned_ray.stages.linkage.monge_elkan_best_match`):
+    mean-of-best Jaro–Winkler over the probe's name tokens, the
+    standard kernel for multi-word names where token order breaks
+    whole-string JW.  ORACLE-checked integer-exact: each per-token max
+    is e6-quantized before summation on both sides, so the DuckDB twin
+    (unnest tokens → per-token max JW → weighted integer sum → window
+    rank) hashes identically."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            monge_elkan_best_match)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+
+    def add_side(t):
+        import pyarrow.compute as pc
+        side = pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")
+        return t.append_column("side", side)
+
+    recs = recs.map_batches(add_side, batch_format="pyarrow")
+    out = monge_elkan_best_match(recs, "nationkey", "rec_id", "name",
+                                 "side").to_pandas()
+    return out.sort_values("rec_id").reset_index(drop=True)
+
+
+def _oracle_linkage_monge_elkan(sf_dir: str = "/root/testdata/sf0.01"
+                                ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    # a carries per-(probe, token) multiplicity k so duplicate tokens
+    # count per instance (the ME definition); b is DISTINCT because a
+    # max over candidate tokens ignores duplicates
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+a AS (SELECT rec_id, nationkey, tok, count(*) AS k
+      FROM (SELECT rec_id, nationkey,
+                   unnest(string_split(name, ' ')) AS tok
+            FROM r WHERE rec_id % 2 = 1)
+      WHERE tok <> '' GROUP BY 1, 2, 3),
+b AS (SELECT DISTINCT rec_id, nationkey, tok
+      FROM (SELECT rec_id, nationkey,
+                   unnest(string_split(name, ' ')) AS tok
+            FROM r WHERE rec_id % 2 = 0)
+      WHERE tok <> ''),
+m AS (SELECT a.rec_id AS rid, b.rec_id AS cand, a.tok, a.k,
+             max(jaro_winkler_similarity(a.tok, b.tok)) AS mx
+      FROM a JOIN b ON a.nationkey = b.nationkey
+      GROUP BY 1, 2, 3, 4),
+s AS (SELECT rid, cand,
+             SUM(k * CAST(floor(mx * 1000000 + 0.5) AS BIGINT))
+                 AS me_sum_e6,
+             SUM(k) AS n_tok
+      FROM m GROUP BY rid, cand),
+rk AS (SELECT rid, cand, me_sum_e6, n_tok,
+              ROW_NUMBER() OVER (PARTITION BY rid
+                                 ORDER BY me_sum_e6 DESC, cand ASC)
+                  AS rn
+       FROM s)
+SELECT rid AS rec_id, cand AS match_id,
+       CAST(me_sum_e6 AS BIGINT) AS me_sum_e6,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM rk WHERE rn = 1
+ORDER BY rec_id
+"""
+
+
 def linkage_reciprocal_match(sf_dir: str):
     """One-to-one Jaro–Winkler matching: keep a (duplicate, original)
     pair only when each is the other's best match within the block
@@ -5036,6 +5100,7 @@ _QUERY_FNS = {
     "surface_edit_clusters": surface_edit_clusters,
     "meta_blocking_cnp": meta_blocking_cnp,
     "linkage_fuzzy_match": linkage_fuzzy_match,
+    "linkage_monge_elkan": linkage_monge_elkan,
     "blocking_workload_metrics": blocking_workload_metrics,
     "linkage_reciprocal_match": linkage_reciprocal_match,
     "er_dedupe_golden": er_dedupe_golden,
@@ -5128,6 +5193,7 @@ ORACLE_SQL = {
     "surface_edit_clusters": _oracle_surface_clusters(),
     "meta_blocking_cnp": _oracle_meta_blocking(),
     "linkage_fuzzy_match": _oracle_linkage_fuzzy(),
+    "linkage_monge_elkan": _oracle_linkage_monge_elkan(),
     "blocking_workload_metrics": _oracle_blocking_metrics(),
     "linkage_reciprocal_match": _oracle_linkage_reciprocal(),
     "er_dedupe_golden": _oracle_er_dedupe(),
@@ -5163,6 +5229,7 @@ _SF_ORACLES = {
     "surface_edit_clusters": _oracle_surface_clusters,
     "meta_blocking_cnp": _oracle_meta_blocking,
     "linkage_fuzzy_match": _oracle_linkage_fuzzy,
+    "linkage_monge_elkan": _oracle_linkage_monge_elkan,
     "blocking_workload_metrics": _oracle_blocking_metrics,
     "linkage_reciprocal_match": _oracle_linkage_reciprocal,
     "er_dedupe_golden": _oracle_er_dedupe,

@@ -421,6 +421,70 @@ def fuzzy_best_match(records: ray.data.Dataset, block_col: str,
         .map_groups(per_block, batch_format="pandas")
 
 
+def monge_elkan_best_match(records: ray.data.Dataset, block_col: str,
+                           id_col: str, name_col: str, side_col: str
+                           ) -> ray.data.Dataset:
+    """Monge–Elkan token-level fuzzy matching (Monge & Elkan 1996):
+    for probe A and candidate B, ME(A,B) = mean over A's tokens of the
+    best Jaro–Winkler against B's tokens — the standard recipe for
+    multi-word names where token order and omissions break whole-string
+    JW ("Anna B. Smith" vs "Smith, Anna").
+
+    Returns ``(rec_id, match_id, me_sum_e6, n_tok)``: the best index
+    record per probe by ME within the block.  INTEGER-EXACT contract:
+    each per-token max JW is e6-quantized BEFORE summation, so the
+    output is pure integer arithmetic (no float-summation-order
+    hazard) and the DuckDB twin (unnest tokens → per-token max → SUM)
+    is hash-exact.  Since the denominator |A.tokens| is probe-side,
+    ranking by ``me_sum_e6`` equals ranking by ME; ties → smallest
+    candidate id.  Empty tokens (double spaces) are dropped on both
+    sides; candidates with no tokens never match — identical filters
+    in the SQL twin.
+
+    Same exchange contract as :func:`fuzzy_best_match`: one groupby on
+    the block key, all comparisons block-local; per probe TOKEN the JW
+    against every candidate token is one :func:`jw_row` numpy pass,
+    reduced per candidate with ``np.maximum.reduceat``."""
+    def per_block(df: pd.DataFrame) -> pa.Table:
+        probe = df[df[side_col] == 1]
+        idx = df[df[side_col] == 0].sort_values(id_col)
+        out_id, out_match, out_sum, out_n = [], [], [], []
+        cand_ids, cand_toks, tok_owner_bounds = [], [], [0]
+        for cid, nm in zip(idx[id_col].astype(int), idx[name_col]):
+            toks = [t for t in str(nm).split(" ") if t]
+            if not toks:
+                continue
+            cand_ids.append(cid)
+            cand_toks.extend(toks)
+            tok_owner_bounds.append(len(cand_toks))
+        if cand_ids:
+            tok_mat, tok_lens = _pad_codes(cand_toks)
+            starts = np.array(tok_owner_bounds[:-1], dtype=np.int64)
+            for rid, nm in zip(probe[id_col].astype(int),
+                               probe[name_col]):
+                ptoks = [t for t in str(nm).split(" ") if t]
+                if not ptoks:
+                    continue
+                sums = np.zeros(len(cand_ids), dtype=np.int64)
+                for t in ptoks:
+                    jw = jw_row(t, tok_mat, tok_lens)
+                    best = np.maximum.reduceat(jw, starts)
+                    sums += np.floor(best * 1_000_000 + 0.5) \
+                        .astype(np.int64)
+                b = int(np.argmax(sums))   # first max → smallest cand id
+                out_id.append(rid)
+                out_match.append(int(cand_ids[b]))
+                out_sum.append(int(sums[b]))
+                out_n.append(len(ptoks))
+        return pa.table({"rec_id": pa.array(out_id, pa.int64()),
+                         "match_id": pa.array(out_match, pa.int64()),
+                         "me_sum_e6": pa.array(out_sum, pa.int64()),
+                         "n_tok": pa.array(out_n, pa.int64())})
+
+    return records.groupby(block_col) \
+        .map_groups(per_block, batch_format="pandas")
+
+
 def reciprocal_best_match(records: ray.data.Dataset, block_col: str,
                           id_col: str, name_col: str, side_col: str,
                           nparts: int = 32) -> ray.data.Dataset:

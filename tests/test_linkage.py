@@ -162,3 +162,40 @@ def test_linkage_quality_gates(ray_session):
     # under match than non-match
     for c in COMPARISONS:
         assert int(out[f"m_{c}_e6"].iloc[0]) > int(out[f"u_{c}_e6"].iloc[0])
+
+
+def test_monge_elkan_best_match(ray_session):
+    import pyarrow.compute as pc
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            monge_elkan_best_match)
+    recs = ray.data.read_parquet(dirty_records_path(SF)).map_batches(
+        lambda t: t.append_column(
+            "side", pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")),
+        batch_format="pyarrow")
+    out = monge_elkan_best_match(recs, "nationkey", "rec_id", "name",
+                                 "side").to_pandas()
+    # token-level matching must also recover the planted originals
+    correct = (out["match_id"] == out["rec_id"] - 1).mean()
+    assert correct >= 0.9, correct
+    # the ME mean is a mean of JWs: 0 <= sum/n <= 1
+    assert (out["me_sum_e6"] <= out["n_tok"] * 1_000_000).all()
+    assert (out["me_sum_e6"] >= 0).all()
+
+
+def test_monge_elkan_token_order_invariance(ray_session):
+    # ME's whole point: reordering tokens must not change the score,
+    # while whole-string JW collapses
+    import pandas as pd
+    from sbb_ned_ray.stages.linkage import monge_elkan_best_match
+    recs = pd.DataFrame({
+        "rec_id": [0, 1],
+        "name": ["Anna B Smith", "Smith Anna B"],
+        "nationkey": [0, 0]})
+    recs["side"] = recs["rec_id"] % 2
+    ds = ray.data.from_pandas(recs)
+    out = monge_elkan_best_match(ds, "nationkey", "rec_id", "name",
+                                 "side").to_pandas()
+    assert len(out) == 1
+    # every token of the probe has an exact counterpart: ME == 1.0
+    assert int(out["me_sum_e6"].iloc[0]) == int(out["n_tok"].iloc[0]) \
+        * 1_000_000
