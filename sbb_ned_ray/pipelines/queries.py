@@ -4539,6 +4539,48 @@ ORDER BY rec_id
 """
 
 
+def er_pivot_clusters(sf_dir: str):
+    """PIVOT correlation clustering over the reciprocal-match pair
+    graph (:func:`sbb_ned_ray.stages.cluster.
+    pivot_correlation_clusters`, Ailon-Charikar-Newman pivot /
+    KDD'14 parallel rounds): the conservative alternative to
+    transitive closure — every cluster is a STAR in the pair graph,
+    so one spurious bridge pair cannot glue two entities together.
+    SELF-CHECKED in-query: the distributed rounds must reproduce the
+    exact sequential reference (same seeded ranks) on the full pair
+    set, and every member must be adjacent to its pivot."""
+    import pyarrow.compute as pc
+
+    from sbb_ned_ray.stages.cluster import (driver_pivot_clusters,
+                                            pivot_correlation_clusters)
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            reciprocal_best_match)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    sided = recs.map_batches(
+        lambda t: t.append_column("side", pc.cast(
+            pc.bit_wise_and(t["rec_id"], 1), "int32")),
+        batch_format="pyarrow")
+    matches = reciprocal_best_match(sided, "nationkey", "rec_id",
+                                    "name", "side") \
+        .select_columns(["rec_id", "match_id"]).materialize()
+    out = pivot_correlation_clusters(matches, id_a="rec_id",
+                                     id_b="match_id").to_pandas()
+    got = dict(zip(out["node"], out["cluster_id"]))
+    # self-check 1: exact parity with the sequential reference
+    # (check-only collect; the pair set is one row per accepted match)
+    pairs = [tuple(r) for r in
+             matches.to_pandas().itertuples(index=False)]
+    want = driver_pivot_clusters(pairs)
+    assert got == want, "distributed pivot != sequential reference"
+    # self-check 2: star property — every member adjacent to its pivot
+    adj = set()
+    for a, b in pairs:
+        adj.add((a, b))
+        adj.add((b, a))
+    assert all(n == c or (n, c) in adj for n, c in got.items())
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def er_dedupe_golden(sf_dir: str):
     """END-TO-END entity resolution over the dirty-records table, the
     full classical chain in one composition: reciprocal Jaro–Winkler
@@ -5104,6 +5146,7 @@ _QUERY_FNS = {
     "blocking_workload_metrics": blocking_workload_metrics,
     "linkage_reciprocal_match": linkage_reciprocal_match,
     "er_dedupe_golden": er_dedupe_golden,
+    "er_pivot_clusters": er_pivot_clusters,
     "linkage_patterns_cc": linkage_patterns_cc,
     "linkage_incremental_match": linkage_incremental_match,
     "er_resumable_golden": er_resumable_golden,

@@ -319,6 +319,247 @@ def alternating_components(edges_ds: ray.data.Dataset,
     return labels
 
 
+def _pivot_rank(nodes: pd.Series, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random pivot rank per node (uint64) —
+    the seeded permutation of the pivot algorithm.  Identical in the
+    distributed rounds, the driver reference, and across processes
+    (siphash with a fixed seed-derived key)."""
+    return pd.util.hash_pandas_object(
+        nodes, index=False, hash_key=f"{seed & 0xffffffff:016d}"
+    ).to_numpy()
+
+
+def driver_pivot_clusters(edges: list[tuple], seed: int = 17) -> dict:
+    """Exact sequential reference for :func:`pivot_correlation_clusters`
+    (Ailon-Charikar-Newman pivot, KDD'14 parallel analysis by
+    Chierichetti-Dalvi-Kumar): scan nodes in seeded-rank order; an
+    unclustered node becomes a pivot and claims its unclustered
+    neighbors.  Used by tests/self-check queries as the ground truth
+    the distributed rounds must reproduce EXACTLY (same ranks)."""
+    nodes = sorted({x for e in edges for x in e})
+    if not nodes:
+        return {}
+    rk = _pivot_rank(pd.Series(nodes), seed)
+    order = sorted(range(len(nodes)), key=lambda i: (rk[i], nodes[i]))
+    adj: dict = {n: set() for n in nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cluster: dict = {}
+    for i in order:
+        u = nodes[i]
+        if u in cluster:
+            continue
+        cluster[u] = u
+        for v in adj[u]:
+            if v not in cluster:
+                cluster[v] = u
+    return cluster
+
+
+def pivot_correlation_clusters(pairs_ds: ray.data.Dataset,
+                               id_a: str = "id_a", id_b: str = "id_b",
+                               node_col: str = "node",
+                               cluster_col: str = "cluster_id",
+                               seed: int = 17,
+                               max_rounds: int = 60,
+                               num_partitions: int = 16
+                               ) -> ray.data.Dataset:
+    """Distributed PIVOT correlation clustering over a positive-pair
+    Dataset (Ailon-Charikar-Newman pivot — the 3-approximation for
+    correlation clustering; parallel-round analysis: Chierichetti,
+    Dalvi & Kumar, "Correlation Clustering in MapReduce", KDD'14).
+
+    Transitive closure (connected components) merges everything a
+    chain of weak matches touches; the pivot algorithm instead cuts
+    non-adjacent nodes apart: every output cluster is a STAR in the
+    input pair graph (each member is directly adjacent to its pivot),
+    so one spurious bridge pair cannot glue two big entities together.
+    This is the conservative clustering an ER pipeline wants when
+    pair precision matters more than recall.
+
+    Exact semantics (deterministic in ``seed``): nodes are scanned in
+    seeded-rank order; an unclustered node becomes a pivot and claims
+    its unclustered neighbors — :func:`driver_pivot_clusters` is the
+    sequential reference, and the distributed rounds reproduce it
+    EXACTLY via the lexicographically-first-MIS recurrence
+    (pivot(u) ⇔ no lower-rank neighbor is a pivot), resolved
+    level-by-level: each round decides every node whose lower-rank
+    neighbors are all decided, O(log n) rounds w.h.p.  Per round: one
+    bucketed co-shuffle join (neighbor statuses onto edges) + one
+    bucketed groupby (combine per node); the driver sees only the
+    undecided-count scalar.  Final assignment: one more co-shuffle
+    picking each non-pivot's minimum-rank pivot neighbor.
+    """
+    import pyarrow.compute as pc
+
+    STATUS_UNDEC, STATUS_PIVOT, STATUS_NON = 0, 1, 2
+
+    def hash_part(s: pd.Series) -> np.ndarray:
+        return (pd.util.hash_pandas_object(s, index=False).to_numpy()
+                % num_partitions).astype("int32")
+
+    # oriented edge rows: (hi, lo) with rank(lo) < rank(hi) — only
+    # lower-rank neighbors ever influence a node's pivot status
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[id_a], df[id_b]
+        keep = (a != b).to_numpy()
+        a, b = a[keep], b[keep]
+        ra, rb = _pivot_rank(a, seed), _pivot_rank(b, seed)
+        a_lo = (ra < rb) | ((ra == rb) & (a.to_numpy() < b.to_numpy()))
+        return pd.DataFrame({
+            "hi": np.where(a_lo, b.to_numpy(), a.to_numpy()),
+            "lo": np.where(a_lo, a.to_numpy(), b.to_numpy())})
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df[id_a], df[id_b]], ignore_index=True)
+        return pd.DataFrame({"node": n}).drop_duplicates()
+
+    edges = pairs_ds.map_batches(orient, batch_format="pandas") \
+        .repartition(num_partitions).materialize()
+    status = pairs_ds.map_batches(node_rows, batch_format="pandas") \
+        .map_batches(lambda df: df.assign(
+            _part=hash_part(df["node"])), batch_format="pandas") \
+        .groupby("_part").map_groups(
+            lambda df: df.drop(columns=["_part"]).drop_duplicates()
+            .assign(st=np.int32(STATUS_UNDEC)),
+            batch_format="pandas") \
+        .materialize()
+
+    # tagged co-shuffle A: edge rows keyed on lo pick up st(lo)
+    def edge_by_lo(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["lo"], "hi": df["hi"]})
+        out["st"] = np.int32(-1)
+        out["_part"] = hash_part(out["key"])
+        return out
+
+    def status_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["node"],
+                            "hi": df["node"],   # self-marker, unused
+                            "st": df["st"].astype("int32")})
+        out["_part"] = hash_part(out["key"])
+        return out
+
+    def attach_lo_status(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["st"] < 0][["key", "hi"]]
+        s = df[df["st"] >= 0][["key", "st"]]
+        m = e.merge(s, on="key")
+        return pd.DataFrame({"hi": m["hi"], "st_lo": m["st"]
+                             .astype("int32")})
+
+    # tagged co-shuffle B: per-hi combine neighbor statuses with own
+    def neigh_by_hi(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["hi"],
+                            "st_lo": df["st_lo"].astype("int32")})
+        out["own"] = np.int32(-1)
+        out["_part"] = hash_part(out["key"])
+        return out
+
+    def own_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["node"],
+                            "st_lo": np.int32(-1),
+                            "own": df["st"].astype("int32")})
+        out["_part"] = hash_part(out["key"])
+        return out
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        own = df[df["own"] >= 0][["key", "own"]]
+        nb = df[df["own"] < 0]
+        flags = pd.DataFrame({
+            "key": nb["key"],
+            "isp": (nb["st_lo"] == STATUS_PIVOT).astype("int8"),
+            "isn": (nb["st_lo"] == STATUS_NON).astype("int8")})
+        agg = flags.groupby("key", sort=False).agg(
+            any_pivot=("isp", "max"), all_non=("isn", "min"))
+        agg = agg.astype(bool)
+        m = own.merge(agg, left_on="key", right_index=True, how="left")
+        # no lower-rank neighbors at all → immediate pivot
+        ap = m["any_pivot"].to_numpy()
+        an = m["all_non"].to_numpy()
+        any_pivot = np.where(pd.isna(ap), False, ap).astype(bool)
+        all_non = np.where(pd.isna(an), True, an).astype(bool)
+        undec = m["own"].to_numpy() == STATUS_UNDEC
+        new = m["own"].to_numpy(dtype="int32").copy()
+        new[undec & any_pivot] = STATUS_NON
+        new[undec & ~any_pivot & all_non] = STATUS_PIVOT
+        return pd.DataFrame({"node": m["key"],
+                             "st": new.astype("int32")})
+
+    edge_lo_tagged = edges.map_batches(edge_by_lo,
+                                       batch_format="pandas") \
+        .materialize()
+    for _ in range(max_rounds):
+        n_undec = status.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int((df["st"] == STATUS_UNDEC).sum())]}),
+            batch_format="pandas").sum("n")
+        if not n_undec:
+            break
+        with_st = edge_lo_tagged.union(
+            status.map_batches(status_rows, batch_format="pandas")) \
+            .groupby("_part") \
+            .map_groups(attach_lo_status, batch_format="pandas")
+        status = with_st.map_batches(neigh_by_hi,
+                                     batch_format="pandas") \
+            .union(status.map_batches(own_rows, batch_format="pandas")) \
+            .groupby("_part") \
+            .map_groups(decide, batch_format="pandas") \
+            .repartition(num_partitions).materialize()
+
+    # assignment: non-pivots join the min-(rank, id) PIVOT among their
+    # lower-rank neighbors; pivots (and self-loop-only nodes) label
+    # themselves.  Two exchanges: pivot statuses onto the lo-keyed
+    # edges, then the candidate rows re-bucketed on HI so the min-rank
+    # pick sees ALL of a node's pivot neighbors in one place.
+    def pivot_cands(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["st"] < 0][["key", "hi"]]
+        s = df[df["st"] >= 0][["key", "st"]]
+        m = e.merge(s[s["st"] == STATUS_PIVOT], on="key")
+        return pd.DataFrame({"node": m["hi"], "cand": m["key"]})
+
+    cand_ds = edge_lo_tagged.union(
+        status.map_batches(status_rows, batch_format="pandas")) \
+        .groupby("_part") \
+        .map_groups(pivot_cands, batch_format="pandas")
+
+    def cand_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["node"], "cand": df["cand"]})
+        out["st"] = np.int32(-1)
+        out["_part"] = hash_part(out["node"])
+        return out
+
+    def st_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["node"],
+                            "cand": df["node"],
+                            "st": df["st"].astype("int32")})
+        out["_part"] = hash_part(out["node"])
+        return out
+
+    def self_or_cand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        cand = df[df["st"] < 0][["node", "cand"]]
+        if len(cand):
+            rk = _pivot_rank(cand["cand"], seed)
+            cand = cand.assign(_rk=rk) \
+                .sort_values(["node", "_rk", "cand"]) \
+                .groupby("node", sort=False).head(1)[["node", "cand"]]
+        st = df[df["st"] >= 0][["node", "st"]]
+        m = st.merge(cand, on="node", how="left")
+        is_pivot = m["st"].to_numpy() == STATUS_PIVOT
+        # cast back to the node dtype: the left merge floats an int64
+        # cand column through the pivot rows' NaNs
+        out = m["cand"].where(~is_pivot, m["node"]) \
+            .astype(m["node"].dtype)
+        return pd.DataFrame({node_col: m["node"], cluster_col: out})
+
+    return cand_ds.map_batches(cand_rows, batch_format="pandas") \
+        .union(status.map_batches(st_rows, batch_format="pandas")) \
+        .groupby("_part") \
+        .map_groups(self_or_cand, batch_format="pandas")
+
+
 def pairs_to_clusters(pairs_ds: ray.data.Dataset,
                       id_a: str = "id_a", id_b: str = "id_b",
                       driver_pair_limit: int = 200_000) -> pd.DataFrame:
