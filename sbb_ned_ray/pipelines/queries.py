@@ -4199,6 +4199,61 @@ def docs_shingle_jaccard(sf_dir: str, threshold: float = 0.5,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _cosine_max_df(sf_dir: str) -> int:
+    """df prune for the token-cosine join: 10% of the corpus (floor
+    50) — a FRACTIONAL stop-token cap so the operator's pair recall is
+    scale-invariant (an absolute cap silently empties the join as the
+    corpus grows; both engines compute the same number from the
+    parquet row count)."""
+    import pyarrow.parquet as _pq
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return max(50, n // 10)
+
+
+def docs_token_cosine(sf_dir: str, threshold_e6: int = 800_000):
+    """EXACT token-count cosine ≥ 0.8 similarity self-join over the
+    documents table, restricted to tokens with document frequency
+    ≤ max(50, 10% of corpus) — the stop-token prune of Bayardo et al.
+    WWW 2007 (:func:`sbb_ned_ray.stages.blockjoin.token_cosine_pairs`).
+    ORACLE-checked hash-exact: output columns are the integer dot and
+    squared norms over the pruned vocabulary; both engines test the
+    threshold by arbitrary-precision integer cross-multiplication
+    (Python ints / HUGEINT)."""
+    from sbb_ned_ray.stages.blockjoin import token_cosine_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = token_cosine_pairs(docs, "text", "doc_id", threshold_e6,
+                             _cosine_max_df(sf_dir)).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                            ["id_a", "id_b", "dot", "na2", "nb2"]})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _oracle_docs_token_cosine(sf_dir: str = "/root/testdata/sf0.01"
+                              ) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS d FROM tok GROUP BY 1),
+t AS (SELECT tok.id, tok.tok, tok.c
+      FROM tok JOIN df USING (tok) WHERE d <= {_cosine_max_df(sf_dir)}),
+n2 AS (SELECT id, SUM(c * c) AS s FROM t GROUP BY 1),
+p AS (SELECT a.id AS ia, b.id AS ib, SUM(a.c * b.c) AS dot
+      FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, CAST(dot AS BIGINT) AS dot,
+       CAST(na.s AS BIGINT) AS na2, CAST(nb.s AS BIGINT) AS nb2
+FROM p JOIN n2 na ON na.id = ia JOIN n2 nb ON nb.id = ib
+WHERE CAST(dot AS HUGEINT) * dot * 1000000000000
+      >= CAST(800000 AS HUGEINT) * 800000 * na.s * nb.s
+ORDER BY id_a, id_b
+"""
+
+
 def linkage_patterns(sf_dir: str):
     """Agreement-pattern counts over all within-nationkey-block pairs
     of the deterministic dirty-records table (customers + perturbed
@@ -5136,6 +5191,7 @@ _QUERY_FNS = {
     "surface_edit_join": surface_edit_join,
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "docs_shingle_jaccard": docs_shingle_jaccard,
+    "docs_token_cosine": docs_token_cosine,
     "linkage_patterns": linkage_patterns,
     "linkage_em_quality": linkage_em_quality,
     "linkage_golden_records": linkage_golden_records,
@@ -5231,6 +5287,7 @@ ORACLE_SQL = {
     "surface_edit_join": _oracle_surface_editjoin(),
     "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "docs_shingle_jaccard": ORACLE_SHINGLE_JACCARD,
+    "docs_token_cosine": _oracle_docs_token_cosine(),
     "linkage_patterns": _oracle_linkage_patterns(),
     "linkage_golden_records": _oracle_linkage_golden(),
     "surface_edit_clusters": _oracle_surface_clusters(),
@@ -5267,6 +5324,7 @@ _SF_ORACLES = {
     "entity_cooc_components_altstar": _oracle_entity_components,
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,
+    "docs_token_cosine": _oracle_docs_token_cosine,
     "linkage_patterns": _oracle_linkage_patterns,
     "linkage_golden_records": _oracle_linkage_golden,
     "surface_edit_clusters": _oracle_surface_clusters,

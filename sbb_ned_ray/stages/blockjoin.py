@@ -384,3 +384,165 @@ def shingle_jaccard_pairs(docs: ray.data.Dataset, text_col: str,
                          "jaccard_e6": pa.array(ja, pa.int64())})
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# exact token-cosine similarity self-join over a df-pruned vocabulary
+# --------------------------------------------------------------------
+
+def token_cosine_pairs(docs: ray.data.Dataset, text_col: str,
+                       id_col: str, threshold_e6: int = 800_000,
+                       max_df: int = 50,
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """EXACT cosine ≥ t similarity self-join over token-COUNT vectors
+    restricted to tokens with document frequency ≤ ``max_df`` — the
+    classic stop-token prune of inverted-index similarity joins
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW 2007): a token appearing in more than ``max_df`` docs carries
+    no discriminative signal but quadratic candidate volume, so BOTH
+    engines drop it before any pair forms (the operator is defined
+    over the pruned vocabulary; the DuckDB twin applies the identical
+    global-df filter, keeping the comparison hash-exact).
+
+    Returns ``(id_a, id_b, dot, na2, nb2)`` for pairs with
+    cos = dot/√(na2·nb2) ≥ threshold — all INTEGER columns (dot and
+    the squared norms over the pruned vocab), so no float ever crosses
+    the oracle hash; the threshold test itself is exact integer
+    cross-multiplication in arbitrary precision (Python ints here,
+    HUGEINT in the twin).
+
+    Distributed shape (all exchanges linear in postings/pairs — no
+    doc-sized rows move, nothing lands on the driver):
+
+    1. token-count rows (id, tok, c) bucket by token; per bucket ONE
+       pass computes df, drops tok with df > max_df, and emits the
+       per-token pair products (a < b, prod = ca·cb) — volume bounded
+       by Σ df² ≤ max_df · postings;
+    2. ``groupby((id_a, id_b)).sum(prod)`` → dot (pair-key exchange);
+    3. squared norms per doc from the SURVIVING postings (df ≤ max_df,
+       including df = 1 tokens — they shape the norm even though they
+       never pair) via one narrow groupby;
+    4. two tagged bucket-merges attach na2/nb2, then the exact
+       integer threshold filter.
+    """
+    t_e6 = int(threshold_e6)
+
+    def token_rows(df: pd.DataFrame) -> pa.Table:
+        ids, toks, cnts = [], [], []
+        for i, txt in zip(df[id_col].astype(int), df[text_col]):
+            c: dict = {}
+            for t in str(txt).split(" "):
+                if t:
+                    c[t] = c.get(t, 0) + 1
+            ids.extend([i] * len(c))
+            toks.extend(c.keys())
+            cnts.extend(c.values())
+        out = pd.DataFrame({"tok": toks, "id": ids, "c": cnts})
+        return _pd_to_arrow(_add_hash_part(out, ["tok"], num_partitions))
+
+    tok_rows = docs.map_batches(token_rows, batch_format="pandas") \
+        .materialize()
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=["_part"])
+        sizes = df.groupby("tok", sort=False)["id"].transform("size")
+        df = df[sizes <= max_df]
+        out_a, out_b, out_p = [], [], []
+        for _, g in df[df.groupby("tok", sort=False)["id"]
+                       .transform("size") >= 2].groupby("tok",
+                                                        sort=False):
+            ids = g["id"].to_numpy(np.int64)
+            cs = g["c"].to_numpy(np.int64)
+            o = np.argsort(ids)
+            ids, cs = ids[o], cs[o]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+            out_p.append(cs[iu] * cs[ju])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            p = np.concatenate(out_p)
+        else:
+            a = b = p = np.array([], dtype=np.int64)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "prod": pa.array(p, pa.int64())})
+
+    def surviving(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=["_part"])
+        sizes = df.groupby("tok", sort=False)["id"].transform("size")
+        keep = df[sizes <= max_df]
+        c = keep["c"].to_numpy(np.int64)
+        return pa.table({"id": pa.array(keep["id"].to_numpy(np.int64),
+                                        pa.int64()),
+                         "c2": pa.array(c * c, pa.int64())})
+
+    dot = tok_rows.groupby("_part") \
+        .map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).sum("prod") \
+        .map_batches(lambda t: t.rename_columns(["id_a", "id_b",
+                                                 "dot"]),
+                     batch_format="pyarrow")
+    n2 = tok_rows.groupby("_part") \
+        .map_groups(surviving, batch_format="pandas") \
+        .groupby("id").sum("c2") \
+        .map_batches(lambda t: t.rename_columns(["id", "n2"]),
+                     batch_format="pyarrow").materialize()
+
+    def attach(pairs_ds: ray.data.Dataset, key_name: str,
+               out_name: str, carry: list) -> ray.data.Dataset:
+        # both tagged sides share ONE schema (carry columns padded with
+        # zeros on the norm side) so the union's buckets concatenate
+        # cleanly even when a bucket holds only one side
+        def tag_pairs(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame(
+                {c: df[c].to_numpy(np.int64) for c in carry})
+            out["_k"] = df[key_name].to_numpy(np.int64)
+            out["_n2"] = np.int64(-1)
+            return _pd_to_arrow(_add_hash_part(out, ["_k"],
+                                               num_partitions))
+
+        def tag_norms(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({c: np.zeros(len(df), np.int64)
+                                for c in carry})
+            out["_k"] = df["id"].to_numpy(np.int64)
+            out["_n2"] = df["n2"].to_numpy(np.int64)
+            return _pd_to_arrow(_add_hash_part(out, ["_k"],
+                                               num_partitions))
+
+        def merge(df: pd.DataFrame) -> pa.Table:
+            p = df[df["_n2"] < 0][carry + ["_k"]]
+            n = df[df["_n2"] >= 0][["_k", "_n2"]].drop_duplicates("_k")
+            m = p.merge(n, on="_k").drop(columns=["_k"])
+            m = m.rename(columns={"_n2": out_name})
+            return _pd_to_arrow(m[carry + [out_name]])
+
+        return pairs_ds.map_batches(tag_pairs, batch_format="pandas") \
+            .union(n2.map_batches(tag_norms, batch_format="pandas")) \
+            .groupby("_part").map_groups(merge, batch_format="pandas")
+
+    with_norms = attach(
+        attach(dot, "id_a", "na2", ["id_a", "id_b", "dot"]),
+        "id_b", "nb2", ["id_a", "id_b", "dot", "na2"])
+
+    def threshold_filter(df: pd.DataFrame) -> pa.Table:
+        if "id_a" not in df.columns:   # empty schema probe
+            df = pd.DataFrame({c: pd.Series(dtype="int64")
+                               for c in ["id_a", "id_b", "dot",
+                                         "na2", "nb2"]})
+        if len(df):
+            d = df["dot"].astype(object).to_numpy()
+            x = df["na2"].astype(object).to_numpy()
+            y = df["nb2"].astype(object).to_numpy()
+            # exact arbitrary-precision integer cross-multiplication
+            ok = (d * d * 10**12) >= (t_e6 * t_e6) * x * y
+            df = df[ok.astype(bool)]
+        # the bucket merges float int columns through empty-frame
+        # probes; the contract is all-integer
+        out = df[["id_a", "id_b", "dot", "na2", "nb2"]] \
+            .astype("int64")
+        return _pd_to_arrow(out)
+
+    return with_norms.map_batches(threshold_filter,
+                                  batch_format="pandas")

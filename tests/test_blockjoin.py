@@ -144,3 +144,49 @@ def test_shingle_jaccard_short_docs_never_pair(ray_session):
     # docs share their both shingles exactly
     assert set(zip(got["id_a"], got["id_b"], got["jaccard_e6"])) == \
         {(3, 4, 1_000_000)}
+
+
+def test_token_cosine_pairs_exact(ray_session):
+    # brute-force recomputation over the pruned vocabulary must agree
+    # exactly (integer dot/norms, arbitrary-precision threshold)
+    import itertools
+    from collections import Counter
+
+    from sbb_ned_ray.stages.blockjoin import token_cosine_pairs
+    texts = {
+        1: "red fox jumps over the lazy dog",
+        2: "red fox jumps over a lazy dog",
+        3: "completely different words here altogether",
+        4: "red fox jumps over the lazy dog",
+        5: "the the the the",
+    }
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = token_cosine_pairs(docs, "text", "doc_id",
+                             threshold_e6=800_000, max_df=50,
+                             num_partitions=4).to_pandas()
+    got = {(a, b): (d, x, y) for a, b, d, x, y in
+           out.itertuples(index=False)}
+    toks = {i: Counter(t for t in s.split(" ") if t)
+            for i, s in texts.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        shared = set(toks[a]) & set(toks[b])
+        dot = sum(toks[a][t] * toks[b][t] for t in shared)
+        na2 = sum(c * c for c in toks[a].values())
+        nb2 = sum(c * c for c in toks[b].values())
+        if dot * dot * 10**12 >= 800_000**2 * na2 * nb2:
+            want[(a, b)] = (dot, na2, nb2)
+    assert got == want
+    assert (1, 4) in got and (1, 2) in got and (1, 3) not in got
+
+
+def test_token_cosine_max_df_prunes(ray_session):
+    from sbb_ned_ray.stages.blockjoin import token_cosine_pairs
+    # with max_df=1 no token survives pairing: empty result, stable
+    # schema
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", "a b c"]}))
+    out = token_cosine_pairs(docs, "text", "doc_id", 500_000,
+                             max_df=1, num_partitions=2).to_pandas()
+    assert len(out) == 0
