@@ -4254,6 +4254,52 @@ ORDER BY id_a, id_b
 """
 
 
+def docs_shingle_containment(sf_dir: str,
+                             threshold_e6: int = 700_000):
+    """EXACT word-3-gram shingle CONTAINMENT ≥ 0.7 DIRECTIONAL
+    self-join over documents, restricted to shingles with df
+    ≤ max(50, 10% of corpus) (Broder SEQUENCES 1997; the
+    quote-inside-a-wrapper case Jaccard misses —
+    :func:`sbb_ned_ray.stages.blockjoin.shingle_containment_pairs`).
+    ORACLE-checked hash-exact: integer intersection + retained-set
+    size columns, round-half-up e6 quantization on both sides."""
+    from sbb_ned_ray.stages.blockjoin import shingle_containment_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = shingle_containment_pairs(
+        docs, "text", "doc_id", threshold_e6,
+        max_df=_cosine_max_df(sf_dir)).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                            ["id_a", "id_b", "inter", "m_a",
+                             "containment_e6"]})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _oracle_docs_containment(sf_dir: str = "/root/testdata/sf0.01"
+                             ) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+s AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 3),
+df AS (SELECT sh, count(*) AS d FROM s GROUP BY 1),
+sk AS (SELECT s.doc_id, s.sh FROM s JOIN df USING (sh)
+       WHERE d <= {_cosine_max_df(sf_dir)}),
+sz AS (SELECT doc_id, count(*) AS m FROM sk GROUP BY 1),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+          FROM sk a JOIN sk b ON a.sh = b.sh
+          AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, c AS inter, sa.m AS m_a,
+       (c * 2000000 + sa.m) // (2 * sa.m) AS containment_e6
+FROM inter JOIN sz sa ON sa.doc_id = ia
+WHERE c * 1000000 >= 700000 * sa.m
+ORDER BY id_a, id_b
+"""
+
+
 def linkage_patterns(sf_dir: str):
     """Agreement-pattern counts over all within-nationkey-block pairs
     of the deterministic dirty-records table (customers + perturbed
@@ -5192,6 +5238,7 @@ _QUERY_FNS = {
     "customers_sorted_neighborhood": customers_sorted_neighborhood,
     "docs_shingle_jaccard": docs_shingle_jaccard,
     "docs_token_cosine": docs_token_cosine,
+    "docs_shingle_containment": docs_shingle_containment,
     "linkage_patterns": linkage_patterns,
     "linkage_em_quality": linkage_em_quality,
     "linkage_golden_records": linkage_golden_records,
@@ -5288,6 +5335,7 @@ ORACLE_SQL = {
     "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "docs_shingle_jaccard": ORACLE_SHINGLE_JACCARD,
     "docs_token_cosine": _oracle_docs_token_cosine(),
+    "docs_shingle_containment": _oracle_docs_containment(),
     "linkage_patterns": _oracle_linkage_patterns(),
     "linkage_golden_records": _oracle_linkage_golden(),
     "surface_edit_clusters": _oracle_surface_clusters(),
@@ -5325,6 +5373,7 @@ _SF_ORACLES = {
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,
     "docs_token_cosine": _oracle_docs_token_cosine,
+    "docs_shingle_containment": _oracle_docs_containment,
     "linkage_patterns": _oracle_linkage_patterns,
     "linkage_golden_records": _oracle_linkage_golden,
     "surface_edit_clusters": _oracle_surface_clusters,

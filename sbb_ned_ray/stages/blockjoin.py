@@ -546,3 +546,151 @@ def token_cosine_pairs(docs: ray.data.Dataset, text_col: str,
 
     return with_norms.map_batches(threshold_filter,
                                   batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# exact shingle-containment self-join (asymmetric near-duplicate /
+# subsumption detection)
+# --------------------------------------------------------------------
+
+def shingle_containment_pairs(docs: ray.data.Dataset, text_col: str,
+                              id_col: str, threshold_e6: int = 700_000,
+                              shingle_n: int = 3, max_df: int = 50,
+                              num_partitions: int = 32
+                              ) -> ray.data.Dataset:
+    """EXACT containment ``C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ t``
+    DIRECTIONAL self-join over word ``shingle_n``-gram shingle sets
+    restricted to shingles with document frequency ≤ ``max_df`` — the
+    asymmetric cousin of :func:`shingle_jaccard_pairs` (Broder's
+    containment from "On the resemblance and containment of
+    documents", SEQUENCES 1997).  Jaccard misses the
+    quote-inside-a-wrapper case an LLM-corpus dedup cares about: a
+    short doc fully embedded in a much longer one has tiny Jaccard but
+    containment ≈ 1.  The df prune is the same operator-definition
+    decision as :func:`token_cosine_pairs` (boilerplate shingles carry
+    quadratic candidate volume and no signal; BOTH engines drop them,
+    keeping the oracle hash-exact).
+
+    Returns ``(id_a, id_b, inter, m_a, containment_e6)`` — one row per
+    DIRECTION that passes (``A ⊂~ B`` and ``B ⊂~ A`` are independent
+    rows), all integers, ``containment_e6`` round-half-up like the
+    twin's ``(c*2e6 + m) // (2*m)``.
+
+    Distributed shape = :func:`token_cosine_pairs`'s: shingle rows
+    bucket by shingle (ONE pass per bucket computes df, prunes, emits
+    ``Σ df² ≤ max_df · postings`` unordered pair rows), a pair-key
+    groupby counts the exact intersection, per-doc retained-set sizes
+    come from one narrow groupby, two tagged bucket-merges attach the
+    sizes, and the direction filter is per-row integer arithmetic.
+    Nothing doc-sized moves after step 1; nothing lands on the driver.
+    """
+    t_e6 = int(threshold_e6)
+
+    def shingle_rows(df: pd.DataFrame) -> pa.Table:
+        ids, shs = [], []
+        for i, txt in zip(df[id_col].astype(int), df[text_col]):
+            for sh in word_shingles(str(txt), shingle_n):
+                ids.append(i)
+                shs.append(sh)
+        out = pd.DataFrame({"sh": shs,
+                            "id": np.array(ids, np.int64)})
+        return _pd_to_arrow(_add_hash_part(out, ["sh"], num_partitions))
+
+    rows = docs.map_batches(shingle_rows, batch_format="pandas") \
+        .materialize()
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=["_part"])
+        sizes = df.groupby("sh", sort=False)["id"].transform("size")
+        df = df[(sizes <= max_df) & (sizes >= 2)]
+        out_a, out_b = [], []
+        for _, g in df.groupby("sh", sort=False):
+            ids = np.sort(g["id"].to_numpy(np.int64))
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "one": pa.array(np.ones(len(a), np.int64),
+                                         pa.int64())})
+
+    def surviving(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=["_part"])
+        sizes = df.groupby("sh", sort=False)["id"].transform("size")
+        keep = df[sizes <= max_df]
+        return pa.table({"id": pa.array(keep["id"].to_numpy(np.int64),
+                                        pa.int64()),
+                         "one": pa.array(np.ones(len(keep), np.int64),
+                                         pa.int64())})
+
+    inter = rows.groupby("_part") \
+        .map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).sum("one") \
+        .map_batches(lambda t: t.rename_columns(["id_a", "id_b",
+                                                 "inter"]),
+                     batch_format="pyarrow")
+    msz = rows.groupby("_part") \
+        .map_groups(surviving, batch_format="pandas") \
+        .groupby("id").sum("one") \
+        .map_batches(lambda t: t.rename_columns(["id", "m"]),
+                     batch_format="pyarrow").materialize()
+
+    def attach(pairs_ds: ray.data.Dataset, key_name: str,
+               out_name: str, carry: list) -> ray.data.Dataset:
+        def tag_pairs(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame(
+                {c: df[c].to_numpy(np.int64) for c in carry})
+            out["_k"] = df[key_name].to_numpy(np.int64)
+            out["_m"] = np.int64(-1)
+            return _pd_to_arrow(_add_hash_part(out, ["_k"],
+                                               num_partitions))
+
+        def tag_sizes(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({c: np.zeros(len(df), np.int64)
+                                for c in carry})
+            out["_k"] = df["id"].to_numpy(np.int64)
+            out["_m"] = df["m"].to_numpy(np.int64)
+            return _pd_to_arrow(_add_hash_part(out, ["_k"],
+                                               num_partitions))
+
+        def merge(df: pd.DataFrame) -> pa.Table:
+            p = df[df["_m"] < 0][carry + ["_k"]]
+            s = df[df["_m"] >= 0][["_k", "_m"]].drop_duplicates("_k")
+            m = p.merge(s, on="_k").drop(columns=["_k"])
+            m = m.rename(columns={"_m": out_name})
+            return _pd_to_arrow(m[carry + [out_name]])
+
+        return pairs_ds.map_batches(tag_pairs, batch_format="pandas") \
+            .union(msz.map_batches(tag_sizes, batch_format="pandas")) \
+            .groupby("_part").map_groups(merge, batch_format="pandas")
+
+    with_sizes = attach(
+        attach(inter, "id_a", "ma", ["id_a", "id_b", "inter"]),
+        "id_b", "mb", ["id_a", "id_b", "inter", "ma"])
+
+    def directional(df: pd.DataFrame) -> pa.Table:
+        cols = ["id_a", "id_b", "inter", "m_a", "containment_e6"]
+        if "id_a" not in df.columns or not len(df):
+            return _pd_to_arrow(pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in cols}))
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        it = df["inter"].to_numpy(np.int64)
+        ma = df["ma"].to_numpy(np.int64)
+        mb = df["mb"].to_numpy(np.int64)
+        # each unordered pair row fans into its two directions; a
+        # direction survives iff inter/m_src ≥ t (exact integer test)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        ii = np.concatenate([it, it])
+        mm = np.concatenate([ma, mb])
+        ok = ii * 1_000_000 >= t_e6 * mm
+        src, dst, ii, mm = src[ok], dst[ok], ii[ok], mm[ok]
+        cont = (ii * 2_000_000 + mm) // (2 * mm)
+        return _pd_to_arrow(pd.DataFrame(
+            {"id_a": src, "id_b": dst, "inter": ii, "m_a": mm,
+             "containment_e6": cont}))
+
+    return with_sizes.map_batches(directional, batch_format="pandas")

@@ -190,3 +190,64 @@ def test_token_cosine_max_df_prunes(ray_session):
     out = token_cosine_pairs(docs, "text", "doc_id", 500_000,
                              max_df=1, num_partitions=2).to_pandas()
     assert len(out) == 0
+
+
+def test_containment_matches_brute_force(ray_session):
+    import itertools
+
+    from sbb_ned_ray.stages.blockjoin import shingle_containment_pairs
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for i in range(40):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(
+            rng.randint(3, 25)))
+    # plant containments: doc 100 is a prefix of doc 101's text
+    texts[100] = texts[0]
+    texts[101] = texts[0] + " " + texts[1]
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    t_e6, max_df = 600_000, 25
+    out = shingle_containment_pairs(
+        docs, "text", "doc_id", t_e6, shingle_n=3, max_df=max_df,
+        num_partitions=4).to_pandas()
+    got = {(a, b): (i, m, c) for a, b, i, m, c in
+           out.itertuples(index=False)}
+
+    # brute force over df-pruned shingle sets
+    raw = {i: word_shingles(t, 3) for i, t in texts.items()}
+    df_cnt = {}
+    for s in raw.values():
+        for sh in s:
+            df_cnt[sh] = df_cnt.get(sh, 0) + 1
+    pruned = {i: {sh for sh in s if df_cnt[sh] <= max_df}
+              for i, s in raw.items()}
+    want = {}
+    for a, b in itertools.permutations(sorted(texts), 2):
+        sa, sb = pruned[a], pruned[b]
+        if not sa:
+            continue
+        inter = len(sa & sb)
+        if inter * 1_000_000 >= t_e6 * len(sa):
+            want[(a, b)] = (inter, len(sa),
+                            (inter * 2_000_000 + len(sa))
+                            // (2 * len(sa)))
+    assert got == want
+    # the planted direction holds: 100 ⊂ 101 (but not vice versa
+    # unless the sets happen tiny)
+    assert (100, 101) in got
+    assert got[(100, 101)][2] == 1_000_000
+
+
+def test_containment_is_directional(ray_session):
+    from sbb_ned_ray.stages.blockjoin import shingle_containment_pairs
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d", "a b c d e f g h i j k l"]}))
+    out = shingle_containment_pairs(
+        docs, "text", "doc_id", 900_000, shingle_n=3, max_df=50,
+        num_partitions=2).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # doc 1's two shingles are both in doc 2 (containment 1.0); doc 2
+    # has 10 shingles of which 2 shared (0.2 < 0.9)
+    assert got == {(1, 2)}
