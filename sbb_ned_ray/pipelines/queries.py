@@ -4356,6 +4356,157 @@ ORDER BY name_exact, name_sfx4, seg_exact, bal_close
 """
 
 
+def linkage_patterns_jw3(sf_dir: str):
+    """Agreement patterns with Winkler's 3-LEVEL string comparator on
+    the name field (JW ≥ 0.95 → 2, ≥ 0.85 → 1, else 0;
+    :func:`sbb_ned_ray.stages.linkage.jw3_pattern_table`) over the
+    within-nationkey-block pairs.  ORACLE-checked against DuckDB's
+    ``jaro_winkler_similarity`` (the Python kernel is verified
+    double-identical, so the level thresholds land identically)."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            jw3_pattern_table)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    return jw3_pattern_table(recs)
+
+
+def _oracle_linkage_jw3(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT CASE
+          WHEN jaro_winkler_similarity(a.name, b.name) >= 0.95 THEN 2
+          WHEN jaro_winkler_similarity(a.name, b.name) >= 0.85 THEN 1
+          ELSE 0 END AS name_jw_level,
+             CAST(a.segment = b.segment AS BIGINT) AS seg_exact,
+             CAST(abs(a.acctbal - b.acctbal) < 0.05 AS BIGINT)
+                 AS bal_close
+      FROM r a JOIN r b
+        ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id)
+SELECT name_jw_level, seg_exact, bal_close, count(*) AS n_pairs
+FROM p GROUP BY 1, 2, 3
+ORDER BY name_jw_level, seg_exact, bal_close
+"""
+
+
+def linkage_patterns_3state(sf_dir: str):
+    """NULL-AWARE agreement patterns (Splink / FastLink missing-data
+    treatment: agree / disagree / either-side-missing per field) over
+    the planted-missingness fixture variant
+    (:func:`sbb_ned_ray.stages.linkage.pattern3_table`).
+    ORACLE-checked against a DuckDB CASE recomputation."""
+    from sbb_ned_ray.stages.linkage import (missing_records_path,
+                                            pattern3_table)
+    recs = ray.data.read_parquet(missing_records_path(sf_dir))
+    return pattern3_table(recs)
+
+
+def _oracle_linkage_3state(sf_dir: str = "/root/testdata/sf0.01"
+                           ) -> str:
+    from sbb_ned_ray.stages.linkage import missing_records_path
+    return f"""
+WITH r AS (SELECT *
+           FROM read_parquet('{missing_records_path(sf_dir)}')),
+p AS (SELECT
+        CASE WHEN a.name IS NULL OR b.name IS NULL THEN 2
+             WHEN right(a.name, 4) = right(b.name, 4) THEN 1
+             ELSE 0 END AS name_state,
+        CASE WHEN a.segment IS NULL OR b.segment IS NULL THEN 2
+             WHEN a.segment = b.segment THEN 1
+             ELSE 0 END AS seg_state,
+        CASE WHEN a.acctbal IS NULL OR b.acctbal IS NULL THEN 2
+             WHEN abs(a.acctbal - b.acctbal) < 0.05 THEN 1
+             ELSE 0 END AS bal_state
+      FROM r a JOIN r b
+        ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id)
+SELECT name_state, seg_state, bal_state, count(*) AS n_pairs
+FROM p GROUP BY 1, 2, 3
+ORDER BY name_state, seg_state, bal_state
+"""
+
+
+def linkage_clerical_pairs(sf_dir: str):
+    """The Fellegi–Sunter POSSIBLE-MATCH band (the 1969 three-way
+    decision rule's clerical-review queue): within-block pairs whose
+    likelihood ratio under the fixed rational priors lands in
+    [1/4, 4] (:func:`sbb_ned_ray.stages.linkage.clerical_pairs`).
+    All-integer output ``(rec_a, rec_b, w_num, w_den)``;
+    ORACLE-checked by exact integer cross-multiplication in DuckDB."""
+    from sbb_ned_ray.stages.linkage import (clerical_pairs,
+                                            dirty_records_path)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    out = clerical_pairs(recs).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                            ["rec_a", "rec_b", "w_num", "w_den"]})
+    return out.sort_values(["rec_a", "rec_b"]).reset_index(drop=True)
+
+
+def _oracle_linkage_clerical(sf_dir: str = "/root/testdata/sf0.01"
+                             ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT least(a.rec_id, b.rec_id) AS rec_a,
+             greatest(a.rec_id, b.rec_id) AS rec_b,
+             (CASE WHEN a.name = b.name THEN 9 ELSE 1 END) *
+             (CASE WHEN right(a.name, 4) = right(b.name, 4)
+                   THEN 9 ELSE 1 END) *
+             (CASE WHEN a.segment = b.segment THEN 8 ELSE 2 END) *
+             (CASE WHEN abs(a.acctbal - b.acctbal) < 0.05
+                   THEN 7 ELSE 3 END) AS w_num,
+             (CASE WHEN a.name = b.name THEN 1 ELSE 9 END) *
+             (CASE WHEN right(a.name, 4) = right(b.name, 4)
+                   THEN 4 ELSE 6 END) *
+             5 *
+             (CASE WHEN abs(a.acctbal - b.acctbal) < 0.05
+                   THEN 6 ELSE 4 END) AS w_den
+      FROM r a JOIN r b
+        ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id)
+SELECT rec_a, rec_b, w_num, w_den
+FROM p
+WHERE w_num <= 4 * w_den AND w_den <= 4 * w_num
+ORDER BY rec_a, rec_b
+"""
+
+
+def linkage_group_match(sf_dir: str):
+    """GROUP LINKAGE (On et al., ICDE 2007) between the fixture's two
+    sources (base records vs planted duplicates), groups = nations,
+    record match = name suffix-4 equality, group similarity = the
+    deterministic coverage variant
+    (:func:`sbb_ned_ray.stages.linkage.group_linkage`).
+    ORACLE-checked against a DuckDB COUNT(DISTINCT) twin."""
+    from sbb_ned_ray.stages.linkage import (dirty_records_path,
+                                            group_linkage)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    return group_linkage(recs)
+
+
+def _oracle_linkage_group(sf_dir: str = "/root/testdata/sf0.01"
+                          ) -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+a AS (SELECT rec_id, nationkey, right(name, 4) AS sfx FROM r
+      WHERE rec_id % 2 = 0),
+b AS (SELECT rec_id, nationkey, right(name, 4) AS sfx FROM r
+      WHERE rec_id % 2 = 1),
+m AS (SELECT a.nationkey AS na, b.nationkey AS nb,
+             count(DISTINCT a.rec_id) AS matched_a,
+             count(DISTINCT b.rec_id) AS matched_b
+      FROM a JOIN b ON a.sfx = b.sfx GROUP BY 1, 2),
+sa AS (SELECT nationkey, count(*) AS s FROM a GROUP BY 1),
+sb AS (SELECT nationkey, count(*) AS s FROM b GROUP BY 1)
+SELECT na AS nation_a, nb AS nation_b, matched_a, matched_b,
+       sa.s AS size_a, sb.s AS size_b,
+       ((matched_a + matched_b) * 2000000 + (sa.s + sb.s))
+           // (2 * (sa.s + sb.s)) AS sim_e6
+FROM m JOIN sa ON sa.nationkey = na JOIN sb ON sb.nationkey = nb
+WHERE (matched_a + matched_b) * 1000000 >= 100000 * (sa.s + sb.s)
+ORDER BY nation_a, nation_b
+"""
+
+
 def linkage_golden_records(sf_dir: str):
     """Golden-record survivorship over the dirty-records clusters
     (:func:`sbb_ned_ray.stages.linkage.survivorship`): per entity,
@@ -5240,6 +5391,10 @@ _QUERY_FNS = {
     "docs_token_cosine": docs_token_cosine,
     "docs_shingle_containment": docs_shingle_containment,
     "linkage_patterns": linkage_patterns,
+    "linkage_patterns_jw3": linkage_patterns_jw3,
+    "linkage_patterns_3state": linkage_patterns_3state,
+    "linkage_clerical_pairs": linkage_clerical_pairs,
+    "linkage_group_match": linkage_group_match,
     "linkage_em_quality": linkage_em_quality,
     "linkage_golden_records": linkage_golden_records,
     "surface_edit_clusters": surface_edit_clusters,
@@ -5337,6 +5492,10 @@ ORACLE_SQL = {
     "docs_token_cosine": _oracle_docs_token_cosine(),
     "docs_shingle_containment": _oracle_docs_containment(),
     "linkage_patterns": _oracle_linkage_patterns(),
+    "linkage_patterns_jw3": _oracle_linkage_jw3(),
+    "linkage_patterns_3state": _oracle_linkage_3state(),
+    "linkage_clerical_pairs": _oracle_linkage_clerical(),
+    "linkage_group_match": _oracle_linkage_group(),
     "linkage_golden_records": _oracle_linkage_golden(),
     "surface_edit_clusters": _oracle_surface_clusters(),
     "meta_blocking_cnp": _oracle_meta_blocking(),
@@ -5375,6 +5534,10 @@ _SF_ORACLES = {
     "docs_token_cosine": _oracle_docs_token_cosine,
     "docs_shingle_containment": _oracle_docs_containment,
     "linkage_patterns": _oracle_linkage_patterns,
+    "linkage_patterns_jw3": _oracle_linkage_jw3,
+    "linkage_patterns_3state": _oracle_linkage_3state,
+    "linkage_clerical_pairs": _oracle_linkage_clerical,
+    "linkage_group_match": _oracle_linkage_group,
     "linkage_golden_records": _oracle_linkage_golden,
     "surface_edit_clusters": _oracle_surface_clusters,
     "meta_blocking_cnp": _oracle_meta_blocking,

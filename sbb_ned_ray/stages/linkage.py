@@ -957,3 +957,315 @@ def linkage_quality(records: ray.data.Dataset,
         row[f"m_{name}_e6"] = e6(fit["m"][i])
         row[f"u_{name}_e6"] = e6(fit["u"][i])
     return pd.DataFrame([row])
+
+
+# --------------------------------------------------------------------
+# round-5 wave 4: 3-level string comparators, null-aware patterns,
+# the FS clerical-review band, and group linkage
+# --------------------------------------------------------------------
+
+def jw3_pattern_table(records: ray.data.Dataset,
+                      hi_e2: int = 95, lo_e2: int = 85
+                      ) -> pd.DataFrame:
+    """Agreement patterns with WINKLER'S 3-LEVEL string comparator on
+    the name field (Winkler, "String comparator metrics and enhanced
+    decision rules in the Fellegi-Sunter model", 1990): per
+    within-``nationkey``-block pair, ``name_jw_level`` is 2 when
+    JW ≥ hi, 1 when hi > JW ≥ lo, else 0; ``seg_exact`` / ``bal_close``
+    stay binary.  Returns ``(name_jw_level, seg_exact, bal_close,
+    n_pairs)``.
+
+    The JW kernel is the vectorized :func:`jw_row` (bit-parity with
+    the scalar, double-identical to DuckDB's
+    ``jaro_winkler_similarity``), so the level thresholds — compared
+    against exact e2 decimals — land identically in both engines and
+    the DuckDB twin is hash-exact.  Scale shape = the binary pattern
+    pass: per-block bincount over 3·2·2 = 12 cells, one ≤12-row
+    groupby, no pair row leaves the block group."""
+    hi, lo = hi_e2 / 100.0, lo_e2 / 100.0
+    ncell = 3 * 2 * 2
+
+    def per_block(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        if n < 2:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        names = [str(s) for s in df["name"]]
+        mat, lens = _pad_codes(names)
+        segs = df["segment"].to_numpy()
+        bals = df["acctbal"].to_numpy(np.float64)
+        counts = np.zeros(ncell, np.int64)
+        for i in range(n - 1):
+            jw = jw_row(names[i], mat[i + 1:], lens[i + 1:])
+            lev = np.where(jw >= hi, 2, np.where(jw >= lo, 1, 0))
+            seg = (segs[i + 1:] == segs[i]).astype(np.int64)
+            bal = (np.abs(bals[i + 1:] - bals[i]) < BAL_TOL) \
+                .astype(np.int64)
+            counts += np.bincount(lev * 4 + seg * 2 + bal,
+                                  minlength=ncell)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n_pairs": pa.array(counts[nz], pa.int64())})
+
+    cells = records.groupby("nationkey") \
+        .map_groups(per_block, batch_format="pandas") \
+        .groupby("cell").sum("n_pairs").to_pandas() \
+        .rename(columns={"sum(n_pairs)": "n_pairs"})
+    out = pd.DataFrame({
+        "name_jw_level": (cells["cell"] // 4).astype(np.int64),
+        "seg_exact": ((cells["cell"] // 2) % 2).astype(np.int64),
+        "bal_close": (cells["cell"] % 2).astype(np.int64),
+        "n_pairs": cells["n_pairs"].astype(np.int64)})
+    return out.sort_values(["name_jw_level", "seg_exact",
+                            "bal_close"]).reset_index(drop=True)
+
+
+def missing_records_path(sf_dir: str) -> str:
+    """Dirty-records fixture variant with PLANTED MISSINGNESS for the
+    null-aware pattern pass: ``segment`` is NULL when
+    ``rec_id % 11 == 0``, ``acctbal`` when ``rec_id % 13 == 0``,
+    ``name`` when ``rec_id % 17 == 0`` — deterministic, cached, and
+    read by both engines."""
+    full = dirty_records_path(sf_dir)
+    out = os.path.join(os.path.dirname(full), "records_missing.parquet")
+    if os.path.exists(out):
+        return out
+    rec = pd.read_parquet(full)
+    rid = rec["rec_id"].to_numpy(np.int64)
+    rec["segment"] = rec["segment"].where(rid % 11 != 0, None)
+    rec["acctbal"] = rec["acctbal"].where(rid % 13 != 0, np.nan)
+    rec["name"] = rec["name"].where(rid % 17 != 0, None)
+    tmp = out + f".tmp-{os.getpid()}"
+    rec.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
+def pattern3_table(records: ray.data.Dataset) -> pd.DataFrame:
+    """NULL-AWARE agreement patterns (the Splink / FastLink missing-
+    data treatment): per within-``nationkey``-block pair each field
+    takes one of THREE states — 0 = disagree, 1 = agree, 2 = either
+    side missing — so missingness is its own pattern level instead of
+    polluting the agree/disagree counts (under MAR, EM simply gives
+    state-2 cells zero weight).  Fields: ``name_sfx4`` (suffix-4
+    equality), ``seg_exact``, ``bal_close``.  Returns
+    ``(name_state, seg_state, bal_state, n_pairs)`` — 27 cells max,
+    same per-block-bincount scale shape as the binary pass."""
+    ncell = 27
+
+    def per_block(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        if n < 2:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(n, k=1)
+        names = df["name"].to_numpy()
+        name_miss = pd.isna(names)
+        sfx = np.array([("" if m else str(s)[-4:])
+                        for s, m in zip(names, name_miss)],
+                       dtype=object)
+        segs = df["segment"].to_numpy()
+        seg_miss = pd.isna(segs)
+        bals = df["acctbal"].to_numpy(np.float64)
+        bal_miss = np.isnan(bals)
+
+        def tri_state(eq: np.ndarray, miss: np.ndarray) -> np.ndarray:
+            m = miss[ia] | miss[ib]
+            return np.where(m, 2, eq.astype(np.int64))
+
+        ns = tri_state(sfx[ia] == sfx[ib], name_miss)
+        ss = tri_state(segs[ia] == segs[ib], seg_miss)
+        bs = tri_state(np.abs(bals[ia] - bals[ib]) < BAL_TOL, bal_miss)
+        counts = np.bincount(ns * 9 + ss * 3 + bs, minlength=ncell)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n_pairs": pa.array(counts[nz], pa.int64())})
+
+    cells = records.groupby("nationkey") \
+        .map_groups(per_block, batch_format="pandas") \
+        .groupby("cell").sum("n_pairs").to_pandas() \
+        .rename(columns={"sum(n_pairs)": "n_pairs"})
+    out = pd.DataFrame({
+        "name_state": (cells["cell"] // 9).astype(np.int64),
+        "seg_state": ((cells["cell"] // 3) % 3).astype(np.int64),
+        "bal_state": (cells["cell"] % 3).astype(np.int64),
+        "n_pairs": cells["n_pairs"].astype(np.int64)})
+    return out.sort_values(["name_state", "seg_state", "bal_state"]) \
+        .reset_index(drop=True)
+
+
+# fixed integer-rational FS priors for the clerical band: m_i/10 and
+# u_i/10 per comparison, so every pair weight is an exact small
+# rational and the band test is integer cross-multiplication in both
+# engines (no float ever crosses the oracle hash)
+CLERICAL_M10 = (9, 9, 8, 7)
+CLERICAL_U10 = (1, 4, 5, 6)
+
+
+def clerical_pairs(records: ray.data.Dataset,
+                   band_num: int = 4, band_den: int = 1
+                   ) -> ray.data.Dataset:
+    """The Fellegi-Sunter POSSIBLE-MATCH band (the 1969 paper's
+    three-way decision rule: link / clerical review / non-link):
+    within-``nationkey``-block pairs whose likelihood ratio
+    ``W = Π (agreeᵢ ? mᵢ/uᵢ : (1-mᵢ)/(1-uᵢ))`` falls in
+    ``[den/num, num/den]`` — too ambiguous to auto-decide, the queue a
+    human (or an active-learning labeler) reviews.  Priors are the
+    fixed rationals :data:`CLERICAL_M10` / :data:`CLERICAL_U10`, so
+    ``W = w_num/w_den`` with integer ``w_num, w_den ≤ 9⁴`` and the
+    band test is exact: ``w_num·den ≤ num·w_den  ∧  w_den·den ≤
+    num·w_num``.  Returns ``(rec_a, rec_b, w_num, w_den)`` — ONLY the
+    band pairs (the review queue), never the full pair set.
+
+    Scale shape: pair enumeration + weight products stay inside the
+    block group (vectorized bincount-free products over triu indices);
+    only surviving band rows cross the exchange."""
+    k = len(COMPARISONS)
+    m10 = np.array(CLERICAL_M10, np.int64)
+    u10 = np.array(CLERICAL_U10, np.int64)
+
+    def per_block(df: pd.DataFrame) -> pa.Table:
+        cols = ["rec_a", "rec_b", "w_num", "w_den"]
+        n = len(df)
+        if n < 2:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in cols})
+        ia, ib = np.triu_indices(n, k=1)
+        pat = _pattern_bits(df["name"].to_numpy(),
+                            df["segment"].to_numpy(),
+                            df["acctbal"].to_numpy(np.float64), ia, ib)
+        bits = (pat[:, None] >> np.arange(k)) & 1
+        wn = np.prod(np.where(bits == 1, m10, 10 - m10), axis=1)
+        wd = np.prod(np.where(bits == 1, u10, 10 - u10), axis=1)
+        keep = (wn * band_den <= band_num * wd) & \
+               (wd * band_den <= band_num * wn)
+        rid = df["rec_id"].to_numpy(np.int64)
+        ra, rb = rid[ia[keep]], rid[ib[keep]]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        return pa.table({"rec_a": pa.array(lo, pa.int64()),
+                         "rec_b": pa.array(hi, pa.int64()),
+                         "w_num": pa.array(wn[keep], pa.int64()),
+                         "w_den": pa.array(wd[keep], pa.int64())})
+
+    return records.groupby("nationkey") \
+        .map_groups(per_block, batch_format="pandas")
+
+
+def group_linkage(records: ray.data.Dataset,
+                  threshold_e6: int = 100_000) -> ray.data.Dataset:
+    """GROUP LINKAGE (On et al., "Group linkage", ICDE 2007) between
+    the two deterministic sources of the dirty-records table (side A =
+    base records, even ``rec_id``; side B = planted duplicates, odd):
+    groups are nations, record-level match = name suffix-4 equality
+    (TPC-H names share the ``Customer#`` prefix, so sfx4 collides
+    across nations and the result is genuinely non-diagonal), group
+    similarity = the deterministic coverage variant
+    ``(|A-matched| + |B-matched|) / (|A| + |B|)`` (the bipartite-
+    matching sim's SQL-exact lower bound).  Returns
+    ``(nation_a, nation_b, matched_a, matched_b, size_a, size_b,
+    sim_e6)`` for group pairs with sim ≥ t, round-half-up e6.
+
+    Scale shape: record-match candidates bucket by the sfx4 KEY (per
+    key: cross side-A × side-B nation marks, volume Σ df_A·df_B per
+    key — the key is 4 digits, so df is corpus/10⁴-sized); per-group
+    matched counts come from two bucketed distincts + narrow
+    groupbys; group sizes from one groupby; the final attach is a
+    driver-side merge over ≤ nations² rows."""
+    def key_rows(df: pd.DataFrame) -> pa.Table:
+        rid = df["rec_id"].to_numpy(np.int64)
+        return pa.table({
+            "sfx": pa.array([str(s)[-4:] for s in df["name"]]),
+            "nation": pa.array(df["nationkey"].to_numpy(np.int64),
+                               pa.int64()),
+            "rec": pa.array(rid, pa.int64()),
+            "side": pa.array((rid % 2).astype(np.int64), pa.int64())})
+
+    rows = records.map_batches(key_rows, batch_format="pandas")
+
+    def cross(df: pd.DataFrame) -> pa.Table:
+        cols = ["nation_a", "nation_b", "rec", "side"]
+        outs = []
+        for _, g in df.groupby("sfx", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            # a-side marks: (nation_a, nation_b, rec_a) and b-side
+            # marks: (nation_a, nation_b, rec_b), exploded per
+            # opposite-side nation
+            bn = np.unique(b["nation"].to_numpy(np.int64))
+            an = np.unique(a["nation"].to_numpy(np.int64))
+            ar = a["rec"].to_numpy(np.int64)
+            aN = a["nation"].to_numpy(np.int64)
+            br = b["rec"].to_numpy(np.int64)
+            bN = b["nation"].to_numpy(np.int64)
+            outs.append(pd.DataFrame({
+                "nation_a": np.repeat(aN, len(bn)),
+                "nation_b": np.tile(bn, len(aN)),
+                "rec": np.repeat(ar, len(bn)),
+                "side": np.int64(0)}))
+            outs.append(pd.DataFrame({
+                "nation_a": np.tile(an, len(bN)),
+                "nation_b": np.repeat(bN, len(an)),
+                "rec": np.repeat(br, len(an)),
+                "side": np.int64(1)}))
+        if not outs:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in cols})
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table({c: pa.array(out[c].to_numpy(np.int64),
+                                     pa.int64()) for c in cols})
+
+    marks = rows.groupby("sfx").map_groups(cross,
+                                           batch_format="pandas")
+
+    def dedup_marks(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(["nation_a", "nation_b", "rec",
+                                "side"])
+        return pa.table({
+            "nation_a": pa.array(d["nation_a"].to_numpy(np.int64)),
+            "nation_b": pa.array(d["nation_b"].to_numpy(np.int64)),
+            "side": pa.array(d["side"].to_numpy(np.int64)),
+            "one": pa.array(np.ones(len(d), np.int64))})
+
+    matched = marks.groupby(["nation_a", "nation_b", "rec", "side"]) \
+        .map_groups(lambda df: df.head(1), batch_format="pandas") \
+        .map_batches(dedup_marks, batch_format="pandas") \
+        .groupby(["nation_a", "nation_b", "side"]).sum("one") \
+        .to_pandas().rename(columns={"sum(one)": "n"})
+
+    sizes = records.map_batches(
+        lambda df: pa.table({
+            "nation": pa.array(df["nationkey"].to_numpy(np.int64)),
+            "side": pa.array((df["rec_id"].to_numpy(np.int64) % 2)
+                             .astype(np.int64)),
+            "one": pa.array(np.ones(len(df), np.int64))}),
+        batch_format="pandas") \
+        .groupby(["nation", "side"]).sum("one").to_pandas() \
+        .rename(columns={"sum(one)": "size"})
+
+    ma = matched[matched["side"] == 0] \
+        .rename(columns={"n": "matched_a"})[["nation_a", "nation_b",
+                                             "matched_a"]]
+    mb = matched[matched["side"] == 1] \
+        .rename(columns={"n": "matched_b"})[["nation_a", "nation_b",
+                                             "matched_b"]]
+    out = ma.merge(mb, on=["nation_a", "nation_b"], how="outer") \
+        .fillna(0)
+    sa = sizes[sizes["side"] == 0].rename(
+        columns={"nation": "nation_a", "size": "size_a"})
+    sb = sizes[sizes["side"] == 1].rename(
+        columns={"nation": "nation_b", "size": "size_b"})
+    out = out.merge(sa[["nation_a", "size_a"]], on="nation_a") \
+        .merge(sb[["nation_b", "size_b"]], on="nation_b")
+    num = (out["matched_a"] + out["matched_b"]).astype(np.int64)
+    den = (out["size_a"] + out["size_b"]).astype(np.int64)
+    out["sim_e6"] = (num * 2_000_000 + den) // (2 * den)
+    out = out[num * 1_000_000 >= threshold_e6 * den]
+    for c in ["nation_a", "nation_b", "matched_a", "matched_b",
+              "size_a", "size_b", "sim_e6"]:
+        out[c] = out[c].astype(np.int64)
+    return out[["nation_a", "nation_b", "matched_a", "matched_b",
+                "size_a", "size_b", "sim_e6"]] \
+        .sort_values(["nation_a", "nation_b"]).reset_index(drop=True)

@@ -199,3 +199,125 @@ def test_monge_elkan_token_order_invariance(ray_session):
     # every token of the probe has an exact counterpart: ME == 1.0
     assert int(out["me_sum_e6"].iloc[0]) == int(out["n_tok"].iloc[0]) \
         * 1_000_000
+
+
+def test_jw3_pattern_table_brute(ray_session):
+    from sbb_ned_ray.stages.linkage import jaro_winkler, \
+        jw3_pattern_table
+    rec = pd.read_parquet(dirty_records_path(SF))
+    got = jw3_pattern_table(ray.data.read_parquet(
+        dirty_records_path(SF)))
+    cells = {}
+    for _, g in rec.groupby("nationkey"):
+        g = g.reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                jw = jaro_winkler(g["name"][i], g["name"][j])
+                lev = 2 if jw >= 0.95 else (1 if jw >= 0.85 else 0)
+                key = (lev, int(g["segment"][i] == g["segment"][j]),
+                       int(abs(g["acctbal"][i] - g["acctbal"][j])
+                           < BAL_TOL))
+                cells[key] = cells.get(key, 0) + 1
+    want = pd.DataFrame(
+        [(a, b, c, n) for (a, b, c), n in sorted(cells.items())],
+        columns=["name_jw_level", "seg_exact", "bal_close",
+                 "n_pairs"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pattern3_states_brute(ray_session):
+    from sbb_ned_ray.stages.linkage import missing_records_path, \
+        pattern3_table
+    rec = pd.read_parquet(missing_records_path(SF))
+    # the fixture actually plants missing values
+    assert rec["name"].isna().any()
+    assert rec["segment"].isna().any()
+    assert rec["acctbal"].isna().any()
+    got = pattern3_table(ray.data.read_parquet(
+        missing_records_path(SF)))
+
+    def st(x, y, agree):
+        if pd.isna(x) or pd.isna(y):
+            return 2
+        return int(agree(x, y))
+
+    cells = {}
+    for _, g in rec.groupby("nationkey"):
+        g = g.reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                key = (st(g["name"][i], g["name"][j],
+                          lambda x, y: x[-4:] == y[-4:]),
+                       st(g["segment"][i], g["segment"][j],
+                          lambda x, y: x == y),
+                       st(g["acctbal"][i], g["acctbal"][j],
+                          lambda x, y: abs(x - y) < BAL_TOL))
+                cells[key] = cells.get(key, 0) + 1
+    want = pd.DataFrame(
+        [(a, b, c, n) for (a, b, c), n in sorted(cells.items())],
+        columns=["name_state", "seg_state", "bal_state", "n_pairs"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_clerical_band_is_exact(ray_session):
+    from sbb_ned_ray.stages.linkage import (CLERICAL_M10,
+                                            CLERICAL_U10,
+                                            clerical_pairs)
+    rec = pd.read_parquet(dirty_records_path(SF))
+    got = clerical_pairs(ray.data.read_parquet(
+        dirty_records_path(SF))).to_pandas()
+    got = got.sort_values(["rec_a", "rec_b"]).reset_index(drop=True)
+    want_rows = []
+    for _, g in rec.groupby("nationkey"):
+        g = g.reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                bits = [int(g["name"][i] == g["name"][j]),
+                        int(g["name"][i][-4:] == g["name"][j][-4:]),
+                        int(g["segment"][i] == g["segment"][j]),
+                        int(abs(g["acctbal"][i] - g["acctbal"][j])
+                            < BAL_TOL)]
+                wn = wd = 1
+                for b, m, u in zip(bits, CLERICAL_M10, CLERICAL_U10):
+                    wn *= m if b else 10 - m
+                    wd *= u if b else 10 - u
+                if wn <= 4 * wd and wd <= 4 * wn:
+                    ra, rb = sorted((int(g["rec_id"][i]),
+                                     int(g["rec_id"][j])))
+                    want_rows.append((ra, rb, wn, wd))
+    want = pd.DataFrame(sorted(want_rows),
+                        columns=["rec_a", "rec_b", "w_num", "w_den"])
+    assert len(want) > 0            # band non-empty on the fixture
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_linkage_brute(ray_session):
+    from sbb_ned_ray.stages.linkage import group_linkage
+    rec = pd.read_parquet(dirty_records_path(SF))
+    got = group_linkage(ray.data.read_parquet(
+        dirty_records_path(SF)))
+    a = rec[rec["rec_id"] % 2 == 0].copy()
+    b = rec[rec["rec_id"] % 2 == 1].copy()
+    a["sfx"] = a["name"].str[-4:]
+    b["sfx"] = b["name"].str[-4:]
+    m = a.merge(b, on="sfx", suffixes=("_a", "_b"))
+    grp = m.groupby(["nationkey_a", "nationkey_b"]).agg(
+        matched_a=("rec_id_a", "nunique"),
+        matched_b=("rec_id_b", "nunique")).reset_index()
+    sa = a.groupby("nationkey").size()
+    sb = b.groupby("nationkey").size()
+    rows = []
+    for _, r in grp.iterrows():
+        num = int(r["matched_a"] + r["matched_b"])
+        den = int(sa[r["nationkey_a"]] + sb[r["nationkey_b"]])
+        if num * 1_000_000 >= 100_000 * den:
+            rows.append((int(r["nationkey_a"]), int(r["nationkey_b"]),
+                         int(r["matched_a"]), int(r["matched_b"]),
+                         int(sa[r["nationkey_a"]]),
+                         int(sb[r["nationkey_b"]]),
+                         (num * 2_000_000 + den) // (2 * den)))
+    want = pd.DataFrame(sorted(rows), columns=[
+        "nation_a", "nation_b", "matched_a", "matched_b",
+        "size_a", "size_b", "sim_e6"])
+    assert (want["nation_a"] != want["nation_b"]).any()  # off-diagonal
+    pd.testing.assert_frame_equal(got, want)
