@@ -3990,6 +3990,48 @@ def entity_cooc_components_altstar(sf_dir: str):
     return df.sort_values("qid").reset_index(drop=True)
 
 
+def entity_cooc_kcore(sf_dir: str, k: int = 3):
+    """The ``k``-core of the entity co-occurrence graph (Seidman 1983)
+    via distributed iterative peeling
+    (:func:`sbb_ned_ray.stages.graph.kcore_nodes`) — the dense-seed
+    extractor of community detection over the same graph the
+    relatedness family reads.  ORACLE-checked against a DuckDB
+    recursive CTE that carries the shrinking survivor set as a LIST
+    column and peels until fixpoint."""
+    from sbb_ned_ray.stages.graph import cooccurrence_edges, kcore_nodes
+    edges = cooccurrence_edges(_entity_links(sf_dir), "url", "qid",
+                               min_weight=2)
+    out = kcore_nodes(edges, k)
+    return out.rename(columns={"node": "qid"})
+
+
+def _oracle_entity_kcore(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    prefix = _COOC_SQL_PREFIX.format(path=_cooc_fixture_path(sf_dir))
+    return prefix.replace("WITH hq AS", "WITH RECURSIVE hq AS", 1) + """
+, e AS (SELECT qa AS u, qb AS v FROM p WHERE w >= 2
+        UNION ALL SELECT qb, qa FROM p WHERE w >= 2),
+peel(i, nodes) AS (
+  SELECT 0, list(DISTINCT u ORDER BY u) FROM e
+  UNION ALL
+  SELECT i + 1, nxt FROM (
+    SELECT i, nodes,
+           (SELECT coalesce(list(u ORDER BY u), [])
+            FROM (SELECT u FROM e
+                  WHERE list_contains(pl.nodes, u)
+                    AND list_contains(pl.nodes, v)
+                  GROUP BY u HAVING count(*) >= 3)) AS nxt
+    FROM peel pl)
+  WHERE nxt <> nodes
+),
+final AS (SELECT nodes FROM peel ORDER BY i DESC LIMIT 1),
+core AS (SELECT unnest(nodes) AS qid FROM final)
+SELECT c.qid, (SELECT count(*) FROM e
+               WHERE e.u = c.qid
+                 AND e.v IN (SELECT qid FROM core)) AS core_degree
+FROM core c ORDER BY qid
+"""
+
+
 def _oracle_ned_contingency(sf_dir: str = "/root/testdata/sf0.01") -> str:
     # the deterministic fixture links every mention to its gold qid, so
     # the pred × gold contingency is exactly diagonal with the per-qid
@@ -5383,6 +5425,7 @@ _QUERY_FNS = {
     "entity_cooc_triangles": entity_cooc_triangles,
     "entity_cooc_components": entity_cooc_components,
     "entity_cooc_components_altstar": entity_cooc_components_altstar,
+    "entity_cooc_kcore": entity_cooc_kcore,
     "ned_cluster_contingency": ned_cluster_contingency,
     "ned_cluster_quality": ned_cluster_quality,
     "surface_edit_join": surface_edit_join,
@@ -5485,6 +5528,7 @@ ORACLE_SQL = {
     "entity_cooc_triangles": _oracle_entity_triangles(),
     "entity_cooc_components": _oracle_entity_components(),
     "entity_cooc_components_altstar": _oracle_entity_components(),
+    "entity_cooc_kcore": _oracle_entity_kcore(),
     "ned_cluster_contingency": _oracle_ned_contingency(),
     "surface_edit_join": _oracle_surface_editjoin(),
     "customers_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
@@ -5529,6 +5573,7 @@ _SF_ORACLES = {
     "entity_cooc_triangles": _oracle_entity_triangles,
     "entity_cooc_components": _oracle_entity_components,
     "entity_cooc_components_altstar": _oracle_entity_components,
+    "entity_cooc_kcore": _oracle_entity_kcore,
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,
     "docs_token_cosine": _oracle_docs_token_cosine,

@@ -317,3 +317,51 @@ def test_cooc_components_match_union_find():
     want = driver_union_find(list(zip(epd["node_a"], epd["node_b"])))
     got = dict(zip(comp["node"], comp["component"]))
     assert got == want
+
+
+def _kcore_brute(edges: list, k: int) -> dict:
+    """Reference peeling over an adjacency dict."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_matches_brute(ray_session):
+    import random
+
+    import pandas as pd
+
+    from sbb_ned_ray.stages.graph import kcore_nodes
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = set()
+    # a planted dense clique + random sparse noise + a long chain
+    for a in nodes[:8]:
+        for b in nodes[:8]:
+            if a < b:
+                edges.add((a, b))
+    for _ in range(80):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    for i in range(40, 59):
+        edges.add((nodes[i], nodes[i + 1]))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"node_a": [a for a, _ in edges],
+         "node_b": [b for _, b in edges]}))
+    for k in (2, 3, 5):
+        got = kcore_nodes(ds, k, nparts=4)
+        want = _kcore_brute(sorted(edges), k)
+        assert dict(zip(got["node"], got["core_degree"])) == want
+    # the 7-core is empty (clique of 8 has degree 7; random noise may
+    # add) — at least assert the API handles an empty core cleanly
+    got = kcore_nodes(ds, 50, nparts=4)
+    assert len(got) == 0
