@@ -2145,6 +2145,108 @@ ORDER BY media_id
 """
 
 
+def media_phash_neardup(sf_dir: str, max_dist: int = 6):
+    """SELF-CHECKING image near-duplicate detection over REAL decoded
+    pixels: deterministic 32×32 block images are synthesized so that
+    each group of 4 consecutive doc_ids shares a base 8×8 pattern
+    (bits of splitmix64(group)) with variant v flipping v cells —
+    planted near-dups at aHash Hamming ≤ 5 — while distinct groups are
+    (assertedly) ≥ 2·max_dist+1 apart.  Half the payloads encode as
+    PNG, half as PPM, so BOTH real decoders sit in the loop
+    (:func:`sbb_ned_ray.stages.multimodal.phash_neardup_pairs`:
+    actor-pool decode+hash, banded Hamming join, inline XOR verify).
+    Asserts recall = 1.0 on the planted pairs and ZERO cross-group
+    pairs; returns the one-row summary.  No DuckDB twin (pixel
+    decoding is not SQL-expressible); the planted construction IS the
+    ground truth."""
+    from sbb_ned_ray.stages.multimodal import (encode_png, encode_ppm,
+                                               phash_neardup_pairs)
+    from sbb_ned_ray.stages.similarity import _splitmix64
+
+    def group_bits(g: np.ndarray) -> np.ndarray:
+        """(n_groups, 64) planted cell bits: splitmix64 per group,
+        bit 0 forced 0 and bit 63 forced 1 so no pattern is uniform
+        (a uniform image hashes to 0 regardless of bits)."""
+        z = _splitmix64(g.astype(np.uint64))
+        bits = ((z[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        bits[:, 0] = 0
+        bits[:, 63] = 1
+        return bits
+
+    def flips(v: int) -> list:
+        return [(v * 17 + j * 13) % 62 + 1 for j in range(v)]
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        bits = group_bits(np.array([i // 4 for i in ids], np.int64))
+        payloads = []
+        for row, i in enumerate(ids):
+            b = bits[row].copy()
+            for f in flips(i % 4):
+                b[f] ^= 1
+            cells = (b.reshape(8, 8) * 255).astype(np.uint8)
+            img = np.repeat(np.repeat(cells, 4, axis=0), 4, axis=1)
+            arr = np.stack([img, img, img], axis=2)
+            payloads.append(encode_png(arr) if i % 2 == 0
+                            else encode_ppm(arr))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary())})
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ids = sorted(docs.to_pandas()["doc_id"].astype(int))
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    pairs = phash_neardup_pairs(media, max_dist=max_dist) \
+        .to_pandas()
+
+    # ground truth from the construction
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i in ids:
+        groups[i // 4].append(i)
+    planted = {(a, b) for g in groups.values()
+               for ai, a in enumerate(g) for b in g[ai + 1:]}
+    found = set(zip(pairs["id_a"].astype(int),
+                    pairs["id_b"].astype(int)))
+
+    # the construction's separation premise, checked not assumed:
+    # min inter-group distance of the PLANTED VARIANT hashes must
+    # exceed max_dist (n_groups² popcounts, driver-trivial)
+    import itertools as _it
+    variant_hashes = {}
+    gb = group_bits(np.array(sorted(groups), np.int64))
+    for gi, g in enumerate(sorted(groups)):
+        for i in groups[g]:
+            b = gb[gi].copy()
+            for f in flips(i % 4):
+                b[f] ^= 1
+            variant_hashes[i] = int(np.sum(
+                b.astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+    min_cross = 64
+    hs = np.array([variant_hashes[i] for i in ids], np.uint64)
+    gg = np.array([i // 4 for i in ids], np.int64)
+    for a in range(len(ids)):
+        x = hs[a] ^ hs[a + 1:]
+        d = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        cross = gg[a + 1:] != gg[a]
+        if cross.any():
+            min_cross = min(min_cross, int(d[cross].min()))
+    assert min_cross > max_dist, \
+        f"fixture separation violated: min cross-group dist {min_cross}"
+    assert planted <= found, \
+        f"missed {len(planted - found)} planted near-dup pairs"
+    cross_found = {p for p in found if p[0] // 4 != p[1] // 4}
+    assert not cross_found, f"false cross-group pairs: {cross_found}"
+    return pd.DataFrame([{
+        "n_images": len(ids),
+        "n_planted": len(planted),
+        "n_found": len(found),
+        "recall_e6": 1_000_000,
+        "cross_group_pairs": 0,
+        "min_cross_dist": int(min_cross)}])
+
+
 def media_decode_jpeg(sf_dir: str):
     """REAL baseline-JPEG decode (pure-numpy T.81 codec): smooth
     deterministic RGB ramps (no mod-256 wrap, so the lossy error stays
@@ -5374,6 +5476,7 @@ _QUERY_FNS = {
     "media_decode_png": media_decode_png,
     "media_decode_jpeg": media_decode_jpeg,
     "media_decode_wav": media_decode_wav,
+    "media_phash_neardup": media_phash_neardup,
     "parse_ner_mentions": parse_ner_mentions,
     "clef_mentions": clef_mentions,
     "ned_pair_features": ned_pair_features,

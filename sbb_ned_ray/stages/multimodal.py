@@ -34,6 +34,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -467,3 +468,156 @@ def decode_media(media_ds, batch_size: int = 32, concurrency=(1, 4)):
     return media_ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-duplicate detection (aHash + banded
+# Hamming join) — the image-side member of the dedup family
+# ---------------------------------------------------------------------------
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit AVERAGE HASH of an ``(h, w, 3)`` uint8 image: 8×8 grid
+    of integer block sums, bit set iff the block's mean exceeds the
+    image mean — all-integer cross-multiplication (``block_sum ·
+    total_px > total_sum · block_px``), so the hash is exact and
+    platform-independent (no float mean, no DCT).  Bit ``8·r + c`` is
+    grid cell (r, c), row-major."""
+    a = np.asarray(arr)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) image, got {a.shape}")
+    gray = a.astype(np.int64).sum(axis=2)          # 0..765 per px
+    h, w = gray.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"image too small for an 8x8 grid: {h}x{w}")
+    ys = (np.arange(9, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 8
+    c = np.zeros((h + 1, w + 1), np.int64)
+    c[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    bs = (c[np.ix_(ys[1:], xs[1:])] - c[np.ix_(ys[:-1], xs[1:])]
+          - c[np.ix_(ys[1:], xs[:-1])] + c[np.ix_(ys[:-1], xs[:-1])])
+    bpx = np.outer(np.diff(ys), np.diff(xs))
+    total_sum = int(bs.sum())
+    total_px = int(h) * int(w)
+    bits = (bs * total_px) > (total_sum * bpx)
+    idx = np.arange(64, dtype=np.uint64)
+    return int(np.sum(bits.reshape(-1).astype(np.uint64) << idx))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+class PerceptualHashStage:
+    """Actor-pool stage: binary image payload → ``(media_id, phash)``.
+    Decodes PPM / PNG / baseline JPEG by magic (the same real codecs
+    :class:`ImageDecodeStage` uses) and computes :func:`ahash64`.
+    The hash travels as int64 (the uint64 bit pattern reinterpreted),
+    XOR/popcount-compatible on the uint64 view."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sbb_ned_ray.stages.jpeg import decode_jpeg
+        hashes = []
+        for m in batch["media"]:
+            p = m.as_py()
+            if p[:2] == b"P6":
+                arr = decode_ppm(p)
+            elif p[:8] == _PNG_SIG:
+                arr = decode_png(p)
+            elif p[:2] == b"\xff\xd8":
+                arr = decode_jpeg(p)
+            else:
+                raise ValueError(
+                    "PerceptualHashStage: unsupported image format "
+                    f"(magic {p[:4]!r})")
+            hashes.append(np.uint64(ahash64(arr)).astype(np.int64))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "phash": pa.array(np.array(hashes, np.int64), pa.int64())})
+
+
+def phash_neardup_pairs(media_ds, max_dist: int = 6, n_bands: int = 8,
+                        nparts: int = 32,
+                        max_pairs_per_bucket: int = 20_000,
+                        concurrency=(1, 4)):
+    """Image near-duplicate pairs by banded Hamming join over
+    :func:`ahash64`: the 64-bit hash splits into ``n_bands`` equal
+    bands; two images at Hamming distance ≤ ``n_bands - 1`` share at
+    least one untouched band (pigeonhole), so with the default 8 bands
+    every pair at distance ≤ 7 ≥ ``max_dist`` is a candidate —
+    recall 1 by construction, exactness restored by the inline XOR
+    popcount verify.  Returns Dataset ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b``.
+
+    Scale shape = the SimHash path in
+    :mod:`sbb_ned_ray.stages.dedup`: hashing is an actor-pool decode
+    stage (images never re-ship after the 8-byte hash is extracted),
+    band rows carry (band_key, id, hash) — 24 bytes/row ×
+    ``n_bands`` —, candidates emit per band bucket with a skew cap,
+    and the verify runs inside the bucket (both hashes are already
+    co-located, no second join).  One bucketed distinct dedups pairs
+    found in several bands."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"banding only guarantees recall for dist < n_bands "
+            f"({n_bands}); got max_dist={max_dist}")
+    bw = 64 // n_bands
+    mask = np.uint64((1 << bw) - 1)
+
+    hashed = media_ds.map_batches(
+        PerceptualHashStage, batch_format="pyarrow", batch_size=32,
+        concurrency=concurrency).materialize()
+
+    from sbb_ned_ray.stages.graph import (_add_hash_part,
+                                          _bucketed_distinct,
+                                          _pd_to_arrow)
+
+    def band_rows(df: pd.DataFrame) -> pa.Table:
+        ids = df["media_id"].to_numpy(np.int64)
+        hs = df["phash"].to_numpy(np.int64).view(np.uint64)
+        outs = []
+        for b in range(n_bands):
+            bits = (hs >> np.uint64(b * bw)) & mask
+            outs.append(pd.DataFrame({
+                # band id and band bits fused into one int64 key
+                "bkey": (bits.astype(np.int64) * n_bands + b),
+                "id": ids,
+                "phash": hs.astype(np.int64)}))
+        out = pd.concat(outs, ignore_index=True)
+        return _pd_to_arrow(_add_hash_part(out, ["bkey"], nparts))
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["id"].to_numpy(np.int64)
+            hs = g["phash"].to_numpy(np.int64).view(np.uint64)
+            o = np.argsort(ids)
+            ids, hs = ids[o], hs[o]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            if len(iu) > max_pairs_per_bucket:
+                iu, ju = iu[:max_pairs_per_bucket], \
+                    ju[:max_pairs_per_bucket]
+            d = _popcount64(hs[iu] ^ hs[ju])
+            keep = d <= max_dist
+            out_a.append(ids[iu[keep]])
+            out_b.append(ids[ju[keep]])
+            out_d.append(d[keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_d), pa.int64())})
+
+    cand = hashed.map_batches(band_rows, batch_format="pandas") \
+        .groupby("_part").map_groups(bucket_pairs,
+                                     batch_format="pandas")
+    return _bucketed_distinct(cand, ["id_a", "id_b", "hamming"],
+                              nparts)

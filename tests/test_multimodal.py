@@ -239,3 +239,68 @@ def test_image_decode_degrades_on_malformed_payloads(ray_session):
     })
     aout = AudioDecodeStage()(abatch)
     assert aout["rate"].to_pylist() == [-1]
+
+
+def test_ahash64_block_exact():
+    from sbb_ned_ray.stages.multimodal import ahash64
+    # an image built from explicit 0/255 8x8 cells hashes to exactly
+    # those bits (cells are uniform, so block mean vs image mean is
+    # the planted bit whenever the pattern is mixed)
+    bits = np.zeros(64, np.int64)
+    bits[[1, 5, 8, 13, 21, 34, 55, 63]] = 1
+    cells = (bits.reshape(8, 8) * 255).astype(np.uint8)
+    img = np.repeat(np.repeat(cells, 4, 0), 4, 1)
+    arr = np.stack([img] * 3, axis=2)
+    want = int(np.sum(bits.astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)))
+    assert ahash64(arr) == want
+    # non-multiple-of-8 dims still hash (integer cell boundaries)
+    arr2 = np.repeat(np.repeat(cells, 5, 0), 3, 1)
+    assert ahash64(np.stack([arr2] * 3, axis=2)) == want
+    # uniform image -> all-zero hash
+    assert ahash64(np.full((16, 16, 3), 99, np.uint8)) == 0
+
+
+def test_phash_neardup_banding_recall(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from sbb_ned_ray.stages.multimodal import (ahash64, encode_png,
+                                               encode_ppm,
+                                               phash_neardup_pairs)
+    rng = np.random.RandomState(5)
+    rows = []
+    truth = {}
+    for g in range(12):
+        base = np.zeros(64, np.int64)
+        base[rng.choice(np.arange(1, 63), 20, replace=False)] = 1
+        base[63] = 1
+        for v in range(3):
+            b = base.copy()
+            for f in rng.choice(np.arange(1, 63), v, replace=False):
+                b[f] ^= 1
+            mid = g * 10 + v
+            cells = (b.reshape(8, 8) * 255).astype(np.uint8)
+            img = np.repeat(np.repeat(cells, 4, 0), 4, 1)
+            arr = np.stack([img] * 3, 2)
+            rows.append({"media_id": mid,
+                         "media": encode_png(arr) if v % 2 == 0
+                         else encode_ppm(arr)})
+            truth[mid] = ahash64(arr)
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = phash_neardup_pairs(ds, max_dist=6, nparts=4).to_pandas()
+    got_set = set(zip(got["id_a"].astype(int),
+                      got["id_b"].astype(int),
+                      got["hamming"].astype(int)))
+    ids = sorted(truth)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(truth[a] ^ truth[b]).count("1")
+            if d <= 6:
+                want.add((a, b, d))
+    assert got_set == want
+    assert len(got) == len(got_set)      # distinct output
+    # within-group variants are near-dups by construction
+    assert all(any(p[0] == g * 10 and p[1] == g * 10 + 1
+                   for p in want) for g in range(12))
