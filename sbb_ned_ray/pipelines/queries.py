@@ -13,6 +13,9 @@ the NED pipeline itself (non-SQL → rows-only checks).
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3139,6 +3142,110 @@ def pages_per_host(sf_dir: str):
         .aggregate(Sum("n_pages", alias_name="n_pages"))
 
 
+def _recrawl_path(sf_dir: str) -> str:
+    """Deterministic RECRAWL fixture derived from the pages table:
+    every url keeps its original snapshot; urls are assigned by an
+    md5 draw to gain (a) one identical re-crawl 7 days later under a
+    fragment variant, or (b) two drifted re-crawls (+3d content edit
+    under a tracking-param variant, +9d under an uppercased url) —
+    so canonicalization, latest-selection and drift counting all have
+    work to do.  Cached next to the pages fixture; BOTH engines read
+    this parquet."""
+    import hashlib as _hl
+    import os as _os
+    pages = pages_dir_for_sf(sf_dir)
+    out = _os.path.join(pages, "recrawl.parquet")
+    if _os.path.exists(out):
+        return out
+    df = pd.concat([pd.read_parquet(p, columns=["url", "warc_ts",
+                                                "text"])
+                    for p in sorted(_glob.glob(
+                        f"{pages}/pages/*.parquet"))],
+                   ignore_index=True)
+    day = pd.Timedelta(days=1)
+    h = np.array([int(_hl.md5(u.encode()).hexdigest()[:8], 16) % 3
+                  for u in df["url"]])
+    extra = []
+    a = df[h == 0]
+    extra.append(pd.DataFrame({
+        "url": a["url"] + "#top",
+        "warc_ts": a["warc_ts"] + 7 * day,
+        "text": a["text"]}))
+    b = df[h == 1]
+    extra.append(pd.DataFrame({
+        "url": b["url"] + "?utm_source=feed",
+        "warc_ts": b["warc_ts"] + 3 * day,
+        "text": b["text"] + " [updated]"}))
+    extra.append(pd.DataFrame({
+        "url": b["url"].str.upper(),
+        "warc_ts": b["warc_ts"] + 9 * day,
+        "text": b["text"] + " [updated again]"}))
+    rec = pd.concat([df] + extra, ignore_index=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    rec.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
+def pages_recrawl_latest(sf_dir: str):
+    """Recrawl dedup over the snapshot table: aggressive URL
+    canonicalization (strip fragment + query, rtrim '/', lowercase —
+    mirrored verbatim in the twin), then per canonical url the
+    snapshot count, first/latest capture (epoch micros), distinct
+    text count (content drift), and the LATEST snapshot's text md5 —
+    the keep-newest rule of crawl-corpus curation.  ONE groupby on
+    the canonical key; canonicalization is vectorized pandas string
+    kernels.  ORACLE-checked against a DuckDB window/group twin."""
+    path = _recrawl_path(sf_dir)
+    ds = rd.read_parquet(path)
+
+    def canon_rows(df: pd.DataFrame) -> pa.Table:
+        canon = df["url"].str.split("#").str[0] \
+            .str.split("?").str[0].str.rstrip("/").str.lower()
+        return pa.table({
+            "canon_url": pa.array(canon.to_numpy(object)),
+            "ts": pa.array(df["warc_ts"].to_numpy("datetime64[us]")
+                           .view(np.int64), pa.int64()),
+            "text": pa.array(df["text"].to_numpy(object))})
+
+    def per_url(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+        latest = df.loc[df["ts"].idxmax()]
+        return pd.DataFrame([{
+            "canon_url": df["canon_url"].iloc[0],
+            "n_snapshots": np.int64(len(df)),
+            "first_ts_us": np.int64(df["ts"].min()),
+            "latest_ts_us": np.int64(df["ts"].max()),
+            "n_texts": np.int64(df["text"].nunique()),
+            "latest_md5": _hl.md5(
+                str(latest["text"]).encode()).hexdigest()}])
+
+    out = ds.map_batches(canon_rows, batch_format="pandas") \
+        .groupby("canon_url").map_groups(per_url,
+                                         batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("canon_url").reset_index(drop=True)
+
+
+def _oracle_pages_recrawl(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH r AS (SELECT LOWER(rtrim(split_part(split_part(url, '#', 1),
+                                         '?', 1), '/')) AS canon_url,
+                  epoch_us(warc_ts) AS ts, text
+           FROM read_parquet('{_recrawl_path(sf_dir)}')),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url
+                                    ORDER BY ts DESC) AS rn FROM r),
+agg AS (SELECT canon_url, count(*) AS n_snapshots,
+               min(ts) AS first_ts_us, max(ts) AS latest_ts_us,
+               count(DISTINCT text) AS n_texts
+        FROM r GROUP BY 1)
+SELECT a.canon_url, a.n_snapshots, a.first_ts_us, a.latest_ts_us,
+       a.n_texts, md5(rk.text) AS latest_md5
+FROM agg a JOIN rk ON rk.canon_url = a.canon_url AND rk.rn = 1
+ORDER BY a.canon_url
+"""
+
+
 def _oracle_pages_per_host(sf_dir: str = "/root/testdata/sf0.01") -> str:
     import os as _os
 
@@ -5502,6 +5609,7 @@ _QUERY_FNS = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "nation_top_customer_names": nation_top_customer_names,
     "pages_per_host": pages_per_host,
+    "pages_recrawl_latest": pages_recrawl_latest,
     "pages_split_by_host": pages_split_by_host,
     "events_value_quantiles_sketch": events_value_quantiles_sketch,
     "token_postings": token_postings,
@@ -5613,6 +5721,7 @@ ORACLE_SQL = {
     "q17_small_quantity_revenue": ORACLE_Q17,
     "nation_top_customer_names": ORACLE_NATION_TOP_CUSTOMER_NAMES,
     "pages_per_host": _oracle_pages_per_host(),
+    "pages_recrawl_latest": _oracle_pages_recrawl(),
     "pages_split_by_host": _oracle_pages_split_by_host(),
     "token_postings": ORACLE_TOKEN_POSTINGS,
     "docs_pack_windows": ORACLE_DOCS_PACK_WINDOWS,
@@ -5670,6 +5779,7 @@ _SF_ORACLES = {
     "ned_links": _oracle_ned_links,
     "ned_links_auto": _oracle_ned_links,
     "pages_per_host": _oracle_pages_per_host,
+    "pages_recrawl_latest": _oracle_pages_recrawl,
     "pages_split_by_host": _oracle_pages_split_by_host,
     "entity_cooc_graph": _oracle_entity_cooc,
     "entity_jaccard_relatedness": _oracle_entity_jaccard,

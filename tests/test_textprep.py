@@ -167,3 +167,38 @@ def test_bm25_empty_corpus_and_empty_terms(ray_session):
                      "text": pa.array(["cat dog"])})
     out2 = bm25_topk(rd.from_arrow(docs), [], k=5)
     assert len(out2) == 0
+
+
+def test_recrawl_latest_merges_url_variants(ray_session):
+    """Canonicalization folds the fragment / query / case variants of
+    a url into ONE group; the latest snapshot's md5 is the drifted
+    text's when drift was planted."""
+    import hashlib
+
+    from sbb_ned_ray.pipelines.queries import (_recrawl_path,
+                                               pages_recrawl_latest)
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    rec = pd.read_parquet(_recrawl_path(sf))
+    out = pages_recrawl_latest(sf)
+    # every canonical group's size matches the raw variant count
+    canon = rec["url"].str.split("#").str[0].str.split("?").str[0] \
+        .str.rstrip("/").str.lower()
+    want_sizes = canon.value_counts()
+    got_sizes = dict(zip(out["canon_url"], out["n_snapshots"]))
+    assert got_sizes == want_sizes.to_dict()
+    # drifted groups (3 snapshots) report 3 distinct texts and the
+    # latest md5 equals the "+9d" variant's text
+    tri = out[out["n_snapshots"] == 3]
+    assert len(tri) > 0
+    rec = rec.assign(canon=canon)
+    for _, row in tri.head(5).iterrows():
+        g = rec[rec["canon"] == row["canon_url"]]
+        latest = g.loc[g["warc_ts"].idxmax(), "text"]
+        assert row["n_texts"] == g["text"].nunique() == 3
+        assert row["latest_md5"] == hashlib.md5(
+            latest.encode()).hexdigest()
+    # identical-recrawl groups (2 snapshots, h%3==0) report 1 text
+    two = out[out["n_snapshots"] == 2]
+    assert len(two) > 0 and (two["n_texts"] == 1).all()
