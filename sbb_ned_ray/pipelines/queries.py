@@ -2250,6 +2250,93 @@ def media_phash_neardup(sf_dir: str, max_dist: int = 6):
         "min_cross_dist": int(min_cross)}])
 
 
+def media_audio_neardup(sf_dir: str, max_dist: int = 6):
+    """SELF-CHECKING audio near-duplicate detection over REAL decoded
+    samples: deterministic PCM waveforms are synthesized so each group
+    of 3 consecutive doc_ids shares a base signal with variant v
+    zeroing v short in-frame spans — an energy-delta fingerprint flip
+    bound of ≤ 2 bits per touched frame puts every within-group pair
+    at Hamming ≤ 6 BY CONSTRUCTION — then encoded to real RIFF/WAVE
+    and pushed through
+    :func:`sbb_ned_ray.stages.multimodal.audio_neardup_pairs`
+    (actor-pool decode + fingerprint, shared banded Hamming join).
+    Asserts recall = 1.0 on planted pairs and zero cross-group pairs
+    (the separation premise is CHECKED driver-side over the
+    construction's fingerprints, not assumed).  No DuckDB twin (PCM
+    container decode is not SQL-expressible)."""
+    from sbb_ned_ray.stages.multimodal import (audio_fingerprint64,
+                                               audio_neardup_pairs,
+                                               encode_wav)
+
+    from sbb_ned_ray.stages.similarity import _splitmix64
+
+    def base_samples(g: int) -> np.ndarray:
+        """390 samples = 65 equal 6-sample frames whose constant
+        amplitudes follow a ±2 walk driven by splitmix64(g)'s bits —
+        with equal frame lengths the energy comparisons E[i] > E[i+1]
+        recover the walk direction EXACTLY, so the fingerprint equals
+        the planted 64-bit pattern and group separation is the
+        splitmix Hamming distance (asserted below, not assumed)."""
+        z = int(_splitmix64(np.array([g], np.uint64))[0])
+        bits = (z >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        steps = np.where(bits.astype(np.int64) == 1, -2, 2)
+        amps = 164 + np.concatenate([[0], np.cumsum(steps)])
+        return np.repeat(amps.astype(np.int64), 6)
+
+    def variant(g: int, v: int) -> np.ndarray:
+        s = base_samples(g).copy()
+        for j in range(v):
+            f = 10 * v + 3 + 7 * j         # distinct frames per variant
+            s[f * 6:f * 6 + 3] = 0         # ≤ 2 bit flips per frame
+        return s
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [encode_wav(variant(i // 3, i % 3).astype(np.int16),
+                               16000) for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary())})
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ids = sorted(docs.to_pandas()["doc_id"].astype(int))
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    pairs = audio_neardup_pairs(media, max_dist=max_dist).to_pandas()
+    found = set(zip(pairs["id_a"].astype(int),
+                    pairs["id_b"].astype(int)))
+
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i in ids:
+        groups[i // 3].append(i)
+    planted = {(a, b) for g in groups.values()
+               for ai, a in enumerate(g) for b in g[ai + 1:]}
+
+    fps = {i: audio_fingerprint64(variant(i // 3, i % 3)) for i in ids}
+    hs = np.array([fps[i] for i in ids], np.uint64)
+    gg = np.array([i // 3 for i in ids], np.int64)
+    min_cross = 64
+    for a in range(len(ids)):
+        x = hs[a] ^ hs[a + 1:]
+        d = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        cross = gg[a + 1:] != gg[a]
+        if cross.any():
+            min_cross = min(min_cross, int(d[cross].min()))
+    assert min_cross > max_dist, \
+        f"fixture separation violated: min cross-group dist {min_cross}"
+    assert planted <= found, \
+        f"missed {len(planted - found)} planted audio near-dup pairs"
+    cross_found = {p for p in found if p[0] // 3 != p[1] // 3}
+    assert not cross_found, f"false cross-group pairs: {cross_found}"
+    return pd.DataFrame([{
+        "n_clips": len(ids),
+        "n_planted": len(planted),
+        "n_found": len(found),
+        "recall_e6": 1_000_000,
+        "cross_group_pairs": 0,
+        "min_cross_dist": int(min_cross)}])
+
+
 def media_decode_jpeg(sf_dir: str):
     """REAL baseline-JPEG decode (pure-numpy T.81 codec): smooth
     deterministic RGB ramps (no mod-256 wrap, so the lossy error stays
@@ -5584,6 +5671,7 @@ _QUERY_FNS = {
     "media_decode_jpeg": media_decode_jpeg,
     "media_decode_wav": media_decode_wav,
     "media_phash_neardup": media_phash_neardup,
+    "media_audio_neardup": media_audio_neardup,
     "parse_ner_mentions": parse_ner_mentions,
     "clef_mentions": clef_mentions,
     "ned_pair_features": ned_pair_features,

@@ -558,6 +558,23 @@ def phash_neardup_pairs(media_ds, max_dist: int = 6, n_bands: int = 8,
     and the verify runs inside the bucket (both hashes are already
     co-located, no second join).  One bucketed distinct dedups pairs
     found in several bands."""
+    hashed = media_ds.map_batches(
+        PerceptualHashStage, batch_format="pyarrow", batch_size=32,
+        concurrency=concurrency).materialize()
+    return banded_hamming_pairs(hashed, max_dist=max_dist,
+                                n_bands=n_bands, nparts=nparts,
+                                max_pairs_per_bucket=max_pairs_per_bucket)
+
+
+def banded_hamming_pairs(hashed, max_dist: int = 6, n_bands: int = 8,
+                         nparts: int = 32,
+                         max_pairs_per_bucket: int = 20_000):
+    """Generic banded Hamming ≤ ``max_dist`` self-join over a
+    ``(media_id, phash)`` Dataset of 64-bit fingerprints — the shared
+    engine under :func:`phash_neardup_pairs` (images) and
+    :func:`audio_neardup_pairs` (audio).  See
+    :func:`phash_neardup_pairs` for the recall guarantee and scale
+    shape."""
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
     if max_dist >= n_bands:
@@ -566,10 +583,6 @@ def phash_neardup_pairs(media_ds, max_dist: int = 6, n_bands: int = 8,
             f"({n_bands}); got max_dist={max_dist}")
     bw = 64 // n_bands
     mask = np.uint64((1 << bw) - 1)
-
-    hashed = media_ds.map_batches(
-        PerceptualHashStage, batch_format="pyarrow", batch_size=32,
-        concurrency=concurrency).materialize()
 
     from sbb_ned_ray.stages.graph import (_add_hash_part,
                                           _bucketed_distinct,
@@ -621,3 +634,62 @@ def phash_neardup_pairs(media_ds, max_dist: int = 6, n_bands: int = 8,
                                      batch_format="pandas")
     return _bucketed_distinct(cand, ["id_a", "id_b", "hamming"],
                               nparts)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-duplicate detection — the WAV-side member of
+# the multimodal dedup family (energy-delta fingerprint, a time-domain
+# simplification of Haitsma & Kalker's "A highly robust audio
+# fingerprinting system", ISMIR 2002)
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit ENERGY-DELTA fingerprint of a PCM sample vector: 65
+    integer-boundary frames, frame energy = Σ sample² (exact int64
+    sums — int16 squares can't overflow 64 bits below ~2⁴⁰ samples),
+    bit ``i`` set iff ``E[i] > E[i+1]``.  Sign-delta bit streams are
+    invariant to uniform gain and robust to short local edits (only
+    the frames touching an edit can flip), which is what makes the
+    banded Hamming join's distance meaningful."""
+    s = np.asarray(samples, np.int64)
+    if len(s) < 65:
+        raise ValueError(
+            f"need >= 65 samples for 65 frames, got {len(s)}")
+    e2 = s * s
+    bounds = (np.arange(66, dtype=np.int64) * len(s)) // 65
+    c = np.concatenate([[0], e2.cumsum()])
+    energy = c[bounds[1:]] - c[bounds[:-1]]
+    bits = (energy[:-1] > energy[1:]).astype(np.uint64)
+    return int(np.sum(bits << np.arange(64, dtype=np.uint64)))
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: binary WAV payload → ``(media_id, phash)``
+    via :func:`decode_wav` + :func:`audio_fingerprint64` — the audio
+    twin of :class:`PerceptualHashStage`, feeding the same
+    :func:`banded_hamming_pairs` join."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for m in batch["media"]:
+            samples, _rate = decode_wav(m.as_py())
+            hashes.append(np.uint64(
+                audio_fingerprint64(samples)).astype(np.int64))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "phash": pa.array(np.array(hashes, np.int64), pa.int64())})
+
+
+def audio_neardup_pairs(media_ds, max_dist: int = 6, n_bands: int = 8,
+                        nparts: int = 32,
+                        max_pairs_per_bucket: int = 20_000,
+                        concurrency=(1, 4)):
+    """Audio near-duplicate pairs: actor-pool WAV decode +
+    energy-delta fingerprint, then the shared banded Hamming join →
+    Dataset ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    hashed = media_ds.map_batches(
+        AudioFingerprintStage, batch_format="pyarrow", batch_size=32,
+        concurrency=concurrency).materialize()
+    return banded_hamming_pairs(hashed, max_dist=max_dist,
+                                n_bands=n_bands, nparts=nparts,
+                                max_pairs_per_bucket=max_pairs_per_bucket)

@@ -304,3 +304,69 @@ def test_phash_neardup_banding_recall(ray_session):
     # within-group variants are near-dups by construction
     assert all(any(p[0] == g * 10 and p[1] == g * 10 + 1
                    for p in want) for g in range(12))
+
+
+def test_audio_fingerprint_energy_deltas():
+    from sbb_ned_ray.stages.multimodal import (audio_fingerprint64,
+                                               decode_wav, encode_wav)
+    # equal 6-sample frames with a controlled amplitude walk: the
+    # fingerprint bits are exactly the walk direction
+    bits = np.zeros(64, np.int64)
+    bits[[0, 3, 7, 31, 62, 63]] = 1
+    steps = np.where(bits == 1, -2, 2)
+    amps = 164 + np.concatenate([[0], np.cumsum(steps)])
+    s = np.repeat(amps.astype(np.int64), 6)
+    want = int(np.sum(bits.astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)))
+    assert audio_fingerprint64(s) == want
+    # wav round-trip preserves the fingerprint
+    rt, rate = decode_wav(encode_wav(s.astype(np.int16), 8000))
+    assert rate == 8000
+    assert audio_fingerprint64(rt.astype(np.int64)) == want
+    # a 3-sample zeroing inside frame f flips only bits f-1, f
+    s2 = s.copy()
+    s2[20 * 6:20 * 6 + 3] = 0
+    diff = audio_fingerprint64(s) ^ audio_fingerprint64(s2)
+    flipped = {i for i in range(64) if (diff >> i) & 1}
+    assert flipped <= {19, 20} and flipped
+    # too-short input fails loudly
+    import pytest
+    with pytest.raises(ValueError):
+        audio_fingerprint64(np.zeros(64, np.int64))
+
+
+def test_audio_neardup_pairs_end_to_end(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from sbb_ned_ray.stages.multimodal import (audio_fingerprint64,
+                                               audio_neardup_pairs,
+                                               encode_wav)
+    rng = np.random.RandomState(3)
+    rows, truth = [], {}
+    for g in range(10):
+        bits = rng.randint(0, 2, 64)
+        steps = np.where(bits == 1, -2, 2)
+        amps = 164 + np.concatenate([[0], np.cumsum(steps)])
+        base = np.repeat(amps.astype(np.int64), 6)
+        for v in range(2):
+            s = base.copy()
+            if v:
+                s[15 * 6:15 * 6 + 3] = 0
+            mid = g * 10 + v
+            rows.append({"media_id": mid,
+                         "media": encode_wav(s.astype(np.int16),
+                                             16000)})
+            truth[mid] = audio_fingerprint64(s)
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = audio_neardup_pairs(ds, max_dist=6, nparts=4).to_pandas()
+    got_set = set(zip(got["id_a"].astype(int),
+                      got["id_b"].astype(int),
+                      got["hamming"].astype(int)))
+    ids = sorted(truth)
+    want = {(a, b, bin(truth[a] ^ truth[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(truth[a] ^ truth[b]).count("1") <= 6}
+    assert got_set == want
+    assert all(any(p[0] == g * 10 and p[1] == g * 10 + 1
+                   for p in want) for g in range(10))
