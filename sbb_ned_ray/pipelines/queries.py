@@ -4286,6 +4286,39 @@ def entity_cooc_components_altstar(sf_dir: str):
     return df.sort_values("qid").reset_index(drop=True)
 
 
+def entity_cooc_clustering(sf_dir: str):
+    """Per-node triangle participation + graph degree over the entity
+    co-occurrence graph — the exact-integer substrate of the local
+    clustering coefficient ``2·tri/(deg·(deg−1))``
+    (:func:`sbb_ned_ray.stages.graph.node_triangle_counts`: the
+    wedge-closure exchange of `entity_cooc_triangles` with openers
+    carried, so every closed triangle credits its three corners).
+    ORACLE-checked against a DuckDB three-way edge self-join."""
+    from sbb_ned_ray.stages.graph import (cooccurrence_edges,
+                                          node_triangle_counts)
+    edges = cooccurrence_edges(_entity_links(sf_dir), "url", "qid",
+                               min_weight=2)
+    out = node_triangle_counts(edges)
+    return out.rename(columns={"node": "qid"})
+
+
+def _oracle_entity_clustering(sf_dir: str = "/root/testdata/sf0.01"
+                              ) -> str:
+    return _COOC_SQL_PREFIX.format(path=_cooc_fixture_path(sf_dir)) + """
+, e2 AS (SELECT qa AS u, qb AS v FROM p WHERE w >= 2),
+und AS (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+dg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+tr AS (SELECT e1.u AS x, e1.v AS y, eb.v AS z
+       FROM e2 e1 JOIN e2 eb ON eb.u = e1.u AND e1.v < eb.v
+       JOIN e2 e3 ON e3.u = e1.v AND e3.v = eb.v),
+tn AS (SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+       UNION ALL SELECT z FROM tr),
+tc AS (SELECT node, count(*) AS tri FROM tn GROUP BY 1)
+SELECT dg.node AS qid, coalesce(tc.tri, 0) AS tri, dg.deg
+FROM dg LEFT JOIN tc USING (node) ORDER BY qid
+"""
+
+
 def entity_cooc_kcore(sf_dir: str, k: int = 3):
     """The ``k``-core of the entity co-occurrence graph (Seidman 1983)
     via distributed iterative peeling
@@ -5724,6 +5757,7 @@ _QUERY_FNS = {
     "entity_cooc_triangles": entity_cooc_triangles,
     "entity_cooc_components": entity_cooc_components,
     "entity_cooc_components_altstar": entity_cooc_components_altstar,
+    "entity_cooc_clustering": entity_cooc_clustering,
     "entity_cooc_kcore": entity_cooc_kcore,
     "ned_cluster_contingency": ned_cluster_contingency,
     "ned_cluster_quality": ned_cluster_quality,
@@ -5828,6 +5862,7 @@ ORACLE_SQL = {
     "entity_cooc_triangles": _oracle_entity_triangles(),
     "entity_cooc_components": _oracle_entity_components(),
     "entity_cooc_components_altstar": _oracle_entity_components(),
+    "entity_cooc_clustering": _oracle_entity_clustering(),
     "entity_cooc_kcore": _oracle_entity_kcore(),
     "ned_cluster_contingency": _oracle_ned_contingency(),
     "surface_edit_join": _oracle_surface_editjoin(),
@@ -5874,6 +5909,7 @@ _SF_ORACLES = {
     "entity_cooc_triangles": _oracle_entity_triangles,
     "entity_cooc_components": _oracle_entity_components,
     "entity_cooc_components_altstar": _oracle_entity_components,
+    "entity_cooc_clustering": _oracle_entity_clustering,
     "entity_cooc_kcore": _oracle_entity_kcore,
     "ned_cluster_contingency": _oracle_ned_contingency,
     "surface_edit_join": _oracle_surface_editjoin,

@@ -852,3 +852,98 @@ def kcore_nodes(edges: ray.data.Dataset, k: int,
         columns={"u": "node", "n": "core_degree"})
     out["core_degree"] = out["core_degree"].astype(np.int64)
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-node triangle counts / local clustering coefficient substrate
+# ---------------------------------------------------------------------------
+
+def node_triangle_counts(edges: ray.data.Dataset, nparts: int = 32
+                         ) -> pd.DataFrame:
+    """Per-node exact triangle participation + graph degree over an
+    undirected edge Dataset ``(node_a, node_b)`` with ``node_a <
+    node_b`` → DataFrame ``(node, tri, deg)`` — the integer substrate
+    of the local clustering coefficient ``2·tri / (deg·(deg-1))``
+    (kept as exact integers so the oracle contract is
+    rounding-free).
+
+    Same wedge-closure exchange as :func:`triangle_stats`, but wedges
+    CARRY THEIR OPENER: a wedge (x, y) opened at minimum vertex u
+    that finds its closing edge in the (x, y) group emits one +1 for
+    each of u, x, y — each triangle closes exactly once, so each
+    node's count is exact.  Degrees come from one bucketed count of
+    the directed rows; the final node-sized merge happens driver-side
+    (entity-vocabulary contract, as in :func:`jaccard_relatedness`)."""
+    edges = edges.materialize()
+
+    def wedge_rows(df: pd.DataFrame) -> pa.Table:
+        out = _add_hash_part(df[["node_a", "node_b"]].copy(),
+                             ["node_a"], nparts)
+        return _pd_to_arrow(out)
+
+    def wedges_with_opener(df: pd.DataFrame) -> pa.Table:
+        outs = []
+        for u, g in df.groupby("node_a", sort=False):
+            nb = np.sort(pd.unique(g["node_b"].to_numpy()))
+            if len(nb) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({
+                "node_a": nb[iu], "node_b": nb[ju],
+                "opener": u, "is_edge": np.int64(0)}))
+        if not outs:
+            return _pd_to_arrow(pd.DataFrame({
+                "node_a": pd.Series(dtype=object),
+                "node_b": pd.Series(dtype=object),
+                "opener": pd.Series(dtype=object),
+                "is_edge": pd.Series(dtype="int64")}))
+        return _pd_to_arrow(pd.concat(outs, ignore_index=True))
+
+    wedges = edges.map_batches(wedge_rows, batch_format="pandas") \
+        .groupby("_part").map_groups(wedges_with_opener,
+                                     batch_format="pandas")
+    tagged = edges.map_batches(
+        lambda df: _pd_to_arrow(pd.DataFrame({
+            "node_a": df["node_a"], "node_b": df["node_b"],
+            "opener": "", "is_edge": np.int64(1)})),
+        batch_format="pandas")
+
+    def close_bucket(df: pd.DataFrame) -> pa.Table:
+        key = df["node_a"].astype(str) + "\x1f" + df["node_b"].astype(str)
+        has_edge = df.assign(_k=key).groupby("_k", sort=False)[
+            "is_edge"].transform("max")
+        closed = df[(df["is_edge"] == 0) & (has_edge.to_numpy() == 1)]
+        if not len(closed):
+            return _pd_to_arrow(pd.DataFrame(
+                {"node": pd.Series(dtype=object),
+                 "one": pd.Series(dtype="int64")}))
+        nodes = np.concatenate([closed["opener"].to_numpy(object),
+                                closed["node_a"].to_numpy(object),
+                                closed["node_b"].to_numpy(object)])
+        return _pd_to_arrow(pd.DataFrame(
+            {"node": nodes, "one": np.ones(len(nodes), np.int64)}))
+
+    def bucket2(df: pd.DataFrame) -> pa.Table:
+        return _pd_to_arrow(_add_hash_part(
+            df, ["node_a", "node_b"], nparts))
+
+    tri_rows = wedges.union(tagged) \
+        .map_batches(bucket2, batch_format="pandas") \
+        .groupby("_part").map_groups(close_bucket,
+                                     batch_format="pandas")
+    tri = _bucketed_counts(tri_rows.map_batches(
+        lambda df: _pd_to_arrow(df[["node"]]),
+        batch_format="pandas"), ["node"], nparts, "tri").to_pandas()
+
+    directed = edges.map_batches(
+        lambda t: pa.table({"node": pa.array(
+            t["node_a"].to_pylist() + t["node_b"].to_pylist(),
+            pa.string())}), batch_format="pyarrow")
+    deg = _bucketed_counts(directed, ["node"], nparts, "deg") \
+        .to_pandas()
+
+    out = deg.merge(tri, on="node", how="left")
+    out["tri"] = out["tri"].fillna(0).astype(np.int64)
+    out["deg"] = out["deg"].astype(np.int64)
+    return out[["node", "tri", "deg"]] \
+        .sort_values("node").reset_index(drop=True)

@@ -365,3 +365,34 @@ def test_kcore_matches_brute(ray_session):
     # add) — at least assert the API handles an empty core cleanly
     got = kcore_nodes(ds, 50, nparts=4)
     assert len(got) == 0
+
+
+def test_node_triangle_counts_brute(ray_session):
+    import random
+
+    import pandas as pd
+
+    from sbb_ned_ray.stages.graph import node_triangle_counts
+    rng = random.Random(13)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    edges = set()
+    for a in nodes[:6]:            # clique of 6
+        for b in nodes[:6]:
+            if a < b:
+                edges.add((a, b))
+    for _ in range(60):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    got = node_triangle_counts(ray.data.from_pandas(pd.DataFrame(
+        {"node_a": [a for a, _ in edges],
+         "node_b": [b for _, b in edges]})), nparts=4)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {n: (sum(len(adj[n] & adj[m]) for m in adj[n]) // 2,
+                len(adj[n])) for n in adj}
+    assert {r["node"]: (r["tri"], r["deg"])
+            for _, r in got.iterrows()} == want
+    # clique-of-6 members have at least C(5,2)=10 triangles each
+    assert all(want[n][0] >= 10 for n in nodes[:6])
