@@ -4840,6 +4840,89 @@ ORDER BY rec_a, rec_b
 """
 
 
+_PR_THRESHOLDS = [(1, 16), (1, 4), (1, 1), (4, 1), (16, 1)]
+
+
+def linkage_pr_curve(sf_dir: str):
+    """Precision/recall curve of the Fellegi–Sunter decision rule
+    ``W > c`` over the fixed rational priors, swept across five
+    thresholds — computed ENTIRELY from the (pattern, gt) contingency
+    (≤ 2^k·2 rows; the Splink scale contract — no pair row exists
+    anywhere), with exact integer threshold tests and round-half-up
+    e6 metrics.  ORACLE-checked against a DuckDB contingency +
+    threshold cross-join twin."""
+    from sbb_ned_ray.stages.linkage import (CLERICAL_M10, CLERICAL_U10,
+                                            dirty_records_path,
+                                            pattern_contingency)
+    recs = ray.data.read_parquet(dirty_records_path(sf_dir))
+    cont = pattern_contingency(recs)
+    k = len(CLERICAL_M10)
+    pats = cont["pattern"].to_numpy(np.int64)
+    bits = (pats[:, None] >> np.arange(k)) & 1
+    m10 = np.array(CLERICAL_M10, np.int64)
+    u10 = np.array(CLERICAL_U10, np.int64)
+    wn = np.prod(np.where(bits == 1, m10, 10 - m10), axis=1)
+    wd = np.prod(np.where(bits == 1, u10, 10 - u10), axis=1)
+    gt = cont["gt_match"].to_numpy(np.int64)
+    n = cont["n_pairs"].to_numpy(np.int64)
+    rows = []
+    for cn, cd in _PR_THRESHOLDS:
+        pred = wn * cd > cn * wd
+        tp = int(n[pred & (gt == 1)].sum())
+        fp = int(n[pred & (gt == 0)].sum())
+        fn = int(n[~pred & (gt == 1)].sum())
+        prec = (tp * 2_000_000 + (tp + fp)) // (2 * (tp + fp)) \
+            if tp + fp else 0
+        rec = (tp * 2_000_000 + (tp + fn)) // (2 * (tp + fn)) \
+            if tp + fn else 0
+        rows.append((cn, cd, tp, fp, fn, prec, rec))
+    return pd.DataFrame(rows, columns=[
+        "thr_num", "thr_den", "tp", "fp", "fn",
+        "precision_e6", "recall_e6"])
+
+
+def _oracle_linkage_pr(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import dirty_records_path
+    vals = ", ".join(f"({cn}, {cd})" for cn, cd in _PR_THRESHOLDS)
+    return f"""
+WITH r AS (SELECT * FROM read_parquet('{dirty_records_path(sf_dir)}')),
+p AS (SELECT (CASE WHEN a.name = b.name THEN 9 ELSE 1 END) *
+             (CASE WHEN right(a.name, 4) = right(b.name, 4)
+                   THEN 9 ELSE 1 END) *
+             (CASE WHEN a.segment = b.segment THEN 8 ELSE 2 END) *
+             (CASE WHEN abs(a.acctbal - b.acctbal) < 0.05
+                   THEN 7 ELSE 3 END) AS wn,
+             (CASE WHEN a.name = b.name THEN 1 ELSE 9 END) *
+             (CASE WHEN right(a.name, 4) = right(b.name, 4)
+                   THEN 4 ELSE 6 END) *
+             5 *
+             (CASE WHEN abs(a.acctbal - b.acctbal) < 0.05
+                   THEN 6 ELSE 4 END) AS wd,
+             CAST(a.entity_id = b.entity_id AS BIGINT) AS gt
+      FROM r a JOIN r b
+        ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id),
+t(cn, cd) AS (VALUES {vals}),
+agg AS (SELECT cn AS thr_num, cd AS thr_den,
+               SUM(CASE WHEN wn * cd > cn * wd AND gt = 1
+                        THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN wn * cd > cn * wd AND gt = 0
+                        THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN NOT (wn * cd > cn * wd) AND gt = 1
+                        THEN 1 ELSE 0 END) AS fn
+        FROM p CROSS JOIN t GROUP BY 1, 2)
+SELECT thr_num, thr_den, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE (tp * 2000000 + (tp + fp)) // (2 * (tp + fp)) END
+           AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE (tp * 2000000 + (tp + fn)) // (2 * (tp + fn)) END
+           AS BIGINT) AS recall_e6
+FROM agg
+ORDER BY thr_num * 1000000 // thr_den
+"""
+
+
 def linkage_group_match(sf_dir: str):
     """GROUP LINKAGE (On et al., ICDE 2007) between the fixture's two
     sources (base records vs planted duplicates), groups = nations,
@@ -5771,6 +5854,7 @@ _QUERY_FNS = {
     "linkage_patterns_3state": linkage_patterns_3state,
     "linkage_clerical_pairs": linkage_clerical_pairs,
     "linkage_group_match": linkage_group_match,
+    "linkage_pr_curve": linkage_pr_curve,
     "linkage_em_quality": linkage_em_quality,
     "linkage_golden_records": linkage_golden_records,
     "surface_edit_clusters": surface_edit_clusters,
@@ -5875,6 +5959,7 @@ ORACLE_SQL = {
     "linkage_patterns_3state": _oracle_linkage_3state(),
     "linkage_clerical_pairs": _oracle_linkage_clerical(),
     "linkage_group_match": _oracle_linkage_group(),
+    "linkage_pr_curve": _oracle_linkage_pr(),
     "linkage_golden_records": _oracle_linkage_golden(),
     "surface_edit_clusters": _oracle_surface_clusters(),
     "meta_blocking_cnp": _oracle_meta_blocking(),
@@ -5920,6 +6005,7 @@ _SF_ORACLES = {
     "linkage_patterns_3state": _oracle_linkage_3state,
     "linkage_clerical_pairs": _oracle_linkage_clerical,
     "linkage_group_match": _oracle_linkage_group,
+    "linkage_pr_curve": _oracle_linkage_pr,
     "linkage_golden_records": _oracle_linkage_golden,
     "surface_edit_clusters": _oracle_surface_clusters,
     "meta_blocking_cnp": _oracle_meta_blocking,
