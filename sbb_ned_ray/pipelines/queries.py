@@ -5726,6 +5726,103 @@ ORDER BY id_a, id_b
 """
 
 
+def linkage_soundex_keys(sf_dir: str):
+    """American Soundex blocking keys over the phonetic-names fixture
+    (:func:`sbb_ned_ray.functions.phonetic.soundex_col`, vectorized
+    factorize-unique per batch).  ORACLE-checked against a pure-SQL
+    DuckDB twin implementing the same published spec (h/w-transparent
+    variant) via ``translate`` + chained ``regexp_replace`` — two
+    independent implementations of the algorithm, hash-compared."""
+    from sbb_ned_ray.stages.linkage import (add_soundex,
+                                            phonetic_records_path)
+    recs = ray.data.read_parquet(phonetic_records_path(sf_dir),
+                                 columns=["rec_id", "surname"])
+    out = add_soundex(recs, "surname").to_pandas()
+    return out.sort_values("rec_id").reset_index(drop=True)
+
+
+def linkage_soundex_match(sf_dir: str):
+    """Phonetic-blocked fuzzy matching: block on ``soundex(surname)``
+    (the classical record-linkage blocking key — invariant to the
+    fixture's planted misspellings by construction, so
+    pair-completeness is 1.0 where exact-surname blocking misses
+    every perturbed duplicate), then Jaro–Winkler best-match within
+    the block (:func:`sbb_ned_ray.stages.linkage.fuzzy_best_match`).
+    ORACLE: DuckDB computes the SAME soundex via the SQL chain and
+    ranks with ``jaro_winkler_similarity`` window rank."""
+    from sbb_ned_ray.stages.linkage import (add_soundex,
+                                            fuzzy_best_match,
+                                            phonetic_records_path)
+    recs = ray.data.read_parquet(phonetic_records_path(sf_dir))
+    recs = add_soundex(recs, "surname")
+
+    def add_side(t):
+        import pyarrow.compute as pc
+        side = pc.cast(pc.bit_wise_and(t["rec_id"], 1), "int32")
+        return t.append_column("side", side)
+
+    recs = recs.map_batches(add_side, batch_format="pyarrow")
+    out = fuzzy_best_match(recs, "sdx", "rec_id", "name",
+                           "side").to_pandas()
+    return out.sort_values("rec_id").reset_index(drop=True)
+
+
+def _sdx_sql_cte(path: str, cols: str = "rec_id, surname") -> str:
+    """CTE chain computing ``sdx`` = American Soundex (h/w-transparent)
+    of ``surname`` in pure DuckDB SQL: H/W deleted up front (DuckDB's
+    ``translate`` maps surplus chars instead of deleting), letters
+    coded, runs of equal digits 1-6 collapsed, first letter restored,
+    vowel zeros removed, zero-padded to 4."""
+    return f"""
+rr AS (SELECT {cols} FROM read_parquet('{path}')),
+ss AS (SELECT *, upper(regexp_replace(surname,'[^A-Za-z]','','g')) u
+       FROM rr),
+cc AS (SELECT *, translate(replace(replace(u,'H',''),'W',''),
+         'BFPVCGJKQSXZDTLMNRAEIOUY','111122222222334556000000') coded
+       FROM ss),
+ll AS (SELECT *,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(coded,
+    '1{{2,}}','1','g'),'2{{2,}}','2','g'),'3{{2,}}','3','g'),
+    '4{{2,}}','4','g'),'5{{2,}}','5','g'),'6{{2,}}','6','g') clp
+       FROM cc),
+sx AS (SELECT *, CASE WHEN u = '' THEN '' ELSE
+         substr(u,1,1) || substr(replace(
+           CASE WHEN substr(u,1,1) IN ('H','W') THEN clp
+                ELSE substr(clp,2) END, '0','') || '000', 1, 3)
+       END AS sdx
+       FROM ll)"""
+
+
+def _oracle_soundex_keys(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import phonetic_records_path
+    return f"""
+WITH {_sdx_sql_cte(phonetic_records_path(sf_dir))}
+SELECT rec_id, surname, sdx FROM sx ORDER BY rec_id
+"""
+
+
+def _oracle_soundex_match(sf_dir: str = "/root/testdata/sf0.01"
+                          ) -> str:
+    from sbb_ned_ray.stages.linkage import phonetic_records_path
+    path = phonetic_records_path(sf_dir)
+    return f"""
+WITH {_sdx_sql_cte(path, cols="rec_id, surname, name")},
+p AS (SELECT a.rec_id AS rid, b.rec_id AS cand,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM sx a JOIN sx b ON a.sdx = b.sdx
+      WHERE a.rec_id % 2 = 1 AND b.rec_id % 2 = 0),
+rk AS (SELECT rid, cand, jw,
+              ROW_NUMBER() OVER (PARTITION BY rid
+                                 ORDER BY jw DESC, cand ASC) AS rn
+       FROM p)
+SELECT rid AS rec_id, cand AS match_id,
+       CAST(floor(jw * 1000000 + 0.5) AS BIGINT) AS jw_e6
+FROM rk WHERE rn = 1
+ORDER BY rec_id
+"""
+
+
 # Full name -> callable map.  The public QUERIES dict is built AFTER
 # ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
 # top) so a harness that snapshots only the first N entries always sees
@@ -5869,6 +5966,8 @@ _QUERY_FNS = {
     "linkage_incremental_match": linkage_incremental_match,
     "er_resumable_golden": er_resumable_golden,
     "linkage_tf_table": linkage_tf_table,
+    "linkage_soundex_keys": linkage_soundex_keys,
+    "linkage_soundex_match": linkage_soundex_match,
     "linkage_em_tf_quality": linkage_em_tf_quality,
     "er_incremental_golden": er_incremental_golden,
 }
@@ -5973,6 +6072,8 @@ ORACLE_SQL = {
     "er_resumable_golden": _oracle_er_dedupe(),
     "linkage_tf_table": _oracle_linkage_tf(),
     "er_incremental_golden": _oracle_er_dedupe(),
+    "linkage_soundex_keys": _oracle_soundex_keys(),
+    "linkage_soundex_match": _oracle_soundex_match(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -6019,6 +6120,8 @@ _SF_ORACLES = {
     "er_resumable_golden": _oracle_er_dedupe,
     "linkage_tf_table": _oracle_linkage_tf,
     "er_incremental_golden": _oracle_er_dedupe,
+    "linkage_soundex_keys": _oracle_soundex_keys,
+    "linkage_soundex_match": _oracle_soundex_match,
 }
 
 

@@ -1269,3 +1269,127 @@ def group_linkage(records: ray.data.Dataset,
     return out[["nation_a", "nation_b", "matched_a", "matched_b",
                 "size_a", "size_b", "sim_e6"]] \
         .sort_values(["nation_a", "nation_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------
+# phonetic-blocking fixture + soundex-blocked matching
+# --------------------------------------------------------------------
+
+_GIVENS = [
+    "Alice", "Bruno", "Carla", "Dmitri", "Elena", "Farid", "Greta",
+    "Hugo", "Ingrid", "Jonas", "Katya", "Lars", "Mireille", "Nadia",
+    "Otto", "Priya", "Quentin", "Rosa", "Stefan", "Tamar", "Ulrich",
+    "Vera", "Wilhelm", "Xenia", "Yusuf", "Zofia", "Anton", "Beatrix",
+    "Cyril", "Dagmar", "Emil", "Frieda", "Gustav", "Helene", "Ivo",
+    "Johanna", "Konrad",
+]
+_SURNAMES = [
+    "Anderson", "Burroughs", "Czarkowska", "Dombrowski", "Eriksen",
+    "Fitzgerald", "Gutierrez", "Hoffmann", "Ivanova", "Jablonski",
+    "Kowalczyk", "Lindqvist", "Mueller", "Novakova", "Oppenheim",
+    "Petterson", "Quarshie", "Rasmussen", "Schneider", "Thibodeau",
+    "Ulbricht", "Vasquez", "Wachowski", "Xanthopoulos", "Yamamoto",
+    "Zimmermann", "Abramovich", "Bergstrom", "Castellano", "Dupont",
+    "Ellington", "Fontaine", "Grabowski", "Henriksen", "Iordanou",
+    "Jorgensen", "Kaczmarek", "Lefebvre", "Marchetti", "Nakamura",
+    "Ostrowski", "Pellegrino", "Quintero", "Rodriguez", "Sokolova",
+    "Takahashi", "Urbanczyk", "Villanueva", "Wisniewski", "Yanagida",
+    "Zielinski", "Arnautovic", "Bellingham", "Carvalho", "Delacroix",
+    "Eisenberg", "Fernandez", "Giordano", "Haraldsen",
+]
+
+_VOWEL_NEXT = {"a": "e", "e": "i", "i": "o", "o": "u", "u": "a",
+               "y": "e"}
+# same-soundex-code consonant swaps (B/P=1, C/K=2, S/Z=2->no: S=2,Z=2,
+# D/T=3, M/N=5, V/F=1, G/J=2) - every pair below shares a digit, so
+# the swap is soundex-invariant anywhere after position 0
+_CODE_SWAP = {"c": "k", "k": "c", "s": "z", "z": "s", "d": "t",
+              "t": "d", "m": "n", "n": "m", "b": "p", "p": "b",
+              "v": "f", "f": "v", "g": "j", "j": "g"}
+
+
+def _perturb_phonetic(surname: str, k: int) -> str:
+    """Deterministic, SOUNDEX-INVARIANT surname perturbation (rules
+    argued invariant in ``functions/phonetic.py``): duplicate an
+    interior letter (a run of equal letters collapses to the same
+    code sequence), swap an interior vowel for another vowel (all
+    vowels code '0'), or swap an interior consonant for one with the
+    same soundex digit.  ``k % 4 == 3`` keeps the exact surname."""
+    body = surname[1:].lower()
+    mode = k % 4
+    if mode == 3 or not body:
+        return surname
+    if mode == 0:
+        p = k % len(body)
+        return surname[0] + body[:p] + body[p] + body[p:]
+    if mode == 1:
+        for i, ch in enumerate(body):
+            if ch in _VOWEL_NEXT:
+                return surname[0] + body[:i] + _VOWEL_NEXT[ch] \
+                    + body[i + 1:]
+        return surname
+    for i, ch in enumerate(body):
+        if ch in _CODE_SWAP:
+            return surname[0] + body[:i] + _CODE_SWAP[ch] \
+                + body[i + 1:]
+    return surname
+
+
+def phonetic_records_path(sf_dir: str) -> str:
+    """Materialize (once) the phonetic-linkage fixture: alphabetic
+    person names synthesized deterministically from the sf's customer
+    keys; every third customer gains a duplicate whose surname is
+    perturbed soundex-invariantly (so phonetic blocking has
+    pair-completeness 1.0 by construction while exact-surname
+    blocking provably misses the perturbed rows).  Shared by the Ray
+    query and the DuckDB oracle."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    out_dir = os.path.join(
+        "/tmp/sbb_ned_ray_fixtures",
+        f"phonetic-{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{len(cust)}")
+    out = os.path.join(out_dir, "records.parquet")
+    if os.path.exists(out):
+        return out
+
+    key = cust["c_custkey"].to_numpy(np.int64)
+    given = [_GIVENS[int(k) % len(_GIVENS)] for k in key]
+    surname = [_SURNAMES[int(k // 3) % len(_SURNAMES)] for k in key]
+    base = pd.DataFrame({
+        "rec_id": 2 * key,
+        "entity_id": key,
+        "given": given,
+        "surname": surname,
+        "name": [f"{g} {s}" for g, s in zip(given, surname)],
+        "nationkey": cust["c_nationkey"].to_numpy(np.int32)})
+
+    dup = base[key % 3 == 0].copy()
+    dkey = dup["entity_id"].to_numpy(np.int64)
+    dup["rec_id"] = 2 * dkey + 1
+    dup["surname"] = [_perturb_phonetic(s, int(k))
+                      for s, k in zip(dup["surname"], dkey)]
+    dup["name"] = [f"{g} {s}"
+                   for g, s in zip(dup["given"], dup["surname"])]
+    rec = pd.concat([base, dup], ignore_index=True) \
+        .sort_values("rec_id").reset_index(drop=True)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + f".tmp-{os.getpid()}"
+    rec.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
+def add_soundex(records: ray.data.Dataset, name_col: str,
+                out_col: str = "sdx") -> ray.data.Dataset:
+    """Append the soundex blocking key, vectorized per batch
+    (factorize-unique -> encode-once -> take)."""
+    from sbb_ned_ray.functions.phonetic import soundex_col
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        keys = soundex_col(t[name_col].to_pylist())
+        return t.append_column(out_col,
+                               pa.array(keys, type=pa.string()))
+
+    return records.map_batches(per_batch, batch_format="pyarrow")
