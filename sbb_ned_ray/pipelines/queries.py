@@ -5823,6 +5823,53 @@ ORDER BY rec_id
 """
 
 
+def er_swoosh_golden(sf_dir: str):
+    """Merge-based ER via R-Swoosh (Benjelloun et al. VLDB J. 2009)
+    inside soundex blocks (:func:`sbb_ned_ray.stages.linkage.r_swoosh`
+    — the D-Swoosh parallelization: sequential buffer algorithm per
+    block, blocks resolved independently).  ORACLE: the published
+    ICAR equivalence — under an idempotent/commutative/associative/
+    representative match-merge pair the Swoosh fixpoint equals the
+    connected components of the pairwise match graph, each fully
+    merged — expressed as a DuckDB recursive-CTE min-label walk over
+    e6-int-thresholded Jaro–Winkler edges + per-component
+    aggregates."""
+    from sbb_ned_ray.stages.linkage import (add_soundex,
+                                            phonetic_records_path,
+                                            r_swoosh)
+    recs = ray.data.read_parquet(phonetic_records_path(sf_dir))
+    recs = add_soundex(recs, "surname")
+    out = r_swoosh(recs, "sdx", "rec_id", "name").to_pandas()
+    return out.sort_values("canon_id").reset_index(drop=True)
+
+
+def _oracle_er_swoosh(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from sbb_ned_ray.stages.linkage import phonetic_records_path
+    path = phonetic_records_path(sf_dir)
+    return f"""
+WITH RECURSIVE {_sdx_sql_cte(path, cols="rec_id, surname, name")},
+e AS (SELECT a.rec_id AS s, b.rec_id AS d
+      FROM sx a JOIN sx b
+        ON a.sdx = b.sdx AND a.rec_id <> b.rec_id
+      WHERE CAST(floor(jaro_winkler_similarity(a.name, b.name)
+                       * 1000000 + 0.5) AS BIGINT) >= 900000),
+nodes AS (SELECT rec_id AS node FROM sx),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, walk.lab FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.lab < e.d
+),
+comp AS (SELECT node, min(lab) AS lab FROM walk GROUP BY node),
+j AS (SELECT c.lab, r.rec_id, r.name
+      FROM comp c JOIN sx r ON r.rec_id = c.node)
+SELECT lab AS canon_id, count(*) AS n_members,
+       string_agg(rec_id::VARCHAR, ',' ORDER BY rec_id) AS members,
+       string_agg(DISTINCT name, '|' ORDER BY name) AS names
+FROM j GROUP BY lab ORDER BY canon_id
+"""
+
+
 # Full name -> callable map.  The public QUERIES dict is built AFTER
 # ORACLE_SQL below, ordered oracle-backed-first (flagship block at the
 # top) so a harness that snapshots only the first N entries always sees
@@ -5968,6 +6015,7 @@ _QUERY_FNS = {
     "linkage_tf_table": linkage_tf_table,
     "linkage_soundex_keys": linkage_soundex_keys,
     "linkage_soundex_match": linkage_soundex_match,
+    "er_swoosh_golden": er_swoosh_golden,
     "linkage_em_tf_quality": linkage_em_tf_quality,
     "er_incremental_golden": er_incremental_golden,
 }
@@ -6074,6 +6122,7 @@ ORACLE_SQL = {
     "er_incremental_golden": _oracle_er_dedupe(),
     "linkage_soundex_keys": _oracle_soundex_keys(),
     "linkage_soundex_match": _oracle_soundex_match(),
+    "er_swoosh_golden": _oracle_er_swoosh(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -6122,6 +6171,7 @@ _SF_ORACLES = {
     "er_incremental_golden": _oracle_er_dedupe,
     "linkage_soundex_keys": _oracle_soundex_keys,
     "linkage_soundex_match": _oracle_soundex_match,
+    "er_swoosh_golden": _oracle_er_swoosh,
 }
 
 

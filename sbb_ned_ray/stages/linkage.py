@@ -1393,3 +1393,82 @@ def add_soundex(records: ray.data.Dataset, name_col: str,
                                pa.array(keys, type=pa.string()))
 
     return records.map_batches(per_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# R-Swoosh merge-based entity resolution (Benjelloun et al.,
+# "Swoosh: a generic approach to entity resolution", VLDB J. 2009)
+# --------------------------------------------------------------------
+
+def r_swoosh(records: ray.data.Dataset, block_col: str, id_col: str,
+             name_col: str, threshold_e6: int = 900_000
+             ) -> ray.data.Dataset:
+    """Merge-based ER: iteratively MATCH a record against the merged
+    set and MERGE on hit until fixpoint (the R-Swoosh buffer
+    algorithm), one merged entity row per survivor.
+
+    match(r, r') = any cross name pair with round-half-up
+    ``jw_e6 >= threshold_e6`` (the e6-int compare shared with the
+    DuckDB twin); merge = union of member ids + union of name
+    variants.  This match/merge pair satisfies ICAR (idempotent,
+    commutative, associative, representative: a merged record matches
+    x iff some member matched x), so the R-Swoosh fixpoint provably
+    equals the connected components of the PAIRWISE match graph with
+    each component fully merged — that published equivalence is the
+    oracle (`er_swoosh_golden`: recursive-CTE min-label components +
+    per-component SQL aggregates).
+
+    Scale shape (D-Swoosh): the buffer algorithm is inherently
+    sequential, so parallelism comes from the BLOCKING contract —
+    matches only occur inside a block (here: the soundex key), one
+    ``groupby(block).map_groups`` exchange, each group resolved
+    independently.  Inside a group the pairwise JW matrix over the
+    block's UNIQUE names is computed once, vectorized
+    (:func:`jw_row` per row), and the buffer loop only tests
+    set-membership against it."""
+    def per_block(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(id_col)
+        ids = df[id_col].astype(int).tolist()
+        names = df[name_col].tolist()
+        uniq = sorted(set(names))
+        col_of = {n: i for i, n in enumerate(uniq)}
+        cand_mat, cand_lens = _pad_codes(uniq)
+        m = np.zeros((len(uniq), len(uniq)), dtype=bool)
+        for i, n in enumerate(uniq):
+            jw = jw_row(n, cand_mat, cand_lens)
+            m[i] = np.floor(jw * 1_000_000 + 0.5) >= threshold_e6
+
+        # R-Swoosh: I = input queue (id-sorted for determinism),
+        # I' = resolved set; a merge goes back to the FRONT of I
+        queue = [([rid], frozenset([col_of[n]]))
+                 for rid, n in zip(ids, names)]
+        resolved: list[tuple[list[int], frozenset]] = []
+        while queue:
+            rid_set, name_set = queue.pop(0)
+            rows = np.fromiter(name_set, dtype=np.int64)
+            hit = next(
+                (k for k, (_, other) in enumerate(resolved)
+                 if m[np.ix_(rows, np.fromiter(other, np.int64))]
+                 .any()), None)
+            if hit is None:
+                resolved.append((rid_set, name_set))
+            else:
+                o_ids, o_names = resolved.pop(hit)
+                queue.insert(0, (sorted(rid_set + o_ids),
+                                 name_set | o_names))
+
+        canon, nmem, members, out_names = [], [], [], []
+        for rid_set, name_set in resolved:
+            canon.append(min(rid_set))
+            nmem.append(len(rid_set))
+            members.append(",".join(str(r) for r in sorted(rid_set)))
+            out_names.append("|".join(sorted(uniq[i]
+                                             for i in name_set)))
+        return pa.table({
+            "canon_id": pa.array(canon, pa.int64()),
+            "n_members": pa.array(nmem, pa.int64()),
+            "members": pa.array(members, pa.string()),
+            "names": pa.array(out_names, pa.string())})
+
+    return records.groupby(block_col) \
+        .map_groups(per_block, batch_format="pandas")
