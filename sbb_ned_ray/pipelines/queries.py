@@ -5823,6 +5823,121 @@ ORDER BY rec_id
 """
 
 
+def blocking_soundex_metrics(sf_dir: str):
+    """Blocking-key evaluation (Christen, "Data Matching", 2012) over
+    the phonetic fixture: reduction ratio + pair completeness for
+    three keys — exact surname, soundex(surname), surname initial.
+    Quantifies the phonetic tradeoff: soundex keeps pair completeness
+    1.0 on the planted misspellings at a slightly lower reduction
+    ratio, the initial key over-blocks, the exact key under-recalls.
+
+    All reductions stay distributed: the long (method, key) table
+    feeds one narrow groupby for block sizes -> per-method candidate
+    counts, and one (method, entity) groupby whose min==max key test
+    gives the hit count; only 3 rows/ints reach the driver.  ORACLE:
+    DuckDB recomputes keys via the soundex SQL chain and the same
+    integer-quantized ratios."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from sbb_ned_ray.functions.phonetic import soundex_col
+    from sbb_ned_ray.stages.linkage import phonetic_records_path
+    path = phonetic_records_path(sf_dir)
+    recs = ray.data.read_parquet(
+        path, columns=["rec_id", "entity_id", "surname"])
+    n = recs.count()
+    total = n * (n - 1) // 2
+
+    def long_batch(t: pa.Table) -> pa.Table:
+        surn = t["surname"].to_pylist()
+        sdx = list(soundex_col(surn))
+        init = [s[:1] for s in surn]
+        k = len(surn)
+        rid = t["rec_id"].to_pylist() * 3
+        ent = t["entity_id"].to_pylist() * 3
+        return pa.table({
+            "method": pa.array(["surname_exact"] * k
+                               + ["soundex"] * k + ["initial"] * k),
+            "key": pa.array(surn + sdx + init, pa.string()),
+            "rec_id": pa.array(rid, pa.int64()),
+            "entity_id": pa.array(ent, pa.int64())})
+
+    long = recs.map_batches(long_batch, batch_format="pyarrow")
+
+    def cand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["count()"].to_numpy(np.int64)
+        return pd.DataFrame({"method": df["method"],
+                             "c": m * (m - 1) // 2})
+
+    cand = long.groupby(["method", "key"]).count() \
+        .map_batches(cand_partial, batch_format="pandas") \
+        .groupby("method").sum("c").to_pandas() \
+        .set_index("method")["sum(c)"]
+
+    def hit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["count()"] == 2) & (df["kmin"] == df["kmax"]))
+        return pd.DataFrame({"method": df["method"],
+                             "h": h.astype(np.int64)})
+
+    hits = long.groupby(["method", "entity_id"]) \
+        .aggregate(Count(), Min("key", alias_name="kmin"),
+                   Max("key", alias_name="kmax")) \
+        .map_batches(hit_partial, batch_format="pandas") \
+        .groupby("method").sum("h").to_pandas() \
+        .set_index("method")["sum(h)"]
+
+    # number of planted duplicates (odd rec ids)
+    n_gt = recs.map_batches(
+        lambda t: t.filter(__import__("pyarrow").compute.equal(
+            __import__("pyarrow").compute.bit_wise_and(
+                t["rec_id"], 1), 1)),
+        batch_format="pyarrow").count()
+
+    rows = []
+    for method in sorted(cand.index):
+        c, h = int(cand[method]), int(hits[method])
+        rows.append({
+            "method": method, "n_candidates": c, "hits": h,
+            "rr_e6": (total - c) * 1_000_000 // total,
+            "pc_e6": h * 1_000_000 // n_gt})
+    out = pd.DataFrame(rows)
+    for col in out.columns[1:]:
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("method").reset_index(drop=True)
+
+
+def _oracle_blocking_soundex(sf_dir: str = "/root/testdata/sf0.01"
+                             ) -> str:
+    from sbb_ned_ray.stages.linkage import phonetic_records_path
+    path = phonetic_records_path(sf_dir)
+    return f"""
+WITH {_sdx_sql_cte(path, cols="rec_id, entity_id, surname")},
+k AS (SELECT rec_id, entity_id, surname AS key,
+             'surname_exact' AS method FROM sx
+      UNION ALL SELECT rec_id, entity_id, sdx, 'soundex' FROM sx
+      UNION ALL SELECT rec_id, entity_id, substr(surname, 1, 1),
+                       'initial' FROM sx),
+sz AS (SELECT method, key, count(*) AS m FROM k GROUP BY 1, 2),
+cand AS (SELECT method,
+                CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_candidates
+         FROM sz GROUP BY 1),
+gt AS (SELECT a.method, CAST(count(*) AS BIGINT) AS hits
+       FROM k a JOIN k b
+         ON a.method = b.method AND a.entity_id = b.entity_id
+        AND a.key = b.key
+       WHERE a.rec_id % 2 = 0 AND b.rec_id % 2 = 1
+       GROUP BY 1),
+tot AS (SELECT count(*) AS n,
+               (SELECT count(*) FROM sx WHERE rec_id % 2 = 1) AS ngt
+        FROM sx)
+SELECT method, n_candidates, hits,
+       CAST((n * (n - 1) // 2 - n_candidates) * 1000000
+            // (n * (n - 1) // 2) AS BIGINT) AS rr_e6,
+       CAST(hits * 1000000 // ngt AS BIGINT) AS pc_e6
+FROM cand JOIN gt USING (method), tot
+ORDER BY method
+"""
+
+
 def er_swoosh_golden(sf_dir: str):
     """Merge-based ER via R-Swoosh (Benjelloun et al. VLDB J. 2009)
     inside soundex blocks (:func:`sbb_ned_ray.stages.linkage.r_swoosh`
@@ -6016,6 +6131,7 @@ _QUERY_FNS = {
     "linkage_soundex_keys": linkage_soundex_keys,
     "linkage_soundex_match": linkage_soundex_match,
     "er_swoosh_golden": er_swoosh_golden,
+    "blocking_soundex_metrics": blocking_soundex_metrics,
     "linkage_em_tf_quality": linkage_em_tf_quality,
     "er_incremental_golden": er_incremental_golden,
 }
@@ -6123,6 +6239,7 @@ ORACLE_SQL = {
     "linkage_soundex_keys": _oracle_soundex_keys(),
     "linkage_soundex_match": _oracle_soundex_match(),
     "er_swoosh_golden": _oracle_er_swoosh(),
+    "blocking_soundex_metrics": _oracle_blocking_soundex(),
 }
 
 # sf-dependent oracles (fixture-path readers): ORACLE_SQL above bakes
@@ -6172,6 +6289,7 @@ _SF_ORACLES = {
     "linkage_soundex_keys": _oracle_soundex_keys,
     "linkage_soundex_match": _oracle_soundex_match,
     "er_swoosh_golden": _oracle_er_swoosh,
+    "blocking_soundex_metrics": _oracle_blocking_soundex,
 }
 
 
